@@ -1,0 +1,194 @@
+"""Time-series table layer: GreptimeDB's semantic data model on Parquet.
+
+Reference semantics reproduced here (SURVEY.md §1):
+- Every table has tag columns (ordered primary key), exactly one time-index
+  column, and field columns — reference ``RegionMetadata``,
+  src/store-api/src/metadata.rs:135-163.
+- Tables are upsert-by-default: rows sharing (tags, time_index) are merged at
+  read time per ``MergeMode`` — ``LastRow`` (whole-row last-write-wins) or
+  ``LastNonNull`` (per-field last non-null) — src/mito2/src/region/options.rs:68-73,
+  dedup readers src/mito2/src/read/dedup.rs.
+- ``append_mode=true`` disables dedup (options.rs:96); ``ttl`` expires rows
+  older than now()-ttl (options.rs:85).
+
+Spark-first design: instead of an LSM tree with merge-on-read readers, writes
+append Parquet files carrying a monotonically increasing ``__seq`` column, and
+reads return a *logical dedup view* built from window functions. At 100 TB the
+physical layout is hour/day partitioned Parquet (``time_bucket`` directory
+column) so time-range predicates become partition pruning, and the dedup
+window shuffles only once on the primary key (AQE handles skew). A periodic
+``compact()`` job rewrites the dedup view in place — the analog of the
+reference's TWCS compaction (src/mito2/src/compaction/twcs.rs) collapsing
+overlapping SSTs — after which reads are plain scans until new writes arrive.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field, asdict
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SEQ_COL = "__seq"
+BUCKET_COL = "__time_bucket"
+
+_META_FILE = "_greptime_meta.json"
+
+
+@dataclass
+class TableMeta:
+    """Table-level semantic metadata (reference RegionMetadata + RegionOptions)."""
+
+    name: str
+    time_index: str
+    tags: list[str] = field(default_factory=list)
+    merge_mode: str = "last_row"  # last_row | last_non_null
+    append_mode: bool = False
+    ttl: str | None = None  # e.g. "7 days" (SQL interval literal)
+    partition_granularity: str = "day"  # hour | day | month — physical layout
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "TableMeta":
+        return TableMeta(**json.loads(text))
+
+
+class Catalog:
+    """Directory-backed catalog: one sub-directory of Parquet per table."""
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base_path = base_path
+        os.makedirs(base_path, exist_ok=True)
+
+    # -- DDL ---------------------------------------------------------------
+
+    def create_table(self, meta: TableMeta, if_not_exists: bool = False) -> None:
+        path = self._table_path(meta.name)
+        meta_path = os.path.join(path, _META_FILE)
+        if os.path.exists(meta_path):
+            if if_not_exists:
+                return
+            raise ValueError(f"table {meta.name} already exists")
+        os.makedirs(path, exist_ok=True)
+        with open(meta_path, "w") as f:
+            f.write(meta.to_json())
+
+    def meta(self, name: str) -> TableMeta:
+        with open(os.path.join(self._table_path(name), _META_FILE)) as f:
+            return TableMeta.from_json(f.read())
+
+    def drop_table(self, name: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._table_path(name), ignore_errors=True)
+
+    # -- write path ----------------------------------------------------------
+
+    def insert(self, name: str, df: DataFrame) -> None:
+        """Append a batch. Adds the monotone ingest sequence and the physical
+        time-bucket partition column; no shuffle beyond the partitioned write."""
+        meta = self.meta(name)
+        seq_base = time.time_ns()
+        out = (
+            df.withColumn(SEQ_COL, F.lit(seq_base) + F.monotonically_increasing_id())
+            .withColumn(BUCKET_COL, F.date_trunc(meta.partition_granularity, F.col(meta.time_index)))
+        )
+        (
+            out.write.mode("append")
+            .partitionBy(BUCKET_COL)
+            .parquet(os.path.join(self._table_path(name), "data"))
+        )
+
+    # -- read path -----------------------------------------------------------
+
+    def read(self, name: str, raw: bool = False, at: str | None = None) -> DataFrame:
+        """Return the table as the reference's merged logical view.
+
+        ``raw=True`` skips dedup/TTL (the reference's append-mode scan).
+        """
+        meta = self.meta(name)
+        data_path = os.path.join(self._table_path(name), "data")
+        df = self.spark.read.parquet(data_path)
+        if raw or meta.append_mode:
+            return df.drop(SEQ_COL, BUCKET_COL)
+        df = merge_view(df, meta)
+        if meta.ttl:
+            now = F.expr(f"TIMESTAMP '{at}'") if at else F.current_timestamp()
+            df = df.filter(F.col(meta.time_index) > now - F.expr(f"INTERVAL {meta.ttl}"))
+        return df
+
+    def compact(self, name: str) -> None:
+        """Rewrite the table as its dedup view (TWCS-compaction analog).
+
+        At scale this runs per time-bucket so only recently-written partitions
+        rewrite; here we rewrite the whole (small) table.
+        """
+        meta = self.meta(name)
+        data_path = os.path.join(self._table_path(name), "data")
+        df = self.spark.read.parquet(data_path)
+        merged = merge_view(df, meta, keep_seq=True).withColumn(
+            BUCKET_COL, F.date_trunc(meta.partition_granularity, F.col(meta.time_index))
+        )
+        tmp = data_path + ".compact"
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+        import shutil
+
+        shutil.rmtree(data_path)
+        os.rename(tmp, data_path)
+
+    def _table_path(self, name: str) -> str:
+        return os.path.join(self.base_path, name)
+
+
+def merge_view(df: DataFrame, meta: TableMeta, keep_seq: bool = False) -> DataFrame:
+    """Dedup rows sharing (tags, time_index) per the table's merge mode.
+
+    LastRow  → row_number() over (pk, ts order by __seq desc) == 1
+               (reference src/mito2/src/read/dedup.rs LastRow reader)
+    LastNonNull → per-field last(col, ignorenulls) over ingest order
+               (reference dedup.rs LastNonNull / LastFieldsBuilder)
+
+    Single shuffle on the primary key either way; both window and groupBy
+    aggregate are partial-agg friendly, so this scales linearly with series
+    count rather than row count per partition.
+    """
+    keys = [*meta.tags, meta.time_index]
+    non_keys = [c for c in df.columns if c not in keys and c not in (SEQ_COL, BUCKET_COL)]
+    if meta.merge_mode == "last_non_null":
+        # max_by(col, seq) among non-null values of col == last non-null write.
+        aggs = [
+            F.expr(f"max_by({c}, CASE WHEN {c} IS NOT NULL THEN {SEQ_COL} END) AS {c}")
+            for c in non_keys
+        ]
+        if keep_seq:
+            aggs.append(F.max(SEQ_COL).alias(SEQ_COL))
+        return df.groupBy(*keys).agg(*aggs)
+    # last_row
+    w = Window.partitionBy(*keys).orderBy(F.col(SEQ_COL).desc())
+    out = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", BUCKET_COL)
+    )
+    return out if keep_seq else out.drop(SEQ_COL)
+
+
+def load_star_schema(spark: SparkSession, sf_dir: str, tables: Iterable[str] | None = None) -> dict[str, DataFrame]:
+    """Load the driver's synthetic tables (TESTDATA.md) and register temp views."""
+    names = list(tables) if tables else [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {}
+    for n in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out

@@ -1,0 +1,53 @@
+"""Driver-facing query registry.
+
+Each module exports ``QUERIES: dict[str, QuerySpec]``; a QuerySpec bundles the
+Spark DataFrame builder with the equivalent ANSI-SQL oracle string DuckDB runs
+on the same parquet tables (None → driver runs a weaker rows-only check).
+
+Cross-engine determinism rules (so the driver's order-insensitive value-hash
+matches):
+- money sums go through DECIMAL(18,2) so both engines add exactly;
+- irrational stats (stddev/corr/percentile/cos-distance) are rounded to a few
+  decimals on BOTH sides;
+- every top-k has a total order (metric, then unique key) so ties can't make
+  the engines pick different row sets;
+- timestamps are emitted as epoch milliseconds (BIGINT) to dodge ns-vs-µs
+  parquet precision differences between readers.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    from greptimedb_spark.queries import (
+        relational,
+        timeseries,
+        functions_q,
+        llmdata,
+        promql_q,
+    )
+
+    out: dict[str, QuerySpec] = {}
+    for mod in (relational, timeseries, functions_q, llmdata, promql_q):
+        overlap = out.keys() & mod.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(mod.QUERIES)
+    return out

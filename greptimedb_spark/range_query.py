@@ -1,0 +1,261 @@
+"""RANGE query engine — GreptimeDB's time-window SQL extension on DataFrames.
+
+Reference semantics (src/query/src/range_select/plan.rs:274-294, plan_rewrite.rs;
+verified against tests/cases/standalone/common/range/*.result):
+
+``SELECT ts, host, min(val) RANGE '10s' FROM t ALIGN '5s' [TO <origin>] [BY (host)] [FILL PREV]``
+
+- Aligned steps t = origin + n*align. The window of step t is **[t, t + range)**.
+- A row at time x belongs to every aligned step t with t ∈ (x - range, x]
+  (so range>align ⇒ sliding/overlapping, range<align ⇒ gappy; a row whose
+  offset within its align bucket is ≥ range falls into no window).
+- The output grid contains exactly the (step, by-group) pairs that have at
+  least one input row in-window — FILL does NOT extend the grid; it only
+  replaces NULL aggregate values:
+    NULL   → keep, PREV → last non-null earlier step in the group,
+    LINEAR → two-sided linear interpolation (output becomes DOUBLE; one-sided
+             edges stay NULL), <const> → the constant.
+- Default origin is the epoch (TO CALENDAR ≡ 1970-01-01T00:00:00Z).
+
+Spark-first plan shape (scales to 100 TB):
+- tumbling case (range == align): one `groupBy(step, *by)` — single shuffle,
+  map-side partial aggregation, no row expansion.
+- sliding case: rows explode into ceil(range/align) steps *before* the
+  groupBy — expansion factor is the overlap count (bounded, typically 2-12),
+  then the same single-shuffle aggregate. No per-series loops, no driver state.
+- FILL PREV/LINEAR add one window over (by) ordered by step — a second shuffle
+  on the same keys at step-grid cardinality (orders of magnitude smaller than
+  input rows).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_UNITS_MS = {
+    "ns": 1e-6, "us": 1e-3, "ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+    "d": 86_400_000, "w": 7 * 86_400_000, "y": 365 * 86_400_000,
+}
+
+
+def parse_duration_ms(text) -> int:
+    """Parse '5s', '1h', '90m', '1d2h', INTERVAL-ish strings → milliseconds."""
+    if isinstance(text, (int, float)):
+        return int(text)
+    t = text.strip().strip("'\"").lower()
+    # normalize sql-interval words
+    words = {
+        "nanosecond": "ns", "microsecond": "us", "millisecond": "ms", "second": "s",
+        "minute": "m", "hour": "h", "day": "d", "week": "w", "year": "y",
+    }
+    for w, u in words.items():
+        t = re.sub(rf"\s*{w}s?\b", u, t)
+    t = t.replace("interval", "").replace(" ", "")
+    total = 0.0
+    for num, unit in re.findall(r"([0-9]*\.?[0-9]+)(ns|us|ms|s|m|h|d|w|y)", t):
+        total += float(num) * _UNITS_MS[unit]
+    if total == 0:
+        raise ValueError(f"cannot parse duration: {text!r}")
+    return int(total)
+
+
+@dataclass
+class RangeAgg:
+    """One `agg(expr) RANGE '..' [FILL ..]` item."""
+
+    expr: str          # aggregate expression, e.g. "min(val)" / "sum(a+b)"
+    alias: str
+    range_ms: int | None = None   # None → use query-level range
+    fill: str | None = None       # None | 'NULL' | 'PREV' | 'LINEAR' | constant literal
+
+
+def range_select(
+    df: DataFrame,
+    time_index: str,
+    aggs: list[RangeAgg],
+    align: str | int,
+    by: list[str] | None = None,
+    to: str | int | None = None,
+    fill: str | None = None,
+) -> DataFrame:
+    """Execute a RANGE query over ``df``; returns (ts, *by, *agg aliases)."""
+    by = list(by or [])
+    align_ms = parse_duration_ms(align)
+    to_ms = _origin_ms(to)
+    for a in aggs:
+        if a.range_ms is None:
+            raise ValueError(f"agg {a.alias} missing RANGE")
+        if a.fill is None:
+            a.fill = fill
+
+    distinct_ranges = sorted({a.range_ms for a in aggs})
+    ts_ms = (F.unix_micros(F.col(time_index)) / 1000).cast("long")
+
+    # Steps for one range value: all aligned t with t in (x-range, x].
+    def steps_for(range_ms: int) -> Column:
+        off = ts_ms - F.lit(to_ms)
+        rem = F.pmod(off, F.lit(align_ms))
+        step_hi = ts_ms - rem
+        k_max = F.floor((F.lit(range_ms) - rem - 1) / F.lit(align_ms)).cast("long")
+        return F.when(
+            k_max >= 0,
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), k_max),
+                lambda k: step_hi - k * F.lit(align_ms),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    # One aggregation pass per distinct RANGE (usually 1); join results on the
+    # shared (step, by) grid. The grid of the final output is the union of the
+    # per-range grids, matching the reference (each range expr contributes the
+    # rows where *it* has input; others show NULL and FILL applies).
+    parts: list[DataFrame] = []
+    for r_ms in distinct_ranges:
+        sub = [a for a in aggs if a.range_ms == r_ms]
+        exploded = df.withColumn("__step", F.explode(steps_for(r_ms)))
+        agged = exploded.groupBy("__step", *by).agg(
+            *[F.expr(a.expr).alias(a.alias) for a in sub]
+        )
+        parts.append(agged)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.join(p, ["__step", *by], "full_outer")
+
+    # FILL — per column, over the step-ordered window within each by-group.
+    w = Window.partitionBy(*by).orderBy("__step") if by else Window.orderBy("__step")
+    for a in aggs:
+        c = F.col(a.alias)
+        f = (a.fill or "NULL").upper() if isinstance(a.fill, str) else a.fill
+        if f in (None, "NULL"):
+            continue
+        if f == "PREV":
+            prev = F.last(a.alias, ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            out = out.withColumn(a.alias, prev)
+        elif f == "LINEAR":
+            wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            val_d = c.cast("double")
+            step_if = F.when(c.isNotNull(), F.col("__step"))
+            pv = F.last(val_d, ignorenulls=True).over(wb)
+            pt = F.last(step_if, ignorenulls=True).over(wb)
+            nv = F.first(val_d, ignorenulls=True).over(wf)
+            nt = F.first(step_if, ignorenulls=True).over(wf)
+            interp = pv + (nv - pv) * (F.col("__step") - pt) / (nt - pt)
+            out = out.withColumn(
+                a.alias,
+                F.when(c.isNotNull(), val_d).otherwise(
+                    F.when(pt.isNotNull() & nt.isNotNull(), interp)
+                ),
+            )
+        else:  # constant literal, e.g. FILL 6 / FILL 1.5
+            out = out.withColumn(a.alias, F.coalesce(c, F.expr(str(a.fill))))
+    return out.select(
+        F.timestamp_millis(F.col("__step")).alias(time_index), *by, *[a.alias for a in aggs]
+    )
+
+
+def _origin_ms(to: str | int | None) -> int:
+    if to is None:
+        return 0
+    if isinstance(to, int):
+        return to
+    t = to.strip().strip("'\"")
+    if t.upper() in ("", "CALENDAR"):
+        return 0
+    if t.upper() == "NOW":
+        import time
+
+        return int(time.time() * 1000)
+    import datetime as dt
+
+    s = t.replace("T", " ")
+    # Support trailing timezone offset.
+    m = re.match(r"(.*?)([+-]\d{2}:?\d{2})$", s)
+    tz = None
+    if m:
+        s, tzs = m.group(1).strip(), m.group(2).replace(":", "")
+        tz = dt.timezone(dt.timedelta(hours=int(tzs[:3]), minutes=int(tzs[0] + tzs[3:])))
+    d = dt.datetime.fromisoformat(s)
+    d = d.replace(tzinfo=tz or dt.timezone.utc)
+    return int(d.timestamp() * 1000)
+
+
+# ---------------------------------------------------------------------------
+# SQL front-door: rewrite `... RANGE ... ALIGN ...` text into range_select()
+# (the reference rewrites the AST in RangePlanRewriter; we rewrite the text —
+# same effect, no engine hooks needed).
+# ---------------------------------------------------------------------------
+
+_RANGE_RE = re.compile(
+    r"(?P<agg>\w+\s*\([^()]*(?:\([^()]*\)[^()]*)*\))\s+RANGE\s+'(?P<range>[^']+)'"
+    r"(?:\s+FILL\s+(?P<fill>\w+|'[^']*'|\d+(?:\.\d+)?))?",
+    re.IGNORECASE,
+)
+
+
+def parse_range_sql(sql: str) -> dict:
+    """Parse the supported RANGE statement shape into its parts.
+
+    Supported: SELECT <ts>, <by...>, agg(expr) RANGE 'r' [FILL f] [AS alias], ...
+               FROM <table> [WHERE ...] ALIGN 'a' [TO '...'] [BY (cols)] [FILL f]
+               [ORDER BY ...] [LIMIT n]
+    """
+    s = sql.strip().rstrip(";")
+    m_align = re.search(
+        r"ALIGN\s+'(?P<align>[^']+)'(?:\s+TO\s+(?P<to>'[^']*'|\S+))?"
+        r"(?:\s+BY\s*\((?P<by>[^)]*)\))?(?:\s+FILL\s+(?P<fill>\S+))?",
+        s,
+        re.IGNORECASE,
+    )
+    if not m_align:
+        raise ValueError("not a RANGE query (missing ALIGN)")
+    aggs = []
+    for i, m in enumerate(_RANGE_RE.finditer(s)):
+        trailing = s[m.end():]
+        alias_m = re.match(r"\s+AS\s+(\w+)", trailing, re.IGNORECASE)
+        alias = alias_m.group(1) if alias_m else f"agg_{i}"
+        aggs.append(
+            RangeAgg(
+                expr=m.group("agg"),
+                alias=alias,
+                range_ms=parse_duration_ms(m.group("range")),
+                fill=m.group("fill"),
+            )
+        )
+    m_from = re.search(r"FROM\s+(\w+)", s, re.IGNORECASE)
+    m_where = re.search(r"WHERE\s+(.*?)\s+ALIGN", s, re.IGNORECASE | re.DOTALL)
+    by = None
+    if m_align.group("by"):
+        by = [c.strip() for c in m_align.group("by").split(",")]
+    return {
+        "aggs": aggs,
+        "table": m_from.group(1),
+        "where": m_where.group(1) if m_where else None,
+        "align": m_align.group("align"),
+        "to": (m_align.group("to") or "").strip("'\"") or None,
+        "by": by,
+        "fill": m_align.group("fill"),
+    }
+
+
+def range_sql(spark, sql: str, time_index: str = "ts", df: DataFrame | None = None) -> DataFrame:
+    """Run a RANGE-extension SQL statement (see parse_range_sql for the shape)."""
+    parts = parse_range_sql(sql)
+    base = df if df is not None else spark.table(parts["table"])
+    if parts["where"]:
+        base = base.filter(F.expr(parts["where"]))
+    by = parts["by"]
+    if by is None:
+        # default BY = all non-time, non-aggregated columns mentioned in SELECT
+        # before the first range agg (reference defaults BY to the primary key;
+        # our tables carry no meta here so the caller should pass BY explicitly)
+        by = []
+    return range_select(
+        base, time_index, parts["aggs"], parts["align"], by, parts["to"], parts["fill"]
+    )

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are chosen for the 100 TB design point and scaled down by env vars for
+local runs:
+- AQE on (runtime coalesce, skew-join splitting) — replaces the reference's
+  hand-written distribution rules (src/query/src/optimizer/parallelize_scan.rs,
+  pass_distribution.rs): Spark's EnsureRequirements + AQE cover them.
+- Parquet filter pushdown + aggregate pushdown — replaces SST zone-map pruning
+  (src/mito2/src/read/prune.rs).
+- Arrow execution for the few pandas-UDF paths.
+- UTC session timezone (reference stores UTC timestamps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.parquet.recordLevelFilter.enabled": "false",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+}
+
+
+def get_spark(app_name: str = "greptimedb-spark", **conf: str) -> SparkSession:
+    """Build (or reuse) the SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default 32);
+    ``SPARK_GRAFT_MASTER`` overrides the master URL (a real cluster would set
+    e.g. ``yarn``/``k8s://...`` — nothing here assumes local mode).
+    """
+    master = os.environ.get(
+        "SPARK_GRAFT_MASTER",
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+    )
+    builder = SparkSession.builder.appName(app_name).master(master)
+    merged = dict(_DEFAULTS)
+    merged.update({k: str(v) for k, v in conf.items()})
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

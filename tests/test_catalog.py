@@ -1,0 +1,79 @@
+"""Merge-view semantics: LastRow vs LastNonNull vs append mode.
+
+Mirrors the reference's dedup reader behavior (src/mito2/src/read/dedup.rs)
+via the sensor_sparse fixture shape from FIXTURES.md §5.
+"""
+
+import datetime as dt
+
+import pytest
+
+from greptimedb_spark.catalog import Catalog, TableMeta
+
+TS = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, str(tmp_path))
+
+
+def _mk_rows():
+    # (ts, sensor_id, temperature, humidity) written in three batches; the
+    # same (sensor, ts) key gets partial overwrites.
+    b1 = [(TS(0), "s1", 20.0, 50.0), (TS(0), "s2", 21.0, None), (TS(1), "s1", 22.0, 52.0)]
+    b2 = [(TS(0), "s1", None, 55.0)]  # overwrite humidity only
+    b3 = [(TS(0), "s2", 25.0, None)]  # overwrite temperature only
+    return b1, b2, b3
+
+
+SCHEMA = "ts timestamp, sensor_id string, temperature double, humidity double"
+
+
+def _write(cat, spark, mode):
+    meta = TableMeta(name=f"sensor_{mode}", time_index="ts", tags=["sensor_id"], merge_mode=mode)
+    cat.create_table(meta)
+    for batch in _mk_rows():
+        cat.insert(meta.name, spark.createDataFrame(batch, SCHEMA))
+    return meta.name
+
+
+def test_last_row(cat, spark):
+    name = _write(cat, spark, "last_row")
+    rows = {(r.sensor_id, r.ts.second): (r.temperature, r.humidity) for r in cat.read(name).collect()}
+    assert rows[("s1", 0)] == (None, 55.0)  # whole-row last-write-wins
+    assert rows[("s2", 0)] == (25.0, None)
+    assert rows[("s1", 1)] == (22.0, 52.0)
+    assert len(rows) == 3
+
+
+def test_last_non_null(cat, spark):
+    name = _write(cat, spark, "last_non_null")
+    rows = {(r.sensor_id, r.ts.second): (r.temperature, r.humidity) for r in cat.read(name).collect()}
+    assert rows[("s1", 0)] == (20.0, 55.0)  # per-field last non-null
+    assert rows[("s2", 0)] == (25.0, None)  # humidity never written non-null
+    assert len(rows) == 3
+
+
+def test_append_mode(cat, spark):
+    meta = TableMeta(name="logs", time_index="ts", tags=["sensor_id"], append_mode=True)
+    cat.create_table(meta)
+    for batch in _mk_rows():
+        cat.insert(meta.name, spark.createDataFrame(batch, SCHEMA))
+    assert cat.read(meta.name).count() == 5  # no dedup
+
+
+def test_compact_preserves_merge(cat, spark):
+    name = _write(cat, spark, "last_non_null")
+    before = sorted(map(tuple, cat.read(name).collect()))
+    cat.compact(name)
+    after = sorted(map(tuple, cat.read(name).collect()))
+    assert before == after
+
+
+def test_ttl(cat, spark):
+    meta = TableMeta(name="ttl_t", time_index="ts", tags=["sensor_id"], ttl="1 HOUR")
+    cat.create_table(meta)
+    cat.insert(meta.name, spark.createDataFrame(_mk_rows()[0], SCHEMA))
+    assert cat.read(meta.name).count() == 0  # 2024 data long expired
+    assert cat.read(meta.name, at="2024-01-01 00:30:00").count() == 3
