@@ -1,0 +1,199 @@
+"""Full-text predicates + text-analysis functions.
+
+- ``matches(col, query)`` — GreptimeDB's full-text query DSL
+  (src/common/function/src/scalars/matches.rs: AND/OR/NOT/parentheses/phrases,
+  `+must`/`-mustnot`) compiled to a boolean column expression over substring
+  containment. The reference backs this with a tantivy index; at Spark scale
+  the same predicate runs as a codegen'd scan filter (brute force, but fully
+  pushed into the scan stage — no shuffle).
+- ``matches_term(col, term)`` — exact term match with non-alphanumeric
+  boundaries (src/common/function/src/scalars/matches_term.rs).
+- Text-analysis ops for training-data pipelines: token counting, quality
+  scoring, language id, fingerprinting — all column algebra.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------------------
+# matches() query DSL: tokens, AND/OR/NOT (also &&/||/!), parentheses,
+# "quoted phrases", +must / -mustnot prefixes. Grammar per matches.rs parser.
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r'"[^"]*"|\(|\)|AND\b|OR\b|NOT\b|&&|\|\||!|[+-]?[^\s()!&|]+')
+
+
+def _tokenize(query: str) -> list[str]:
+    return [t for t in _TOKEN_RE.findall(query) if t.strip()]
+
+
+class _Parser:
+    """Recursive-descent: expr := term (OR term)* ; term := factor (AND factor)* ;
+    factor := [NOT|!] atom ; atom := '(' expr ')' | word | "phrase".
+    Bare adjacency means OR (Greptime treats `a b` as a OR b)."""
+
+    def __init__(self, tokens: list[str], col: Column):
+        self.toks = tokens
+        self.i = 0
+        self.col = col
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse(self) -> Column:
+        out = self.expr()
+        if self.peek() is not None:
+            raise ValueError(f"unexpected token {self.peek()!r}")
+        return out
+
+    def expr(self) -> Column:
+        node = self.term()
+        while self.peek() in ("OR", "||") or (
+            self.peek() is not None and self.peek() not in (")", "AND", "&&")
+        ):
+            if self.peek() in ("OR", "||"):
+                self.next()
+            node = node | self.term()
+        return node
+
+    def term(self) -> Column:
+        node = self.factor()
+        while self.peek() in ("AND", "&&"):
+            self.next()
+            node = node & self.factor()
+        return node
+
+    def factor(self) -> Column:
+        t = self.peek()
+        if t in ("NOT", "!"):
+            self.next()
+            return ~self.factor()
+        return self.atom()
+
+    def atom(self) -> Column:
+        t = self.next()
+        if t == "(":
+            node = self.expr()
+            if self.next() != ")":
+                raise ValueError("unbalanced parens")
+            return node
+        if t.startswith('"') and t.endswith('"'):
+            return _contains_ci(self.col, t[1:-1])
+        if t.startswith("+"):
+            return _contains_ci(self.col, t[1:])
+        if t.startswith("-") and len(t) > 1:
+            return ~_contains_ci(self.col, t[1:])
+        return _contains_ci(self.col, t)
+
+
+def _contains_ci(col: Column, text: str) -> Column:
+    return F.contains(F.lower(col), F.lit(text.lower()))
+
+
+def matches(col, query: str) -> Column:
+    """Full-text boolean query over a string column (case-insensitive)."""
+    return _Parser(_tokenize(query), _c(col)).parse()
+
+
+def matches_term(col, term: str) -> Column:
+    """Exact term match: term occurs delimited by non-alphanumeric boundaries
+    (reference matches_term.rs examples: 'cat!' matches in 'cat!' but 'cat'
+    does not match inside 'category')."""
+    return _c(col).rlike(rf"(^|[^a-zA-Z0-9_]){re.escape(term)}($|[^a-zA-Z0-9_])")
+
+
+# ---------------------------------------------------------------------------
+# Training-data text analysis (column algebra only — scan-stage, no shuffles)
+# ---------------------------------------------------------------------------
+
+def token_count(col) -> Column:
+    """Whitespace token count."""
+    t = F.trim(_c(col))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def bpe_ish_token_count(col) -> Column:
+    """BPE-ish subword proxy: word-chunks + digits + punctuation each count
+    (regexp token classes approximate a byte-level BPE's token count)."""
+    return F.regexp_count(_c(col), F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]")).cast("long")
+
+
+def punct_ratio(col) -> Column:
+    n = F.length(_c(col))
+    return F.when(n > 0, F.regexp_count(_c(col), F.lit(r"[^\w\s]")) / n).otherwise(F.lit(0.0))
+
+
+_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "that", "for"]
+
+
+def stopword_ratio(col) -> Column:
+    toks = F.split(F.lower(F.trim(_c(col))), r"\s+")
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS)))
+    return F.when(n > 0, stop / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col) -> Column:
+    toks = F.split(F.trim(_c(col)), r"\s+")
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col) -> Column:
+    """Heuristic document quality in [0,1]: penalize too-short/too-long docs,
+    high punctuation, missing stopwords (C4/Gopher-style rule-of-thumb)."""
+    n_tok = token_count(col)
+    len_score = F.when((n_tok >= 10) & (n_tok <= 5000), F.lit(1.0)).otherwise(F.lit(0.3))
+    punct_score = F.when(punct_ratio(col) < 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_score = F.when(stopword_ratio(col) > 0.02, F.lit(1.0)).otherwise(F.lit(0.6))
+    return F.round(len_score * punct_score * stop_score, 4)
+
+
+# Tiny per-language marker vocabularies for n-gram-free language ID. Real
+# deployments would load fastText-style models via a pandas UDF; this is the
+# deterministic, dependency-free heuristic variant.
+_LANG_MARKERS = {
+    "en": ["the", "and", "is", "of", "to"],
+    "de": ["der", "und", "ist", "von", "das"],
+    "fr": ["le", "et", "est", "de", "la"],
+    "es": ["el", "y", "es", "de", "que"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def detect_lang(col) -> Column:
+    """Marker-token language ID: pick the language with most marker hits."""
+    toks = F.split(F.lower(F.trim(_c(col))), r"\s+")
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        score = F.size(F.filter(toks, lambda t: t.isin(markers)))
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(col) -> Column:
+    """Deterministic document fingerprint: md5 of case/whitespace-normalized
+    text (exact-dedup key; reference pipeline `digest` processor analog)."""
+    norm = F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
+    return F.md5(norm)
+
+
+def register(spark) -> None:
+    spark.udf.register  # no Python UDFs needed; SQL callers use expressions

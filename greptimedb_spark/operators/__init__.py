@@ -1,0 +1,1 @@
+from greptimedb_spark.operators import dedup, similarity  # noqa: F401

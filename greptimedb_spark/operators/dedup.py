@@ -1,0 +1,260 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all deterministic (no RNG — "random" projections derive from
+hash functions so results are stable across runs and engines):
+
+- exact:        md5 of normalized text → groupBy. One shuffle on the hash.
+- MinHash+LSH:  shingle → 128 minhashes → band buckets → candidate join →
+                exact-Jaccard verify. The classic near-dup pipeline (used by
+                C4/RefinedWeb-style corpus cleaning). Scales as
+                O(n·shingles + candidate pairs), never O(n²).
+- SimHash:      64-bit signature, near-dups = small Hamming distance; bucket
+                on signature bands to avoid O(n²).
+- n-gram Jaccard: exact pairwise Jaccard restricted to LSH candidates (or any
+                blocking key), via array_intersect/array_union.
+
+Embedding-cosine near-dup lives in operators/similarity.py.
+
+Everything is column algebra (codegen'd); the only shuffles are the
+bucket/groupBy joins, each on bounded-cardinality keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from greptimedb_spark.functions.text import fingerprint
+
+
+# -- exact ---------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (normalized) docs: (fingerprint, n_dups, keep_id, dup_ids)."""
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("id").alias("keep_id"),
+            F.sort_array(F.collect_list("id")).alias("all_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id row per normalized-text fingerprint."""
+    w_ids = (
+        df.select(F.col(id_col).alias("__id"), fingerprint(text_col).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min("__id").alias("__keep"))
+    )
+    return (
+        df.join(w_ids, (fingerprint(text_col) == w_ids["__fp"]) & (df[id_col] == w_ids["__keep"]), "left_semi")
+    )
+
+
+# -- shingling -----------------------------------------------------------------
+
+def shingles(col, k: int = 3) -> Column:
+    """Distinct k-word shingles of normalized text."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+# -- MinHash + LSH ---------------------------------------------------------------
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 128) -> Column:
+    """num_hashes minima of seeded 64-bit hashes over the shingle set.
+
+    Seeding via xxhash64(seed, shingle) keeps it deterministic and engine-local;
+    computed entirely in the scan stage.
+
+    NB: seeds must be bound via closure factory — a 2-arg HOF lambda would make
+    PySpark pass the array index as the second lambda variable.
+    """
+    def hasher(seed: int):
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    return F.array(
+        *[F.array_min(F.transform(shingle_col, hasher(i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard, jaccard ≥ threshold).
+
+    Pipeline: signature → explode into `bands` band-hashes → self-join per
+    bucket (only candidates collide) → verify with exact Jaccard on shingle
+    sets. Band count tunes recall: P(collide) = 1-(1-j^r)^b, r=num_hashes/bands.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles(text_col, shingle_k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+
+    banded = base.select(
+        "id",
+        "sh",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)), b
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1)
+    ) / F.lit(num_hashes)
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard", "jaccard")
+    )
+
+
+# -- SimHash ---------------------------------------------------------------------
+
+def simhash64(col, token_split: str = r"\s+") -> Column:
+    """64-bit SimHash over whitespace tokens (deterministic xxhash64 bits)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), token_split)
+
+    def bit_pred(b: int):
+        return lambda t: F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1
+
+    sig = F.lit(0).cast("long")
+    for bit in range(64):
+        ones = F.size(F.filter(toks, bit_pred(bit)))
+        vote = (ones * 2 > F.size(toks)).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(vote, bit))
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Blocking: split the 64-bit signature into 4 16-bit bands; any pair within
+    Hamming ≤ 3 shares at least one exact band (pigeonhole), so the join is
+    band-equality, never O(n²).
+    """
+    sig = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig"))
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("sig", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bits"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bits")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# -- n-gram Jaccard (exact, blocked) ----------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact k-shingle Jaccard for all pairs sharing a blocking key.
+
+    The blocking key bounds the join fan-out (e.g. language, domain, LSH
+    bucket); within a block the comparison is array_intersect/union sizes.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        shingles(text_col, k).alias("sh"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size(F.array_union("a.sh", "b.sh"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.blk").alias("block"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k per query — broadcast the (small) query
+  set against the corpus, rank per query. One scan of the corpus, no corpus
+  shuffle; ranking shuffles (query_id, candidate) pairs only.
+- lsh_topk: scale path — deterministic random-hyperplane LSH buckets both
+  sides; only bucket-colliding candidates are scored. Probes multiple
+  signature permutations for recall. At 100 TB this turns a full-corpus scan
+  per query into a bucket-join; the reference's HNSW-per-SST index
+  (src/index/src/vector.rs, RFC 2025-12-05-vector-index.md) plays the same
+  role storage-side.
+- embedding near-dup: corpus self-join restricted to LSH buckets, cosine ≥
+  threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from greptimedb_spark.functions.vector import cosine_similarity, vec_norm
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k by cosine similarity: (query_id, vec_id, sim, rank)."""
+    q = broadcast(queries.select(F.col(query_id_col), F.col(query_vec_col)))
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 0) -> Column:
+    """Sign pattern of the vector against n deterministic pseudo-random
+    hyperplanes. Plane coefficients come from xxhash64(seed, plane, coord)
+    mapped to [-1, 1] — identical on every executor, no state to ship.
+
+    Built with array higher-order functions (not unrolled per-coordinate
+    terms) so the generated code stays far below the JVM's 64 KB method limit
+    at any dimension."""
+    idx = F.sequence(F.lit(1), F.lit(dim))
+
+    def plane_bit(p: int) -> Column:
+        coeffs = F.transform(
+            idx,
+            lambda i: (F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2_000_001)) - 1_000_000)
+            / 1_000_000.0,
+        )
+        dot = F.aggregate(
+            F.zip_with(vec, coeffs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        return F.when(dot >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
+
+    sig = plane_bit(0)
+    for p in range(1, n_planes):
+        sig = sig + plane_bit(p)
+    return sig.cast("long")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing an LSH bucket in any
+    of n_tables signature tables. Recall rises with n_tables; cost stays
+    bucket-local."""
+    def with_sigs(df: DataFrame, vcol: str) -> DataFrame:
+        out = df
+        for t in range(n_tables):
+            out = out.withColumn(f"__sig{t}", hyperplane_signature(F.col(vcol), dim, n_planes, seed=t))
+        return out
+
+    c = with_sigs(corpus.select(id_col, vec_col), vec_col)
+    q = with_sigs(queries.select(query_id_col, query_vec_col), query_vec_col)
+    sig_tables = []
+    for t in range(n_tables):
+        sig_tables.append(
+            c.select(id_col, vec_col, F.col(f"__sig{t}").alias("sig"), F.lit(t).alias("tbl"))
+        )
+    c_all = sig_tables[0]
+    for s in sig_tables[1:]:
+        c_all = c_all.unionAll(s)
+    q_all = q.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(F.array(*[F.struct(F.lit(t).alias("tbl"), F.col(f"__sig{t}").alias("sig")) for t in range(n_tables)])).alias("ts"),
+    ).select(query_id_col, query_vec_col, "ts.tbl", "ts.sig")
+
+    cand = (
+        c_all.join(broadcast(q_all), ["tbl", "sig"])
+        .select(query_id_col, id_col, vec_col, query_vec_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate embedding pairs (cosine ≥ threshold) via LSH-bucketed
+    self-join. High thresholds need few planes for near-perfect recall."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    buckets = []
+    for t in range(n_tables):
+        buckets.append(
+            c.select(
+                "id", "v",
+                F.lit(t).alias("tbl"),
+                hyperplane_signature(F.col("v"), dim, n_planes, seed=100 + t).alias("sig"),
+            )
+        )
+    all_b = buckets[0]
+    for s in buckets[1:]:
+        all_b = all_b.unionAll(s)
+    a, b = all_b.alias("a"), all_b.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("sim", F.round(cosine_similarity("va", "vb"), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def brute_force_neardup_pairs(
+    corpus: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact O(n²) cosine near-dup pairs — correctness oracle for the LSH path
+    and fine for ≤10^5-row blocks (use inside a blocked pipeline at scale)."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_similarity("a.v", "b.v"), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -32,7 +32,22 @@ class QuerySpec:
 
 
 def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load a driver table. The events parquet stores TIMESTAMP(NANOS), which
+    Spark 4 refuses by default — read nanos as long and truncate to µs
+    timestamps (matches DuckDB's epoch_us() flooring)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    from pyspark.errors.exceptions.captured import AnalysisException
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -322,7 +322,7 @@ GROUP BY l_linestatus
 
 def q11_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
     c = read(spark, sf, "customer")
-    o = read(spark, sf, "orders")
+    o = read(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
     return (
         c.join(o.select("o_custkey").distinct(), c.c_custkey == F.col("o_custkey"), "left_anti")
         .groupBy("c_nationkey")
@@ -333,7 +333,7 @@ def q11_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
 Q11_SQL = """
 SELECT c_nationkey, COUNT(*) AS n_idle_customers
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 GROUP BY c_nationkey
 """
 
