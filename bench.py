@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Query classes mirror BASELINE.md's analytical set (the sub-10ms point-query
+classes are below Spark's floor and are not the parity target):
+- double-groupby-*   → q20 hourly multi-agg by series
+- lastpoint          → q21 newest row per series
+- groupby-orderby-limit → q25 top-k per bucket / q03 top-k revenue
+- high-cpu-all       → q10 predicate-heavy conditional agg
+plus the heavy relational joins (q01/q02), the RANGE engine sliding window
+(q24), and the training-data ops (minhash dedup, ANN top-k).
+
+Each query materializes via the noop sink (full execution, no collect cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders",
+    "q20_time_bucket_agg",
+    "q21_lastpoint",
+    "q24_range_sliding",
+    "q25_topk_per_bucket",
+    "q10_conditional_agg",
+    "q52_minhash_lsh",
+    "q54_ann_bruteforce",
+]
+
+
+def main() -> None:
+    from greptimedb_spark import get_spark
+    from greptimedb_spark.queries import all_queries
+
+    spark = get_spark("greptimedb-spark-bench")
+    specs = all_queries()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Warm up the JVM/codegen path once with a trivial action.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        build = specs[name].build
+        t0 = time.time()
+        build(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,7 +74,7 @@ def q52_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 def q53_simhash(spark: SparkSession, sf: str) -> DataFrame:
     d = read(spark, sf, "documents")
-    return dd.simhash_pairs(d, "doc_id", "text", max_hamming=6)
+    return dd.simhash_pairs(d, "doc_id", "text", max_hamming=3)
 
 
 # -- q54: brute-force cosine top-k (exact ANN baseline) ----------------------------
@@ -115,7 +115,7 @@ def q55_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
         e.filter(F.col("vec_id") % 100 == 0)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
-    return sim.lsh_topk(e, queries, dim=64, k=5, n_planes=10, n_tables=6)
+    return sim.lsh_topk(e, queries, dim=64, k=5, n_planes=4, n_tables=20)
 
 
 # -- q56: embedding near-dup pairs, exact (oracled) ---------------------------------

@@ -1,0 +1,105 @@
+"""Dedup + similarity operator semantics: recall against exact baselines."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from greptimedb_spark.operators import dedup as dd
+from greptimedb_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("quick", "slow")),  # near dup of 1
+        (4, "completely different content about spark sql aggregation engines"),
+        (5, "  The   QUICK brown fox jumps over the lazy dog near the river bank today "),  # normalized dup
+        (6, "unrelated text with nothing in common whatsoever here at all folks"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = dd.exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.keep_id == 1 and g.n_dups == 3 and g.all_ids == [1, 2, 5]
+    kept = dd.dedup_exact(docs, "doc_id", "text").select("doc_id").collect()
+    assert sorted(r.doc_id for r in kept) == [1, 3, 4, 6]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], "t string")
+    out = df.select(dd.shingles("t", 3).alias("sh")).collect()
+    assert out[0].sh == ["a b c", "b c d"]
+    assert out[1].sh == ["x y"]  # shorter than k → whole text
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=32,
+                                 jaccard_threshold=0.4)
+    got = {(r.id_a, r.id_b): r for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)].jaccard == 1.0
+    assert (1, 5) in got and got[(1, 5)].jaccard == 1.0
+    assert (1, 3) in got  # near dup: most 3-shingles shared
+    assert all(p[1] != 4 and p[0] != 4 for p in got)  # unrelated doc never pairs
+    # estimator within 0.35 of truth at 64 hashes
+    for r in got.values():
+        assert abs(r.est_jaccard - r.jaccard) < 0.35
+
+
+def test_simhash_identical_and_near(docs):
+    pairs = dd.simhash_pairs(docs, "doc_id", "text", max_hamming=10)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    assert got[(1, 5)] == 0
+    assert got.get((1, 3), 99) <= 10
+    assert (4, 6) not in got
+
+
+def test_ngram_jaccard_blocked(spark):
+    rows = [
+        (1, "a", "one two three four five"),
+        (2, "a", "one two three four six"),
+        (3, "a", "nothing shared here at all"),
+        (4, "b", "one two three four five"),  # same text, different block → no pair
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, t string")
+    pairs = dd.ngram_jaccard_pairs(df, "id", "t", "blk", k=3, threshold=0.3)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 0.5  # shingles: {o t t, t t f, t f f|s} → 2 shared / 4 union
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    from greptimedb_spark.queries import read
+
+    e = read(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = sim.brute_force_topk(e, queries, k=5)
+    # This synthetic corpus has weak neighbors (cos ≈ 0.4), so few planes +
+    # many tables: P(hit) = 1-(1-(1-θ/π)^planes)^tables ≈ 0.97 at (4, 20).
+    approx = sim.lsh_topk(e, queries, dim=64, k=5, n_planes=4, n_tables=20)
+    ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+    ap = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+    # self-match always survives (query vector is in the corpus)
+    for q in {r.query_id for r in exact.collect()}:
+        assert (q, q) in ap
+
+
+def test_brute_force_topk_selfmatch(spark, sf_dir):
+    from greptimedb_spark.queries import read
+
+    e = read(spark, sf_dir, "embeddings")
+    queries = e.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sim.brute_force_topk(e, queries, k=1).collect()
+    for r in out:
+        assert r.query_id == r.vec_id and r.rank == 1 and abs(r.sim - 1.0) < 1e-5
