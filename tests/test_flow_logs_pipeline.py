@@ -1,0 +1,225 @@
+"""Flows (Structured Streaming), log-query DSL, ETL pipeline, multimodal."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from greptimedb_spark.logs import ColumnFilter, LogQuery, parse_log_query, run_log_query
+from greptimedb_spark import pipeline as P
+from greptimedb_spark import multimodal as MM
+
+
+# -- flows ---------------------------------------------------------------------
+
+def test_flow_tumbling_window(spark, sf_dir, tmp_path):
+    from greptimedb_spark.streaming import FlowEngine
+
+    # stage the events table as the stream source directory
+    src = str(tmp_path / "stream_src")
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    schema_events = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in events.schema.fields)
+    events.write.mode("overwrite").parquet(src)
+
+    eng = FlowEngine(spark, str(tmp_path / "flows"))
+
+    def transform(stream):
+        ts = F.timestamp_micros((F.col("ts") / 1000).cast("long")) if dict(stream.dtypes)["ts"] == "bigint" else F.col("ts")
+        return (
+            stream.withColumn("ts2", ts)
+            .withWatermark("ts2", "1 hour")
+            .groupBy(F.window("ts2", "1 day").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+            .select(F.col("w.start").alias("bucket"), "event_type", "n", "total")
+        )
+
+    eng.create_flow("daily_rollup", src, schema_events, transform, expire_after="1 hour")
+    eng.flush_flow("daily_rollup")
+    sink = eng.read_sink("daily_rollup")
+
+    # oracle: same aggregation in batch, restricted to watermark-closed
+    # windows (append mode only emits windows whose end <= max_ts - delay)
+    ts2 = F.timestamp_micros((F.col("ts") / 1000).cast("long")) if dict(events.dtypes)["ts"] == "bigint" else F.col("ts")
+    ev2 = events.withColumn("ts2", ts2)
+    max_ts = ev2.agg(F.max("ts2")).collect()[0][0]
+    expected = (
+        ev2.groupBy(F.date_trunc("day", "ts2").alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .filter(F.col("bucket") + F.expr("INTERVAL 1 DAY") <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR"))
+    )
+    got = {(r.bucket, r.event_type): (r.n, r.total) for r in sink.collect()}
+    want = {(r.bucket, r.event_type): (r.n, r.total) for r in expected.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_flow_incremental_append(spark, tmp_path):
+    from greptimedb_spark.streaming import FlowEngine
+
+    src = str(tmp_path / "inc_src")
+    os.makedirs(src)
+    rows1 = [(i * 60_000, "a", float(i)) for i in range(60)]
+    spark.createDataFrame(rows1, "t long, k string, v double").selectExpr(
+        "timestamp_millis(t) AS ts", "k", "v"
+    ).write.mode("append").parquet(src)
+
+    eng = FlowEngine(spark, str(tmp_path / "flows2"))
+
+    def transform(stream):
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "30 minutes").alias("w"), "k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("bucket"), "k", "n")
+        )
+
+    eng.create_flow("inc", src, "ts timestamp, k string, v double", transform)
+    eng.flush_flow("inc")
+    n1 = eng.read_sink("inc").count()
+    assert n1 >= 1  # closed windows emitted
+
+    # late batch: new rows extend the stream; flush again → more windows close
+    rows2 = [((60 + i) * 60_000, "a", float(i)) for i in range(60)]
+    spark.createDataFrame(rows2, "t long, k string, v double").selectExpr(
+        "timestamp_millis(t) AS ts", "k", "v"
+    ).write.mode("append").parquet(src)
+    eng.flush_flow("inc")
+    n2 = eng.read_sink("inc").count()
+    assert n2 > n1
+
+
+# -- log query DSL -----------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def logs_df(spark):
+    rows = [
+        ("2024-01-01 00:00:01", "h1", "GET /api/users returned 200 in 5ms"),
+        ("2024-01-01 00:00:02", "h1", "POST /api/orders returned 500 in 50ms"),
+        ("2024-01-01 00:00:03", "h2", "GET /static/app.js returned 304 in 1ms"),
+        ("2024-01-01 00:10:00", "h2", "ERROR timeout connecting to db-primary"),
+        ("2024-01-01 01:00:00", "h3", None),
+    ]
+    return spark.createDataFrame(rows, "t string, host string, message string").selectExpr(
+        "to_timestamp(t) AS ts", "host", "message"
+    )
+
+
+def test_log_filters(logs_df):
+    q = LogQuery(filters=[ColumnFilter("message", "contains", "returned 500")])
+    assert run_log_query(logs_df, q).count() == 1
+    q = LogQuery(filters=[ColumnFilter("message", "prefix", "GET")])
+    assert run_log_query(logs_df, q).count() == 2
+    q = LogQuery(filters=[ColumnFilter("message", "postfix", "1ms")])
+    assert run_log_query(logs_df, q).count() == 1
+    q = LogQuery(filters=[ColumnFilter("message", "regex", r"returned [45]\d\d")])
+    assert run_log_query(logs_df, q).count() == 1
+    q = LogQuery(filters=[ColumnFilter("message", "exist")])
+    assert run_log_query(logs_df, q).count() == 4
+    q = LogQuery(filters=[ColumnFilter("host", "between", "h1", "h2")])
+    assert run_log_query(logs_df, q).count() == 4
+
+
+def test_log_time_range_and_compound(logs_df):
+    q = LogQuery(
+        time_start="2024-01-01 00:00:00",
+        time_end="2024-01-01 00:05:00",
+        filters=[
+            ColumnFilter(
+                "", "compound", compound_op="or",
+                children=[
+                    ColumnFilter("message", "contains", "500"),
+                    ColumnFilter("message", "contains", "304"),
+                ],
+            )
+        ],
+        columns=["host", "message"],
+    )
+    rows = run_log_query(logs_df, q).collect()
+    assert {r.host for r in rows} == {"h1", "h2"} and len(rows) == 2
+
+
+def test_log_query_json_roundtrip(logs_df):
+    payload = {
+        "time_start": "2024-01-01 00:00:00",
+        "filters": [
+            {"op": "compound", "compound_op": "and", "children": [
+                {"column": "message", "op": "exist"},
+                {"column": "message", "op": "contains", "value": "ERROR", "negate": True},
+            ]}
+        ],
+        "limit": 10,
+    }
+    out = run_log_query(logs_df, parse_log_query(payload))
+    assert out.count() == 3
+
+
+# -- ETL pipeline ---------------------------------------------------------------------
+
+def test_pipeline_processors(spark):
+    rows = [
+        ("INFO GET /api/users returned 200 in 5ms", '{"user": {"id": 7}}',
+         "2024-03-01 10:00:00", "1709290800000", "a%20b", "\x1b[31mred\x1b[0m text"),
+    ]
+    df = spark.createDataFrame(
+        rows, "message string, payload string, when string, ep string, enc string, colored string"
+    )
+    pipe = P.Pipeline([
+        P.dissect("message", "%{level} %{method} %{path} returned %{status} in %{latency}"),
+        P.regex_extract("latency", r"(\d+)ms", {"latency_ms": 1}),
+        P.simple_extract("payload", "uid", "user.id"),
+        P.letter("level", "lower"),
+        P.gsub("path", "/api/", "/v1/"),
+        P.date_parse("when"),
+        P.epoch("ep", "ep_ts", "ms"),
+        P.urlencoding("enc"),
+        P.decolorize("colored"),
+        P.digest("message"),
+        P.join_fields("route", " ", ["method", "path"]),
+        P.filter_rows("status = '200'"),
+    ])
+    out = pipe.apply(df).collect()[0]
+    assert out.level == "info"
+    assert out.method == "GET" and out.path == "/v1/users"
+    assert out.status == "200" and out.latency_ms == "5"
+    assert out.uid == "7"
+    assert str(out.when) == "2024-03-01 10:00:00"
+    assert str(out.ep_ts) == "2024-03-01 11:00:00"
+    assert out.enc == "a b"
+    assert out.colored == "red text"
+    assert len(out.message_digest) == 32
+    assert out.route == "GET /v1/users"
+
+
+def test_pipeline_csv(spark):
+    df = spark.createDataFrame([("a|b|c",)], "line string")
+    out = P.csv_parse("line", ["x", "y", "z"], sep="|")(df).collect()[0]
+    assert (out.x, out.y, out.z) == ("a", "b", "c")
+
+
+# -- multimodal ------------------------------------------------------------------------
+
+def test_multimodal_features(spark, sf_dir):
+    from greptimedb_spark.queries import read
+
+    d = read(spark, sf_dir, "documents").limit(50)
+    with_media = MM.attach_binary(d, "text")
+    feats = MM.extract_image_features(with_media).collect()
+    assert len(feats) == 50
+    byid = {r.doc_id: r for r in feats}
+    raw = {r.doc_id: r.text for r in d.collect()}
+    for doc_id, text in raw.items():
+        r = byid[doc_id]
+        assert r.n_bytes == len(text.encode())
+        assert r.fake_width == (r.n_bytes % 64) + 1
+        import hashlib
+
+        assert r.sha == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_multimodal_frame_sampling(spark, sf_dir):
+    from greptimedb_spark.queries import read
+
+    d = read(spark, sf_dir, "documents").limit(10)
+    frames = MM.sample_frames(MM.attach_binary(d, "text"), "doc_id", "media").collect()
+    assert all(f.offset_ms == f.frame_idx * 1000 for f in frames)
+    assert all(len(f.frame_bytes) <= 16 for f in frames)
+    assert len(frames) >= 10
