@@ -58,10 +58,11 @@ def all_queries() -> dict[str, QuerySpec]:
         llmdata,
         promql_q,
         surfaces_q,
+        stats_q,
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (relational, timeseries, functions_q, llmdata, promql_q, surfaces_q):
+    for mod in (relational, timeseries, functions_q, llmdata, promql_q, surfaces_q, stats_q):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,141 @@
+"""SQL front door (TQL/@@/aliases/RANGE) + sketch/anomaly/geo functions."""
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from greptimedb_spark.functions import anomaly as A
+from greptimedb_spark.functions import geo as G
+from greptimedb_spark.functions import sketch as SK
+from greptimedb_spark.sql import GreptimeSQL
+
+
+# -- SQL front door ---------------------------------------------------------------
+
+def test_sql_atat_rewrite(spark, tables):
+    g = GreptimeSQL(spark)
+    n = g.sql("SELECT count(*) AS n FROM documents WHERE text @@ 'scan'").collect()[0].n
+    # oracle: word-boundary regex
+    want = tables["documents"].filter(
+        F.col("text").rlike(r"(^|[^a-zA-Z0-9_])scan($|[^a-zA-Z0-9_])")
+    ).count()
+    assert n == want > 0
+
+
+def test_sql_alias_map(spark, tables):
+    g = GreptimeSQL(spark)
+    row = g.sql("SELECT min(to_unixtime(o_orderdate)) AS u FROM orders").collect()[0]
+    assert row.u == 788918400  # 1995-01-01 UTC
+
+
+def test_sql_range_passthrough(spark):
+    rows = [(0, "h1", 1), (5000, "h1", 2)]
+    spark.createDataFrame(rows, "t long, host string, val long").selectExpr(
+        "timestamp_millis(t) AS ts", "host", "val"
+    ).createOrReplaceTempView("host_sql")
+    g = GreptimeSQL(spark)
+    out = g.sql(
+        "SELECT ts, host, min(val) RANGE '5s' AS m FROM host_sql ALIGN '5s' BY (host)"
+    ).collect()
+    assert {(int(r.ts.timestamp()), r.m) for r in out} == {(0, 1), (5, 2)}
+
+
+def test_sql_tql_eval(spark):
+    from greptimedb_spark.promql import MetricTable
+
+    rows = [(i * 15_000, "api", float(i * 10)) for i in range(41)]
+    df = spark.createDataFrame(rows, "t long, job string, value double").selectExpr(
+        "timestamp_millis(t) AS ts", "job", "value"
+    )
+    g = GreptimeSQL(spark, {"reqs": MetricTable(df, tags=["job"])})
+    out = g.sql("TQL EVAL (300, 600, 60) rate(reqs[2m])").collect()
+    assert len(out) == 6
+    for r in out:
+        assert abs(r.value - 10 / 15) < 1e-9
+
+
+# -- sketches ------------------------------------------------------------------------
+
+def test_hll_state_merge(spark, tables):
+    e = tables["events"]
+    # per-type states → merged estimate ≈ exact distinct users
+    states = e.groupBy("event_type").agg(SK.hll("user_id").alias("st"))
+    merged = states.agg(SK.hll_count(SK.hll_merge("st")).alias("est")).collect()[0].est
+    exact = e.select("user_id").distinct().count()
+    assert abs(merged - exact) / exact < 0.05
+
+
+def test_count_hash(spark, tables):
+    e = tables["events"]
+    got = e.agg(SK.count_hash("user_id", "event_type").alias("n")).collect()[0].n
+    exact = e.select("user_id", "event_type").distinct().count()
+    assert got == exact  # xxhash64 collisions at this scale: none
+
+
+def test_uddsketch_calc(spark, tables):
+    e = tables["events"]
+    est = e.agg(SK.uddsketch_calc(0.5, F.col("value")).alias("m")).collect()[0].m
+    exact = e.agg(F.percentile("value", 0.5).alias("m")).collect()[0].m
+    assert abs(est - exact) / max(exact, 1) < 0.05
+
+
+# -- anomaly scores ---------------------------------------------------------------------
+
+def test_anomaly_zscore(spark):
+    rows = [(i, "s", 10.0 if i != 50 else 100.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "i long, k string, v double")
+    w = Window.partitionBy("k").orderBy("i").rowsBetween(-20, 0)
+    out = df.withColumn("score", A.anomaly_score_zscore("v", w))
+    top = out.orderBy(F.desc("score")).first()
+    assert top.i == 50 and top.score > 3
+
+
+def test_anomaly_mad_iqr(spark):
+    rows = [(i, "s", float(i % 7)) for i in range(60)] + [(60, "s", 1000.0)]
+    df = spark.createDataFrame(rows, "i long, k string, v double")
+    w = Window.partitionBy("k").orderBy("i").rowsBetween(-30, 0)
+    out = df.withColumn("mad", A.anomaly_score_mad("v", w)).withColumn(
+        "iqr", A.anomaly_score_iqr("v", w)
+    )
+    top = out.orderBy(F.desc("mad")).first()
+    assert top.i == 60
+    top = out.orderBy(F.desc("iqr")).first()
+    assert top.i == 60
+
+
+# -- geo -----------------------------------------------------------------------------------
+
+def test_geohash_known_vectors(spark):
+    # classic test vectors (public geohash examples)
+    rows = [
+        (57.64911, 10.40744, "u4pruydqqvj"),
+        (42.6, -5.6, "ezs42"),
+        (0.0, 0.0, "s00000"),
+    ]
+    df = spark.createDataFrame(rows, "lat double, lng double, want string")
+    for prec in (5, 6, 11):
+        out = df.withColumn("gh", G.geohash("lat", "lng", prec)).collect()
+        for r in out:
+            if len(r.want) >= prec:
+                assert r.gh == r.want[:prec], f"{r.lat},{r.lng} p={prec}"
+
+
+def test_st_distance(spark):
+    # Paris → London ≈ 343.5 km
+    df = spark.createDataFrame([(48.8566, 2.3522, 51.5074, -0.1278)], "a double, b double, c double, d double")
+    m = df.select(G.st_distance("a", "b", "c", "d").alias("m")).collect()[0].m
+    assert abs(m - 343_500) < 2_000
+
+
+def test_geo_path(spark):
+    rows = [(3, 1.0, 2.0), (1, 5.0, 6.0), (2, 3.0, 4.0)]
+    df = spark.createDataFrame(rows, "ts long, lat double, lng double")
+    path = df.agg(G.json_encode_path("lat", "lng", "ts").alias("p")).collect()[0].p
+    assert path == "[[6.0,5.0],[4.0,3.0],[2.0,1.0]]"  # lng-first, ts-ordered
+
+
+def test_h3_stub():
+    with pytest.raises(NotImplementedError):
+        G.h3_latlng_to_cell(0, 0, 7)
