@@ -59,10 +59,11 @@ def all_queries() -> dict[str, QuerySpec]:
         promql_q,
         surfaces_q,
         stats_q,
+        misc_q,
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (relational, timeseries, functions_q, llmdata, promql_q, surfaces_q, stats_q):
+    for mod in (relational, timeseries, functions_q, llmdata, promql_q, surfaces_q, stats_q, misc_q):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
