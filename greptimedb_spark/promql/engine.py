@@ -171,6 +171,7 @@ class PromQLEngine:
         "count_over_time", "last_over_time", "stddev_over_time",
         "stdvar_over_time", "quantile_over_time", "present_over_time",
         "changes", "resets", "deriv", "predict_linear",
+        "double_exponential_smoothing", "holt_winters",
     }
 
     def _range_fn(self, fn: str, sel: VectorSelector, ctx: _Ctx, extra=None) -> VectorResult:
@@ -260,6 +261,12 @@ class PromQLEngine:
                 F.sum(xs * F.col("value")).alias("sxy"),
                 F.sum(xs * xs).alias("sxx"),
             ]
+        if fn in ("double_exponential_smoothing", "holt_winters"):
+            # bounded per-window sample array (≤ range/scrape-interval rows)
+            # for the sequential Holt-Winters recurrence
+            aggs.append(
+                F.sort_array(F.collect_list(F.struct("__x", "value"))).alias("samples")
+            )
 
         g = ex.groupBy("__t", *tags).agg(*aggs)
         value = self._range_value(fn, g, rng, extra)
@@ -336,6 +343,33 @@ class PromQLEngine:
             return F.col("v_varp")
         if fn == "quantile_over_time":
             return F.col("v_quant")
+        if fn in ("double_exponential_smoothing", "holt_winters"):
+            sf_, tf_ = extra  # smoothing factor, trend factor
+            # Prometheus double-exponential smoothing (functions.go
+            # funcDoubleExponentialSmoothing): s0=v0, b=v1-v0, then for i>=1:
+            # s1 = sf*v_i + (1-sf)*(s0+b); b = tf*(s1-s0) + (1-tf)*b.
+            # Expressed as an array fold with a (s, b, idx, v0) accumulator.
+            vals = F.transform(F.col("samples"), lambda s: s["value"])
+            init = F.struct(
+                F.lit(0.0).alias("s"), F.lit(0.0).alias("b"),
+                F.lit(0).alias("idx"), F.lit(0.0).alias("v0"),
+            )
+
+            def step(acc, v):
+                first = acc["idx"] == 0
+                second = acc["idx"] == 1
+                b_in = F.when(second, v - acc["v0"]).otherwise(acc["b"])
+                s1 = F.lit(sf_) * v + (1 - F.lit(sf_)) * (acc["s"] + b_in)
+                b_new = F.lit(tf_) * (s1 - acc["s"]) + (1 - F.lit(tf_)) * b_in
+                return F.struct(
+                    F.when(first, v).otherwise(s1).alias("s"),
+                    F.when(first, F.lit(0.0)).otherwise(b_new).alias("b"),
+                    (acc["idx"] + 1).alias("idx"),
+                    F.when(first, v).otherwise(acc["v0"]).alias("v0"),
+                )
+
+            folded = F.aggregate(vals, init, step)
+            return F.when(n >= 2, folded["s"])
         if fn in ("deriv", "predict_linear"):
             sx, sy, sxy, sxx = F.col("sx"), F.col("sy"), F.col("sxy"), F.col("sxx")
             denom = n * sxx - sx * sx
@@ -413,6 +447,10 @@ class PromQLEngine:
             if fn == "predict_linear":
                 d = self._eval(node.args[1], ctx)
                 return self._range_fn(fn, node.args[0], ctx, extra=d)
+            if fn in ("double_exponential_smoothing", "holt_winters"):
+                sf_ = self._eval(node.args[1], ctx)
+                tf_ = self._eval(node.args[2], ctx)
+                return self._range_fn(fn, node.args[0], ctx, extra=(float(sf_), float(tf_)))
             return self._range_fn(fn, node.args[0], ctx)
         if fn in self._MATH_FNS:
             v = self._eval(node.args[0], ctx)

@@ -167,6 +167,44 @@ FROM events WHERE event_id % 20 = 0
 """
 
 
+# -- q28b: last_non_null merge mode -----------------------------------------------------
+
+def q28b_catalog_lastnonnull(spark: SparkSession, sf: str) -> DataFrame:
+    """Second write nulls the value for odd event_ids and doubles it for even
+    ones; LastNonNull must keep the ORIGINAL value where the overwrite is null
+    (reference LastNonNull reader, src/mito2/src/read/dedup.rs)."""
+    from greptimedb_spark.catalog import Catalog, TableMeta
+
+    e = read(spark, sf, "events").select("event_id", "ts", "value")
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_cat2")
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    cat = Catalog(spark, base)
+    cat.create_table(
+        TableMeta(name="ev", time_index="ts", tags=["event_id"], merge_mode="last_non_null")
+    )
+    cat.insert("ev", e)
+    cat.insert(
+        "ev",
+        e.withColumn(
+            "value",
+            F.when(F.col("event_id") % 2 == 0, F.col("value") * 2),
+        ),
+    )
+    merged = cat.read("ev")
+    return merged.select(
+        "event_id", F.round("value", 4).alias("value")
+    ).filter(F.col("event_id") % 5 == 0)
+
+
+Q28B_SQL = """
+SELECT event_id,
+       ROUND(CASE WHEN event_id % 2 = 0 THEN value * 2 ELSE value END, 4) AS value
+FROM events WHERE event_id % 5 = 0
+"""
+
+
 # -- q29: TABLESAMPLE (seeded; sampling differs per engine → rows-only) ----------------
 
 def q29_tablesample(spark: SparkSession, sf: str) -> DataFrame:
@@ -209,6 +247,7 @@ QUERIES = {
     "q18_collect_aggs": QuerySpec(q18_collect_aggs, Q18_SQL, "array/string/bit/bool aggs"),
     "q19_date_battery": QuerySpec(q19_date_battery, Q19_SQL, "date/time function battery"),
     "q28_catalog_merge": QuerySpec(q28_catalog_merge, Q28_SQL, "last-row upsert merge view"),
+    "q28b_catalog_lastnonnull": QuerySpec(q28b_catalog_lastnonnull, Q28B_SQL, "last-non-null merge view"),
     "q29_tablesample": QuerySpec(q29_tablesample, None, "TABLESAMPLE (rows-only)"),
     "q44_vec_agg": QuerySpec(q44_vec_agg, Q44_SQL, "elementwise vector sum aggregate"),
 }

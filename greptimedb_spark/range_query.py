@@ -202,9 +202,15 @@ _RANGE_RE = re.compile(
 def parse_range_sql(sql: str) -> dict:
     """Parse the supported RANGE statement shape into its parts.
 
-    Supported: SELECT <ts>, <by...>, agg(expr) RANGE 'r' [FILL f] [AS alias], ...
+    Supported: SELECT <ts>, <by...>, <scalar expr over agg(expr) RANGE 'r'
+               [FILL f] terms> [AS alias], ...
                FROM <table> [WHERE ...] ALIGN 'a' [TO '...'] [BY (cols)] [FILL f]
                [ORDER BY ...] [LIMIT n]
+
+    Arbitrary scalar arithmetic AROUND range aggregates (reference
+    calculate.sql, e.g. ``max(val) RANGE '10s' * 4 + 1``) is handled by
+    substituting each range-agg term with an internal alias and keeping the
+    surrounding expression as a post-projection.
     """
     s = sql.strip().rstrip(";")
     m_align = re.search(
@@ -215,26 +221,42 @@ def parse_range_sql(sql: str) -> dict:
     )
     if not m_align:
         raise ValueError("not a RANGE query (missing ALIGN)")
-    aggs = []
-    for i, m in enumerate(_RANGE_RE.finditer(s)):
-        trailing = s[m.end():]
-        alias_m = re.match(r"\s+AS\s+(\w+)", trailing, re.IGNORECASE)
-        alias = alias_m.group(1) if alias_m else f"agg_{i}"
-        aggs.append(
-            RangeAgg(
-                expr=m.group("agg"),
-                alias=alias,
-                range_ms=parse_duration_ms(m.group("range")),
-                fill=m.group("fill"),
-            )
-        )
     m_from = re.search(r"FROM\s+(\w+)", s, re.IGNORECASE)
     m_where = re.search(r"WHERE\s+(.*?)\s+ALIGN", s, re.IGNORECASE | re.DOTALL)
+    m_select = re.search(r"SELECT\s+(.*?)\s+FROM\s", s, re.IGNORECASE | re.DOTALL)
+
+    aggs: list[RangeAgg] = []
+    items: list[tuple[str, str]] = []  # (post-substitution expr, output alias)
+    select_list = _split_top_level(m_select.group(1)) if m_select else []
+    for idx, item in enumerate(select_list):
+        item = item.strip()
+        alias_m = re.search(r"\s+AS\s+(\w+)\s*$", item, re.IGNORECASE)
+        out_alias = alias_m.group(1) if alias_m else None
+        body = item[: alias_m.start()] if alias_m else item
+
+        def sub(m: re.Match, idx=idx) -> str:
+            internal = f"__r{len(aggs)}"
+            aggs.append(
+                RangeAgg(
+                    expr=m.group("agg"),
+                    alias=internal,
+                    range_ms=parse_duration_ms(m.group("range")),
+                    fill=m.group("fill"),
+                )
+            )
+            return internal
+
+        new_body = _RANGE_RE.sub(sub, body)
+        if new_body != body:
+            items.append((new_body.strip(), out_alias or f"agg_{idx}"))
+        # plain columns (ts, by cols) are re-emitted by range_select itself
+
     by = None
     if m_align.group("by"):
         by = [c.strip() for c in m_align.group("by").split(",")]
     return {
         "aggs": aggs,
+        "items": items,
         "table": m_from.group(1),
         "where": m_where.group(1) if m_where else None,
         "align": m_align.group("align"),
@@ -244,18 +266,41 @@ def parse_range_sql(sql: str) -> dict:
     }
 
 
+def _split_top_level(text: str) -> list[str]:
+    """Split a select list on commas not nested in parens/quotes."""
+    out, depth, cur, q = [], 0, "", None
+    for ch in text:
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(cur)
+            cur = ""
+            continue
+        cur += ch
+    if cur.strip():
+        out.append(cur)
+    return out
+
+
 def range_sql(spark, sql: str, time_index: str = "ts", df: DataFrame | None = None) -> DataFrame:
     """Run a RANGE-extension SQL statement (see parse_range_sql for the shape)."""
     parts = parse_range_sql(sql)
     base = df if df is not None else spark.table(parts["table"])
     if parts["where"]:
         base = base.filter(F.expr(parts["where"]))
-    by = parts["by"]
-    if by is None:
-        # default BY = all non-time, non-aggregated columns mentioned in SELECT
-        # before the first range agg (reference defaults BY to the primary key;
-        # our tables carry no meta here so the caller should pass BY explicitly)
-        by = []
-    return range_select(
+    by = parts["by"] or []
+    out = range_select(
         base, time_index, parts["aggs"], parts["align"], by, parts["to"], parts["fill"]
     )
+    # post-projection: scalar arithmetic around the range aggregates
+    projs = [F.col(time_index), *[F.col(c) for c in by]]
+    for expr_text, alias in parts["items"]:
+        projs.append(F.expr(expr_text).alias(alias))
+    return out.select(*projs)

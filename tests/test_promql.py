@@ -294,3 +294,20 @@ def test_histogram_quantile(engine):
     rows = df.collect()
     assert len(rows) == 1
     assert abs(rows[0].value - 0.4) < 1e-9
+
+
+def test_double_exponential_smoothing(engine):
+    # reference loop replicated in python over the g1 window (240s,300s]:
+    # samples 255..300 → vals 17,18,19,20; sf=0.5, tf=0.3
+    vals = [17.0, 18.0, 19.0, 20.0]
+    s0, b = vals[0], vals[1] - vals[0]
+    for i in range(1, len(vals)):
+        s1 = 0.5 * vals[i] + 0.5 * (s0 + b)
+        b = 0.3 * (s1 - s0) + 0.7 * b
+        s0 = s1
+    df = engine.evaluate(
+        'double_exponential_smoothing(node_gauge{inst="g1"}[1m], 0.5, 0.3)',
+        300_000, 300_000, 60_000,
+    )
+    got = list(_vals(df).values())[0]
+    assert abs(got - s0) < 1e-9

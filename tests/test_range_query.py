@@ -148,3 +148,29 @@ def test_multi_range_multi_fill(host_df):
     # fill.result lines 57-73: FILL on one column doesn't affect the other
     assert got[("host1", 5)] == (None, 6)
     assert got[("host1", 0)] == (0, 0)
+
+
+def test_range_arithmetic_composition(spark, host_df):
+    # calculate.result shape: scalar arithmetic around the range aggregate
+    host_df.createOrReplaceTempView("host")
+    out = range_sql(
+        spark,
+        "SELECT ts, host, max(val) RANGE '10s' * 4 + 1 AS v FROM host ALIGN '5s' BY (host)",
+    )
+    got = {(r.host, int(r.ts.timestamp())): r.v for r in out.collect()}
+    assert got[("host1", -5)] == 1
+    assert got[("host1", 5)] == 5
+    assert got[("host1", 15)] == 9
+    assert got[("host2", 20)] == 21
+
+
+def test_range_two_aggs_in_one_expr(spark, host_df):
+    host_df.createOrReplaceTempView("host")
+    out = range_sql(
+        spark,
+        "SELECT ts, host, max(val) RANGE '5s' - min(val) RANGE '5s' AS d, "
+        "min(val) RANGE '5s' FILL 0 AS m FROM host ALIGN '5s' BY (host)",
+    )
+    got = {(r.host, int(r.ts.timestamp())): (r.d, r.m) for r in out.collect()}
+    assert got[("host1", 0)] == (0, 0)
+    assert got[("host1", 5)] == (None, 0)  # null agg propagates through arithmetic
