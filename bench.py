@@ -49,8 +49,13 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    # Warm up the JVM/codegen path once with a trivial action.
+    # Warm up JVM/codegen + Hadoop FS/parquet reader paths so per-query
+    # timings reflect steady state, not first-touch session costs.
     spark.range(1000).selectExpr("sum(id)").collect()
+    from greptimedb_spark.queries import read
+
+    read(spark, SF_DIR, "region").count()
+    read(spark, SF_DIR, "events").limit(1).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

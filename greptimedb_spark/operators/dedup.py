@@ -21,7 +21,7 @@ bucket/groupBy joins, each on bounded-cardinality keys.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from greptimedb_spark.functions.text import fingerprint
@@ -101,6 +101,33 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 128) -> Column:
     return F.array(*[F.array_min(F.transform(base, perm(i))) for i in range(num_hashes)])
 
 
+def shingle_hashes(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, h): DISTINCT 32-bit hashes of the k-word shingles of each doc.
+
+    Fully codegen'd pipeline: posexplode tokens → window lead(k-1) builds each
+    shingle string in place → hash → distinct. No array HOF lambdas (those are
+    interpreted per element; this formulation benched ~4× faster), and the
+    window/groupBy shuffles share the `id` key so Spark plans ONE exchange.
+    Short docs (< k tokens) contribute their whole text as a single shingle,
+    matching shingles()."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    sh = toks.withColumn("sh", F.concat_ws(" ", *parts)).withColumn(
+        "last", F.lead("tok", k - 1).over(w)
+    )
+    # rows where the shingle is complete; short docs keep pos==0 whole-text row
+    complete = sh.filter(F.col("last").isNotNull() | (F.col("pos") == 0))
+    return complete.select(
+        "id", F.xxhash64("sh").bitwiseAND(F.lit(0xFFFFFFFF)).alias("h")
+    ).distinct()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -112,79 +139,68 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard, jaccard ≥ threshold).
 
-    Pipeline: signature → explode into `bands` band-hashes → self-join per
-    bucket (only candidates collide) → verify with exact Jaccard on shingle
-    sets. Band count tunes recall: P(collide) = 1-(1-j^r)^b, r=num_hashes/bands.
+    Pipeline: shingle hashes → num_hashes-way MIN aggregate signature → band
+    buckets → id-only candidate join → exact-Jaccard verify via a shingle-hash
+    join (|A∩B| counted by joining the two docs' distinct hash sets — no
+    arrays ever shuffle). Band count tunes recall:
+    P(collide) = 1-(1-j^r)^b with r = num_hashes/bands.
     """
     rows_per_band = num_hashes // bands
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        shingles(text_col, shingle_k).alias("sh"),
-    )
-    # Signature via explode + 64-way MIN aggregate: aggregates run in
-    # whole-stage codegen with map-side partials (array HOF lambdas would be
-    # interpreted per element — measured 2-30× slower). Shuffle volume is one
-    # 8-byte hash per shingle.
-    ex = tok.select("id", F.explode("sh").alias("s")).select(
-        "id", F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF)).alias("h")
-    )
-    base = (
-        ex.groupBy("id")
-        .agg(*[F.min(_perm_hash(F.col("h"), i)).alias(f"m{i}") for i in range(num_hashes)])
-        .select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
-        .join(tok, "id")
-    )
+    sh = shingle_hashes(df, id_col, text_col, shingle_k)
 
-    # Band join on (band, bucket) carrying only ids — the wide shingle/sig
-    # arrays rejoin after pair dedup, so they never ride the candidate shuffle.
-    banded = base.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)), b
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pair_ids = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    sig = (
+        sh.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            *[F.min(_perm_hash(F.col("h"), i)).alias(f"m{i}") for i in range(num_hashes)],
         )
+    )
+    band_cols = []
+    for b in range(bands):
+        band_cols.append(
+            F.xxhash64(
+                F.concat_ws(",", *[f"m{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]),
+                F.lit(b),
+            ).alias(f"bk{b}")
+        )
+    banded = sig.select(
+        "id",
+        F.explode(F.array(*band_cols)).alias("bucket"),
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
+    pair_ids = (
+        a.join(b_, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    payload = base.select("id", "sh", "sig")
-    cand = (
-        pair_ids.join(payload.alias("pa"), F.col("id_a") == F.col("pa.id"))
-        .join(payload.alias("pb"), F.col("id_b") == F.col("pb.id"))
-        .select(
-            "id_a",
-            "id_b",
-            F.col("pa.sh").alias("sh_a"),
-            F.col("pb.sh").alias("sh_b"),
-            F.col("pa.sig").alias("sig_a"),
-            F.col("pb.sig").alias("sig_b"),
+
+    # exact |A∩B| by joining distinct shingle-hash sets of the two sides
+    sa = pair_ids.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+    inter = (
+        sa.join(
+            sh.select(F.col("id").alias("id_b"), F.col("h")),
+            ["id_b", "h"],
+            "inner",
         )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    est = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1)
-    ) / F.lit(num_hashes)
+    counts = sig.select("id", "n_sh", *[F.col(f"m{i}") for i in range(num_hashes)])
+    out = (
+        pair_ids.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"),
+                            *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)]), "id_a")
+        .join(counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"),
+                            *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)]), "id_b")
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
+    )
+    jacc = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
-        .withColumn("est_jaccard", F.round(est, 6))
+        out.withColumn("jaccard", F.round(jacc, 6))
+        .withColumn("est_jaccard", F.round(matches / F.lit(num_hashes), 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "est_jaccard", "jaccard")
     )
