@@ -148,25 +148,22 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sh = shingle_hashes(df, id_col, text_col, shingle_k)
 
-    sig = (
-        sh.groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sh"),
-            *[F.min(_perm_hash(F.col("h"), i)).alias(f"m{i}") for i in range(num_hashes)],
-        )
+    # One grouped pass produces everything per doc: shingle count, the full
+    # hash set (for exact verify), and the minhash signature. Downstream
+    # branches share the same shuffle (ReusedExchange).
+    per_doc = sh.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.collect_list("h").alias("hs"),
+        F.array(*[F.min(_perm_hash(F.col("h"), i)) for i in range(num_hashes)]).alias("sig"),
     )
-    band_cols = []
-    for b in range(bands):
-        band_cols.append(
-            F.xxhash64(
-                F.concat_ws(",", *[f"m{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]),
-                F.lit(b),
-            ).alias(f"bk{b}")
+    band_cols = [
+        F.xxhash64(
+            F.concat_ws(",", *[F.element_at("sig", i + 1) for i in range(b * rows_per_band, (b + 1) * rows_per_band)]),
+            F.lit(b),
         )
-    banded = sig.select(
-        "id",
-        F.explode(F.array(*band_cols)).alias("bucket"),
-    )
+        for b in range(bands)
+    ]
+    banded = per_doc.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
     a, b_ = banded.alias("a"), banded.alias("b")
     pair_ids = (
         a.join(b_, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
@@ -174,30 +171,18 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # exact |A∩B| by joining distinct shingle-hash sets of the two sides
-    sa = pair_ids.join(sh.withColumnRenamed("id", "id_a"), "id_a")
-    inter = (
-        sa.join(
-            sh.select(F.col("id").alias("id_b"), F.col("h")),
-            ["id_b", "h"],
-            "inner",
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    counts = sig.select("id", "n_sh", *[F.col(f"m{i}") for i in range(num_hashes)])
+    # verify on candidates only: arrays join in, HOFs run on the few pairs
     out = (
-        pair_ids.join(inter, ["id_a", "id_b"], "left")
-        .na.fill({"n_inter": 0})
-        .join(counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"),
-                            *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)]), "id_a")
-        .join(counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"),
-                            *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)]), "id_b")
+        pair_ids.join(per_doc.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"),
+                                     F.col("hs").alias("hs_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(per_doc.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"),
+                             F.col("hs").alias("hs_b"), F.col("sig").alias("sig_b")), "id_b")
     )
-    matches = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
+    n_inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1)
     )
-    jacc = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    jacc = n_inter / (F.col("na") + F.col("nb") - n_inter)
     return (
         out.withColumn("jaccard", F.round(jacc, 6))
         .withColumn("est_jaccard", F.round(matches / F.lit(num_hashes), 6))
