@@ -124,6 +124,17 @@ class Catalog:
             df = df.filter(F.col(meta.time_index) > now - F.expr(f"INTERVAL {meta.ttl}"))
         return df
 
+    def read_series(self, name: str, raw: bool = False) -> DataFrame:
+        """Per-series scan (reference SeriesScan, src/mito2/src/read/scan_region.rs:389):
+        rows of one series are co-located in a partition and ordered by
+        (tags, time) — the layout PromQL-style per-series operators want.
+        Costs one hash repartition on the tags plus an in-partition sort."""
+        meta = self.meta(name)
+        df = self.read(name, raw=raw)
+        return df.repartition(*[F.col(t) for t in meta.tags]).sortWithinPartitions(
+            *meta.tags, meta.time_index
+        )
+
     def compact(self, name: str) -> None:
         """Rewrite the table as its dedup view (TWCS-compaction analog).
 

@@ -77,3 +77,17 @@ def test_ttl(cat, spark):
     cat.insert(meta.name, spark.createDataFrame(_mk_rows()[0], SCHEMA))
     assert cat.read(meta.name).count() == 0  # 2024 data long expired
     assert cat.read(meta.name, at="2024-01-01 00:30:00").count() == 3
+
+
+def test_read_series_ordering(cat, spark):
+    name = _write(cat, spark, "last_row")
+    df = cat.read_series(name)
+
+    def check_sorted(it):
+        rows = list(it)
+        keys = [(r.sensor_id, r.ts) for r in rows]
+        assert keys == sorted(keys)
+        yield from []
+
+    df.rdd.mapPartitions(lambda it: check_sorted(it)).count()  # raises if unsorted
+    assert df.count() == 3

@@ -223,3 +223,35 @@ def test_multimodal_frame_sampling(spark, sf_dir):
     assert all(f.offset_ms == f.frame_idx * 1000 for f in frames)
     assert all(len(f.frame_bytes) <= 16 for f in frames)
     assert len(frames) >= 10
+
+
+def test_flow_session_window(spark, tmp_path):
+    """Session windows — Spark-native bonus beyond the reference's tumble-only
+    flow engine (SURVEY §2.11)."""
+    from greptimedb_spark.streaming import FlowEngine
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    # two activity bursts for user a separated by > 5m gap
+    rows = [(t * 1000, "a", 1.0) for t in [0, 30, 60]] + \
+           [(t * 1000, "a", 1.0) for t in [1000, 1030]] + \
+           [(3600_000, "z", 1.0)]  # watermark pusher
+    spark.createDataFrame(rows, "t long, k string, v double").selectExpr(
+        "timestamp_millis(t) AS ts", "k", "v"
+    ).write.mode("append").parquet(src)
+
+    eng = FlowEngine(spark, str(tmp_path / "flows3"))
+
+    def transform(stream):
+        return (
+            stream.withWatermark("ts", "1 minute")
+            .groupBy(F.session_window("ts", "5 minutes").alias("w"), "k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("session_start"), "k", "n")
+        )
+
+    eng.create_flow("sessions", src, "ts timestamp, k string, v double", transform)
+    eng.flush_flow("sessions")
+    got = {(r.k, int(r.session_start.timestamp())): r.n for r in eng.read_sink("sessions").collect()}
+    assert got[("a", 0)] == 3
+    assert got[("a", 1000)] == 2

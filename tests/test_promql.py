@@ -311,3 +311,10 @@ def test_double_exponential_smoothing(engine):
     )
     got = list(_vals(df).values())[0]
     assert abs(got - s0) < 1e-9
+
+
+def test_offset_modifier(engine):
+    # value at t with offset 1m == plain value at t-1m (i1: +10 per 15s)
+    plain = _vals(engine.evaluate('http_requests_total{instance="i1"}', 240_000, 240_000, 60_000))
+    off = _vals(engine.evaluate('http_requests_total{instance="i1"} offset 1m', 300_000, 300_000, 60_000))
+    assert list(plain.values())[0] == list(off.values())[0]
