@@ -64,9 +64,31 @@ def main() -> None:
         build(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # ingest-path benchmark (BASELINE.md headline is TSBS ingest rows/s):
+    # write the events table through the catalog's partitioned insert path.
+    import shutil
+    import tempfile
+
+    from greptimedb_spark.catalog import Catalog, TableMeta
+    from greptimedb_spark.queries import read
+
+    ingest_dir = os.path.join(tempfile.gettempdir(), "spark_graft_bench_ingest")
+    shutil.rmtree(ingest_dir, ignore_errors=True)
+    cat = Catalog(spark, ingest_dir)
+    cat.create_table(TableMeta(name="ev", time_index="ts", tags=["user_id"]))
+    ev = read(spark, SF_DIR, "events")
+    n_rows = ev.count()
+    t0 = time.time()
+    cat.insert("ev", ev)
+    dt = time.time() - t0
+    timings["ingest_catalog"] = round(dt, 3)
+    timings["ingest_rows_per_sec"] = round(n_rows / dt, 1)
+    shutil.rmtree(ingest_dir, ignore_errors=True)
+
+    total = sum(v for k, v in timings.items() if k != "ingest_rows_per_sec")
     out = {
         "metric": "headline_queries_total_time",
-        "value": round(sum(timings.values()), 3),
+        "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

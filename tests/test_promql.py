@@ -318,3 +318,15 @@ def test_offset_modifier(engine):
     plain = _vals(engine.evaluate('http_requests_total{instance="i1"}', 240_000, 240_000, 60_000))
     off = _vals(engine.evaluate('http_requests_total{instance="i1"} offset 1m', 300_000, 300_000, 60_000))
     assert list(plain.values())[0] == list(off.values())[0]
+
+
+def test_count_values(engine):
+    df = engine.evaluate('count_values("v", http_requests_total)', 300_000, 300_000, 60_000)
+    got = {r["v"]: r.value for r in df.collect()}
+    assert got == {"200.0": 1.0, "60.0": 1.0}
+
+
+def test_agg_without(engine):
+    df = engine.evaluate("sum without (instance) (http_requests_total)", 300_000, 300_000, 60_000)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].job == "api" and rows[0].value == 260.0

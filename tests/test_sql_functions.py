@@ -139,3 +139,13 @@ def test_geo_path(spark):
 def test_h3_stub():
     with pytest.raises(NotImplementedError):
         G.h3_latlng_to_cell(0, 0, 7)
+
+
+def test_vec_avg_agg(spark):
+    from greptimedb_spark.functions.vector import vec_avg_agg
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [3.0, 6.0])], "k long, v array<double>"
+    )
+    out = df.groupBy("k").agg(vec_avg_agg("v").alias("a")).collect()[0]
+    assert out.a == [2.0, 4.0]
