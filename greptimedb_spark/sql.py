@@ -66,19 +66,159 @@ def _parse_time_arg(arg: str) -> int:
     return int(d.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
 
 
+_TYPE_MAP = {
+    # greptime type → spark type (SURVEY.md §1.2)
+    "tinyint": "tinyint", "int8": "tinyint", "smallint": "smallint", "int16": "smallint",
+    "int": "int", "int32": "int", "integer": "int", "bigint": "bigint", "int64": "bigint",
+    "uint8": "smallint", "uint16": "int", "uint32": "bigint", "uint64": "decimal(20,0)",
+    "float": "float", "float32": "float", "double": "double", "float64": "double",
+    "string": "string", "binary": "binary", "boolean": "boolean", "bool": "boolean",
+    "date": "date", "datetime": "timestamp",
+}
+
+
+def _map_type(t: str) -> str:
+    t = t.strip().lower()
+    m = re.match(r"timestamp(?:\((\d)\))?", t)
+    if m:
+        return "timestamp"
+    if t.startswith("decimal"):
+        return t
+    if t.startswith("vector"):
+        return "array<float>"
+    return _TYPE_MAP.get(t, t)
+
+
 class GreptimeSQL:
-    """Session facade: spark.sql + dialect rewrites + PromQL metric registry."""
+    """Session facade: spark.sql + dialect rewrites + PromQL metric registry.
+
+    With a Catalog attached, GreptimeDB DDL/DML runs too — so the reference's
+    own sqlness scripts work end-to-end:
+
+        CREATE TABLE host (ts timestamp(3) time index, host STRING PRIMARY KEY,
+                           val BIGINT) [WITH (append_mode='true', ttl='7d', ...)]
+        INSERT INTO [TABLE] host VALUES (0, 'host1', 0), ...
+        DROP TABLE host
+        SELECT ts, host, min(val) RANGE '5s' FROM host ALIGN '5s' ...
+
+    Tables read back as their merged logical view (upsert semantics) under
+    their own name in the Spark catalog.
+    """
 
     def __init__(self, spark: SparkSession, promql_tables: dict | None = None,
-                 lookback_ms: int = 300_000):
+                 lookback_ms: int = 300_000, catalog=None):
         self.spark = spark
         self.promql_tables = promql_tables or {}
         self.lookback_ms = lookback_ms
+        self.catalog = catalog
 
     def register_metric(self, name: str, table) -> None:
         self.promql_tables[name] = table
 
+    # -- DDL/DML ----------------------------------------------------------
+
+    _CREATE_RE = re.compile(
+        r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*"
+        r"(?:WITH\s*\((.*)\))?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _INSERT_RE = re.compile(
+        r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DROP_RE = re.compile(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE)
+
+    def _ddl(self, text: str):
+        if self.catalog is None:
+            return None
+        from greptimedb_spark.catalog import TableMeta
+
+        m = self._CREATE_RE.match(text.strip().rstrip(";"))
+        if m:
+            name, cols_text, with_text = m.groups()
+            cols, tags, time_index = [], [], None
+            for item in _split_columns(cols_text):
+                item = item.strip()
+                if not item:
+                    continue
+                pk_inline = re.match(r"PRIMARY\s+KEY\s*\(([^)]*)\)", item, re.IGNORECASE)
+                if pk_inline:
+                    tags.extend(c.strip() for c in pk_inline.group(1).split(","))
+                    continue
+                cm = re.match(r"(\w+)\s+([\w()]+)(.*)", item, re.DOTALL)
+                col, typ, rest = cm.group(1), cm.group(2), cm.group(3) or ""
+                cols.append((col, _map_type(typ)))
+                if re.search(r"TIME\s+INDEX", rest, re.IGNORECASE):
+                    time_index = col
+                if re.search(r"PRIMARY\s+KEY", rest, re.IGNORECASE):
+                    tags.append(col)
+            opts = {}
+            if with_text:
+                for kv in with_text.split(","):
+                    if "=" in kv:
+                        k, v = kv.split("=", 1)
+                        opts[k.strip().strip("'\"")] = v.strip().strip("'\"")
+            meta = TableMeta(
+                name=name,
+                time_index=time_index or cols[0][0],
+                tags=[t for t in tags if t != time_index],
+                merge_mode=opts.get("merge_mode", "last_row"),
+                append_mode=opts.get("append_mode", "false").lower() == "true",
+                ttl=opts.get("ttl"),
+            )
+            self.catalog.create_table(meta, if_not_exists="IF NOT EXISTS" in text.upper())
+            self._schemas = getattr(self, "_schemas", {})
+            self._schemas[name] = cols
+            return self.spark.createDataFrame([], "result string")
+        m = self._INSERT_RE.match(text.strip().rstrip(";"))
+        if m:
+            name, col_list, values_text = m.groups()
+            cols = self._schemas[name]
+            if col_list:
+                order = [c.strip() for c in col_list.split(",")]
+                cols = [next(c for c in cols if c[0] == o) for o in order]
+            schema = ", ".join(f"{c} {t}" for c, t in cols)
+            # evaluate the VALUES rows with Spark itself (handles literals,
+            # strings, nulls, ISO timestamps the same way the reference does)
+            meta = self.catalog.meta(name)
+            sel = ", ".join(
+                f"CAST(col{i + 1} AS {t}) AS {c}" if t != "timestamp"
+                else f"CAST(CAST(col{i + 1} AS STRING) AS TIMESTAMP) AS {c}"
+                for i, (c, t) in enumerate(cols)
+            )
+            df = self.spark.sql(f"SELECT * FROM VALUES {values_text}").toDF(
+                *[f"col{i + 1}" for i in range(len(cols))]
+            ).selectExpr(*[s for s in sel.split(", ")])
+            # greptime accepts integer-ms timestamp literals
+            ti = meta.time_index
+            if dict(cols).get(ti) == "timestamp":
+                raw = self.spark.sql(f"SELECT * FROM VALUES {values_text}").toDF(
+                    *[f"col{i + 1}" for i in range(len(cols))]
+                )
+                idx = [c for c, _ in cols].index(ti)
+                raw_col = f"col{idx + 1}"
+                if dict(raw.dtypes)[raw_col] in ("bigint", "int"):
+                    exprs = []
+                    for i, (c, t) in enumerate(cols):
+                        if c == ti:
+                            exprs.append(f"timestamp_millis(CAST(col{i + 1} AS BIGINT)) AS {c}")
+                        else:
+                            exprs.append(f"CAST(col{i + 1} AS {t}) AS {c}")
+                    df = raw.selectExpr(*exprs)
+            self.catalog.insert(name, df)
+            self.catalog.read(name).createOrReplaceTempView(name)
+            return self.spark.createDataFrame([], "result string")
+        m = self._DROP_RE.match(text.strip().rstrip(";"))
+        if m:
+            self.catalog.drop_table(m.group(1))
+            self.spark.catalog.dropTempView(m.group(1))
+            return self.spark.createDataFrame([], "result string")
+        return None
+
     def sql(self, text: str, time_index: str = "ts") -> DataFrame:
+        ddl = self._ddl(text)
+        if ddl is not None:
+            return ddl
         m = _TQL_RE.match(text)
         if m:
             from greptimedb_spark.promql import PromQLEngine
@@ -99,6 +239,23 @@ class GreptimeSQL:
 
             return range_sql(self.spark, text, time_index=time_index)
         return self.spark.sql(text)
+
+
+def _split_columns(text: str) -> list[str]:
+    out, depth, cur = [], 0, ""
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(cur)
+            cur = ""
+            continue
+        cur += ch
+    if cur.strip():
+        out.append(cur)
+    return out
 
 
 def _parse_step(step: str) -> int:

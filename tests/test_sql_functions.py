@@ -149,3 +149,44 @@ def test_vec_avg_agg(spark):
     )
     out = df.groupBy("k").agg(vec_avg_agg("v").alias("a")).collect()[0]
     assert out.a == [2.0, 4.0]
+
+
+def test_sqlness_script_end_to_end(spark, tmp_path):
+    """The reference's own fill.sql case (tests/cases/standalone/common/range/
+    fill.sql) runs verbatim through GreptimeSQL: CREATE/INSERT/RANGE/DROP."""
+    from greptimedb_spark.catalog import Catalog
+
+    g = GreptimeSQL(spark, catalog=Catalog(spark, str(tmp_path / "gcat")))
+    g.sql("""CREATE TABLE host (
+      ts timestamp(3) time index,
+      host STRING PRIMARY KEY,
+      val BIGINT,
+    )""")
+    g.sql("""INSERT INTO TABLE host VALUES
+        (0,     'host1', 0), (5000,  'host1', null), (10000, 'host1', 1),
+        (15000, 'host1', null), (20000, 'host1', 2),
+        (0,     'host2', 3), (5000,  'host2', null), (10000, 'host2', 4),
+        (15000, 'host2', null), (20000, 'host2', 5)""")
+    out = g.sql(
+        "SELECT ts, host, min(val) RANGE '5s' FILL PREV AS m FROM host ALIGN '5s' BY (host)"
+    )
+    got = {(r.host, int(r.ts.timestamp())): r.m for r in out.collect()}
+    # fill.result lines 75-90
+    assert got[("host1", 5)] == 0 and got[("host1", 15)] == 1
+    assert got[("host2", 5)] == 3 and got[("host2", 15)] == 4
+    # plain SQL over the merged view works too
+    n = g.sql("SELECT count(*) AS n FROM host").collect()[0].n
+    assert n == 10
+    g.sql("DROP TABLE host")
+
+
+def test_sqlness_upsert_semantics(spark, tmp_path):
+    from greptimedb_spark.catalog import Catalog
+
+    g = GreptimeSQL(spark, catalog=Catalog(spark, str(tmp_path / "gcat2")))
+    g.sql("CREATE TABLE m (ts timestamp(3) time index, k STRING PRIMARY KEY, v BIGINT)")
+    g.sql("INSERT INTO m VALUES (1000, 'a', 1)")
+    g.sql("INSERT INTO m VALUES (1000, 'a', 99)")  # same (pk, ts) → overwrite
+    rows = g.sql("SELECT * FROM m").collect()
+    assert len(rows) == 1 and rows[0].v == 99
+    g.sql("DROP TABLE m")
