@@ -82,8 +82,13 @@ def range_select(
     to: str | int | None = None,
     fill: str | None = None,
 ) -> DataFrame:
-    """Execute a RANGE query over ``df``; returns (ts, *by, *agg aliases)."""
-    by = list(by or [])
+    """Execute a RANGE query over ``df``; returns (ts, *by, *agg aliases).
+
+    ``by`` items may be column names OR SQL expressions (reference by.sql
+    allows ``BY (length(host))`` and constant ``BY (2)`` = one global group).
+    """
+    by_specs = _normalize_by(by)
+    by = [a for _, a in by_specs]
     align_ms = parse_duration_ms(align)
     to_ms = _origin_ms(to)
     for a in aggs:
@@ -117,6 +122,9 @@ def range_select(
     for r_ms in distinct_ranges:
         sub = [a for a in aggs if a.range_ms == r_ms]
         exploded = df.withColumn("__step", F.explode(steps_for(r_ms)))
+        for expr_text, alias in by_specs:
+            if expr_text != alias:
+                exploded = exploded.withColumn(alias, F.expr(expr_text))
         agged = exploded.groupBy("__step", *by).agg(
             *[F.expr(a.expr).alias(a.alias) for a in sub]
         )
@@ -158,6 +166,17 @@ def range_select(
     return out.select(
         F.timestamp_millis(F.col("__step")).alias(time_index), *by, *[a.alias for a in aggs]
     )
+
+
+def _normalize_by(by) -> list[tuple[str, str]]:
+    """(expr_text, output alias) per BY item; non-identifier expressions get
+    generated aliases."""
+    specs = []
+    for i, b in enumerate(by or []):
+        b = str(b).strip()
+        alias = b if re.fullmatch(r"\w+", b) and not b.isdigit() else f"__by{i}"
+        specs.append((b, alias))
+    return specs
 
 
 def _origin_ms(to: str | int | None) -> int:
@@ -214,13 +233,26 @@ def parse_range_sql(sql: str) -> dict:
     """
     s = sql.strip().rstrip(";")
     m_align = re.search(
-        r"ALIGN\s+'(?P<align>[^']+)'(?:\s+TO\s+(?P<to>'[^']*'|\S+))?"
-        r"(?:\s+BY\s*\((?P<by>[^)]*)\))?(?:\s+FILL\s+(?P<fill>\S+))?",
+        r"ALIGN\s+'(?P<align>[^']+)'(?:\s+TO\s+(?P<to>'[^']*'|\S+))?",
         s,
         re.IGNORECASE,
     )
     if not m_align:
         raise ValueError("not a RANGE query (missing ALIGN)")
+    # BY (...) needs balanced-paren extraction (BY (length(host)) is legal)
+    by_text = None
+    m_by = re.search(r"\bBY\s*\(", s[m_align.end():], re.IGNORECASE)
+    if m_by:
+        start = m_align.end() + m_by.end()
+        depth, i = 1, start
+        while i < len(s) and depth:
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+            i += 1
+        by_text = s[start:i - 1]
+    m_fill = re.search(r"\bFILL\s+(\S+)\s*(?:ORDER|LIMIT|$)", s[m_align.end():], re.IGNORECASE)
     m_from = re.search(r"FROM\s+(\w+)", s, re.IGNORECASE)
     m_where = re.search(r"WHERE\s+(.*?)\s+ALIGN", s, re.IGNORECASE | re.DOTALL)
     m_select = re.search(r"SELECT\s+(.*?)\s+FROM\s", s, re.IGNORECASE | re.DOTALL)
@@ -251,9 +283,7 @@ def parse_range_sql(sql: str) -> dict:
             items.append((new_body.strip(), out_alias or f"agg_{idx}"))
         # plain columns (ts, by cols) are re-emitted by range_select itself
 
-    by = None
-    if m_align.group("by"):
-        by = [c.strip() for c in m_align.group("by").split(",")]
+    by = _split_top_level(by_text) if by_text is not None else None
     return {
         "aggs": aggs,
         "items": items,
@@ -262,7 +292,7 @@ def parse_range_sql(sql: str) -> dict:
         "align": m_align.group("align"),
         "to": (m_align.group("to") or "").strip("'\"") or None,
         "by": by,
-        "fill": m_align.group("fill"),
+        "fill": m_fill.group(1) if m_fill else None,
     }
 
 
@@ -300,7 +330,8 @@ def range_sql(spark, sql: str, time_index: str = "ts", df: DataFrame | None = No
         base, time_index, parts["aggs"], parts["align"], by, parts["to"], parts["fill"]
     )
     # post-projection: scalar arithmetic around the range aggregates
-    projs = [F.col(time_index), *[F.col(c) for c in by]]
+    by_aliases = [a for _, a in _normalize_by(by)]
+    projs = [F.col(time_index), *[F.col(c) for c in by_aliases]]
     for expr_text, alias in parts["items"]:
         projs.append(F.expr(expr_text).alias(alias))
     return out.select(*projs)

@@ -190,3 +190,26 @@ def test_sqlness_upsert_semantics(spark, tmp_path):
     rows = g.sql("SELECT * FROM m").collect()
     assert len(rows) == 1 and rows[0].v == 99
     g.sql("DROP TABLE m")
+
+
+def test_sqlness_by_expressions(spark, tmp_path):
+    """Reference by.sql cases: BY (length(host)) and constant BY (2)."""
+    from greptimedb_spark.catalog import Catalog
+
+    g = GreptimeSQL(spark, catalog=Catalog(spark, str(tmp_path / "gcat3")))
+    g.sql("CREATE TABLE host2 (ts timestamp(3) time index, host STRING PRIMARY KEY, val BIGINT)")
+    g.sql("""INSERT INTO TABLE host2 VALUES
+        (0, 'host1', 0), (5000, 'host1', null), (10000, 'host1', 1),
+        (15000, 'host1', null), (20000, 'host1', 2),
+        (0, 'host2', 3), (5000, 'host2', null), (10000, 'host2', 4),
+        (15000, 'host2', null), (20000, 'host2', 5)""")
+    out = g.sql(
+        "SELECT ts, max(val) RANGE '5s' AS m FROM host2 ALIGN '20s' BY (length(host)) ORDER BY ts"
+    ).collect()
+    # by.result lines 24-32: groups collapse to length=5 → 2 rows: 3 then 5
+    assert [(int(r.ts.timestamp()), r.m) for r in sorted(out, key=lambda r: r.ts)] == [(0, 3), (20, 5)]
+    out = g.sql(
+        "SELECT ts, max(val) RANGE '5s' AS m FROM host2 ALIGN '20s' BY (2) ORDER BY ts"
+    ).collect()
+    assert [(int(r.ts.timestamp()), r.m) for r in sorted(out, key=lambda r: r.ts)] == [(0, 3), (20, 5)]
+    g.sql("DROP TABLE host2")
