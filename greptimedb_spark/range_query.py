@@ -133,6 +133,29 @@ def range_select(
     for p in parts[1:]:
         out = out.join(p, ["__step", *by], "full_outer")
 
+    # Grid densification (reference plan.rs:1082-1116): if ANY range expr has
+    # a FILL option (including explicit FILL NULL), every by-group's grid is
+    # densified from its first to its last aligned step; empty slots pad with
+    # the aggregate-of-empty value (0 for count, NULL otherwise) before the
+    # fill strategies run.
+    if any(a.fill is not None for a in aggs):
+        bounds = out.groupBy(*by).agg(
+            F.min("__step").alias("__mn"), F.max("__step").alias("__mx")
+        )
+        grid = bounds.select(
+            *by,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), ((F.col("__mx") - F.col("__mn")) / align_ms).cast("long")),
+                    lambda n: F.col("__mn") + n * F.lit(align_ms),
+                )
+            ).alias("__step"),
+        )
+        out = grid.join(out, ["__step", *by], "left")
+        for a in aggs:
+            if a.expr.strip().lower().startswith("count"):
+                out = out.withColumn(a.alias, F.coalesce(F.col(a.alias), F.lit(0)))
+
     # FILL — per column, over the step-ordered window within each by-group.
     w = Window.partitionBy(*by).orderBy("__step") if by else Window.orderBy("__step")
     for a in aggs:
@@ -258,7 +281,7 @@ def parse_range_sql(sql: str) -> dict:
     m_select = re.search(r"SELECT\s+(.*?)\s+FROM\s", s, re.IGNORECASE | re.DOTALL)
 
     aggs: list[RangeAgg] = []
-    items: list[tuple[str, str]] = []  # (post-substitution expr, output alias)
+    items: list[dict] = []  # one per SELECT item, in order
     select_list = _split_top_level(m_select.group(1)) if m_select else []
     for idx, item in enumerate(select_list):
         item = item.strip()
@@ -279,9 +302,14 @@ def parse_range_sql(sql: str) -> dict:
             return internal
 
         new_body = _RANGE_RE.sub(sub, body)
-        if new_body != body:
-            items.append((new_body.strip(), out_alias or f"agg_{idx}"))
-        # plain columns (ts, by cols) are re-emitted by range_select itself
+        items.append(
+            {
+                "expr": new_body.strip(),
+                "raw": body.strip(),
+                "alias": out_alias or (f"agg_{idx}" if new_body != body else None),
+                "has_range": new_body != body,
+            }
+        )
 
     by = _split_top_level(by_text) if by_text is not None else None
     return {
@@ -319,19 +347,43 @@ def _split_top_level(text: str) -> list[str]:
     return out
 
 
-def range_sql(spark, sql: str, time_index: str = "ts", df: DataFrame | None = None) -> DataFrame:
-    """Run a RANGE-extension SQL statement (see parse_range_sql for the shape)."""
+def range_sql(spark, sql: str, time_index: str = "ts", df: DataFrame | None = None,
+              default_by: list[str] | None = None, tz_offset_ms: int = 0) -> DataFrame:
+    """Run a RANGE-extension SQL statement (see parse_range_sql for the shape).
+
+    ``default_by`` supplies the BY columns when the statement has no BY clause
+    — the reference defaults to the table's primary-key tags
+    (plan_rewrite.rs default_by). ``tz_offset_ms`` shifts the default
+    (TO CALENDAR) origin: the reference aligns to epoch+offset under a session
+    time_zone (verified against range/to.result)."""
     parts = parse_range_sql(sql)
     base = df if df is not None else spark.table(parts["table"])
     if parts["where"]:
         base = base.filter(F.expr(parts["where"]))
-    by = parts["by"] or []
+    by = parts["by"] if parts["by"] is not None else (default_by or [])
+    to = parts["to"]
+    if to is None and tz_offset_ms:
+        to = tz_offset_ms
     out = range_select(
-        base, time_index, parts["aggs"], parts["align"], by, parts["to"], parts["fill"]
+        base, time_index, parts["aggs"], parts["align"], by, to, parts["fill"]
     )
-    # post-projection: scalar arithmetic around the range aggregates
-    by_aliases = [a for _, a in _normalize_by(by)]
-    projs = [F.col(time_index), *[F.col(c) for c in by_aliases]]
-    for expr_text, alias in parts["items"]:
-        projs.append(F.expr(expr_text).alias(alias))
+    # output projection follows the SELECT list (reference keeps only the
+    # selected columns — a constant BY (2) key is grouped on but not emitted)
+    by_specs = _normalize_by(by)
+
+    def norm(t: str) -> str:
+        return " ".join(str(t).split())
+
+    projs = []
+    for it in parts["items"]:
+        if it["has_range"]:
+            projs.append(F.expr(it["expr"]).alias(it["alias"]))
+            continue
+        raw = norm(it["raw"])
+        if raw == time_index:
+            projs.append(F.col(time_index))
+            continue
+        match = next((a for e, a in by_specs if norm(e) == raw), None)
+        col = F.col(match) if match else F.expr(raw)
+        projs.append(col.alias(it["alias"]) if it["alias"] else col)
     return out.select(*projs)

@@ -215,7 +215,13 @@ class GreptimeSQL:
             return self.spark.createDataFrame([], "result string")
         return None
 
+    _SET_TZ_RE = re.compile(r"^\s*SET\s+time_zone\s*=\s*'([^']*)'\s*$", re.IGNORECASE)
+
     def sql(self, text: str, time_index: str = "ts") -> DataFrame:
+        m = self._SET_TZ_RE.match(text.strip().rstrip(";"))
+        if m:
+            self.tz_offset_ms = _tz_offset_ms(m.group(1))
+            return self.spark.createDataFrame([], "result string")
         ddl = self._ddl(text)
         if ddl is not None:
             return ddl
@@ -235,10 +241,37 @@ class GreptimeSQL:
         text = _rewrite_atat(text)
         text = _rewrite_aliases(text)
         if re.search(r"\bALIGN\s+'", text, re.IGNORECASE):
-            from greptimedb_spark.range_query import range_sql
+            from greptimedb_spark.range_query import parse_range_sql, range_sql
 
-            return range_sql(self.spark, text, time_index=time_index)
+            default_by = None
+            if self.catalog is not None:
+                try:
+                    meta = self.catalog.meta(parse_range_sql(text)["table"])
+                    default_by = meta.tags
+                    time_index = meta.time_index
+                except FileNotFoundError:
+                    pass
+            return range_sql(
+                self.spark, text, time_index=time_index, default_by=default_by,
+                tz_offset_ms=getattr(self, "tz_offset_ms", 0),
+            )
         return self.spark.sql(text)
+
+
+def _tz_offset_ms(tz: str) -> int:
+    """'+08:00' / 'Asia/Shanghai' / 'UTC' → offset milliseconds."""
+    tz = tz.strip()
+    m = re.fullmatch(r"([+-])(\d{2}):(\d{2})", tz)
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        return sign * (int(m.group(2)) * 3600 + int(m.group(3)) * 60) * 1000
+    if tz.upper() in ("UTC", "GMT", ""):
+        return 0
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    off = dt.datetime(1970, 1, 1, tzinfo=ZoneInfo(tz)).utcoffset()
+    return int(off.total_seconds() * 1000)
 
 
 def _split_columns(text: str) -> list[str]:
