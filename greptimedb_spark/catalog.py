@@ -154,6 +154,12 @@ class Catalog:
         shutil.rmtree(data_path)
         os.rename(tmp, data_path)
 
+    def list_tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.base_path)
+            if os.path.exists(os.path.join(self.base_path, d, _META_FILE))
+        )
+
     def _table_path(self, name: str) -> str:
         return os.path.join(self.base_path, name)
 

@@ -49,6 +49,7 @@ class MetricTable:
     value_col: str = "value"
     time_index: str = "ts"
     tags: list[str] = field(default_factory=list)
+    fields: list[str] | None = None  # all field columns (for __field__ selection)
 
 
 @dataclass
@@ -115,11 +116,42 @@ class PromQLEngine:
     # -- selectors ----------------------------------------------------------
 
     def _metric_base(self, sel: VectorSelector):
-        mt = self.tables.get(sel.metric)
-        if mt is None:
-            raise ValueError(f"unknown metric {sel.metric!r}")
-        df = mt.df
+        # bare {__name__="m"} selectors name the metric via matcher; the
+        # __schema__/__database__ matchers are single-catalog no-ops here
+        metric = sel.metric
+        matchers = []
+        empty = False
+        field_sel = None
         for m in sel.matchers:
+            if m.name == "__name__" and m.op == "=" and not metric:
+                metric = m.value
+            elif m.name in ("__schema__", "__database__"):
+                # single default schema: anything else selects nothing
+                if m.value not in ("public", "greptime", ""):
+                    empty = True
+            elif m.name == "__field__":
+                if field_sel is not None:
+                    raise ValueError("multiple __field__ selections not supported")
+                field_sel = m.value
+            elif m.name != "__name__":
+                matchers.append(m)
+        mt = self.tables.get(metric)
+        if mt is None:
+            raise ValueError(f"unknown metric {metric!r}")
+        value_col = mt.value_col
+        if field_sel is not None:
+            if mt.fields and field_sel not in mt.fields:
+                raise ValueError(f"unknown field {field_sel!r} on {metric}")
+            value_col = field_sel
+        elif mt.fields and len(mt.fields) > 1:
+            raise ValueError(
+                f"metric {metric!r} has multiple fields {mt.fields}; select one "
+                "with {__field__=\"...\"}"
+            )
+        df = mt.df
+        if empty:
+            df = df.filter(F.lit(False))
+        for m in matchers:
             c = F.col(m.name)
             if m.op == "=":
                 df = df.filter(c == m.value)
@@ -135,7 +167,7 @@ class PromQLEngine:
         base = df.select(
             ts_ms.alias("__x"),
             *[F.col(t).cast("string").alias(t) for t in mt.tags],
-            F.col(mt.value_col).cast("double").alias("value"),
+            F.col(value_col).cast("double").alias("value"),
         )
         return base, list(mt.tags)
 

@@ -54,7 +54,7 @@ def parse_duration_ms(text) -> int:
     }
     for w, u in words.items():
         t = re.sub(rf"\s*{w}s?\b", u, t)
-    t = t.replace("interval", "").replace(" ", "")
+    t = t.replace("interval", "").replace(" ", "").replace("'", "").replace('"', "")
     total = 0.0
     for num, unit in re.findall(r"([0-9]*\.?[0-9]+)(ns|us|ms|s|m|h|d|w|y)", t):
         total += float(num) * _UNITS_MS[unit]
@@ -235,7 +235,8 @@ def _origin_ms(to: str | int | None) -> int:
 # ---------------------------------------------------------------------------
 
 _RANGE_RE = re.compile(
-    r"(?P<agg>\w+\s*\([^()]*(?:\([^()]*\)[^()]*)*\))\s+RANGE\s+'(?P<range>[^']+)'"
+    r"(?P<agg>\w+\s*\([^()]*(?:\([^()]*\)[^()]*)*\))\s+RANGE\s+"
+    r"(?:'(?P<range>[^']+)'|\(\s*(?P<range_p>INTERVAL[^()]*)\))"
     r"(?:\s+FILL\s+(?P<fill>\w+|'[^']*'|\d+(?:\.\d+)?))?",
     re.IGNORECASE,
 )
@@ -256,7 +257,8 @@ def parse_range_sql(sql: str) -> dict:
     """
     s = sql.strip().rstrip(";")
     m_align = re.search(
-        r"ALIGN\s+'(?P<align>[^']+)'(?:\s+TO\s+(?P<to>'[^']*'|\S+))?",
+        r"ALIGN\s+(?:'(?P<align>[^']+)'|\(\s*(?P<align_p>INTERVAL[^()]*)\))"
+        r"(?:\s+TO\s+(?P<to>'[^']*'|\S+))?",
         s,
         re.IGNORECASE,
     )
@@ -295,7 +297,7 @@ def parse_range_sql(sql: str) -> dict:
                 RangeAgg(
                     expr=m.group("agg"),
                     alias=internal,
-                    range_ms=parse_duration_ms(m.group("range")),
+                    range_ms=parse_duration_ms(m.group("range") or m.group("range_p")),
                     fill=m.group("fill"),
                 )
             )
@@ -317,7 +319,7 @@ def parse_range_sql(sql: str) -> dict:
         "items": items,
         "table": m_from.group(1),
         "where": m_where.group(1) if m_where else None,
-        "align": m_align.group("align"),
+        "align": m_align.group("align") or m_align.group("align_p"),
         "to": (m_align.group("to") or "").strip("'\"") or None,
         "by": by,
         "fill": m_fill.group(1) if m_fill else None,

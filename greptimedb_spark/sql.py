@@ -36,7 +36,8 @@ _ALIASES = {
 
 _ATAT_RE = re.compile(r"(\w+)\s*@@\s*'([^']*)'")
 _TQL_RE = re.compile(
-    r"^\s*TQL\s+EVAL\s*\(\s*([^,]+)\s*,\s*([^,]+)\s*,\s*([^)]+)\s*\)\s*(.*)$",
+    r"^\s*TQL\s+EVAL\s*\(\s*([^,]+)\s*,\s*([^,]+)\s*,\s*([^,)]+)\s*"
+    r"(?:,\s*([^)]+)\s*)?\)\s*,?\s*(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -131,6 +132,7 @@ class GreptimeSQL:
     def _ddl(self, text: str):
         if self.catalog is None:
             return None
+        text = text.replace('`', '')
         from greptimedb_spark.catalog import TableMeta
 
         m = self._CREATE_RE.match(text.strip().rstrip(";"))
@@ -227,20 +229,46 @@ class GreptimeSQL:
             return ddl
         m = _TQL_RE.match(text)
         if m:
-            from greptimedb_spark.promql import PromQLEngine
+            from greptimedb_spark.promql import MetricTable, PromQLEngine
 
-            start, end, step, promql = m.groups()
-            eng = PromQLEngine(self.spark, self.promql_tables, self.lookback_ms)
-            step_ms = _parse_step(step)
-            return eng.evaluate(
-                promql.strip().rstrip(";"),
-                _parse_time_arg(start),
-                _parse_time_arg(end),
-                step_ms,
+            start, end, step, lookback, promql = m.groups()
+            promql = promql.strip().rstrip(";")
+            # trailing `AS name` renames the value column (reference tql.rs)
+            value_alias = "value"
+            alias_m = re.search(r"\s+AS\s+(\w+)\s*$", promql, re.IGNORECASE)
+            if alias_m:
+                value_alias = alias_m.group(1)
+                promql = promql[: alias_m.start()]
+            tables = dict(self.promql_tables)
+            if self.catalog is not None:
+                for t in self.catalog.list_tables():
+                    if t in tables:
+                        continue
+                    meta = self.catalog.meta(t)
+                    df = (
+                        self.spark.table(t)
+                        if self.spark.catalog.tableExists(t)
+                        else self.catalog.read(t)
+                    )
+                    fields = [
+                        c for c in df.columns
+                        if c not in meta.tags and c != meta.time_index
+                    ]
+                    if not fields:
+                        continue
+                    tables[t] = MetricTable(
+                        df, value_col=fields[0], time_index=meta.time_index,
+                        tags=meta.tags, fields=fields,
+                    )
+            lookback_ms = _parse_step(lookback) if lookback else self.lookback_ms
+            eng = PromQLEngine(self.spark, tables, lookback_ms)
+            out = eng.evaluate(
+                promql, _parse_time_arg(start), _parse_time_arg(end), _parse_step(step)
             )
+            return out.withColumnRenamed("value", value_alias) if value_alias != "value" else out
         text = _rewrite_atat(text)
         text = _rewrite_aliases(text)
-        if re.search(r"\bALIGN\s+'", text, re.IGNORECASE):
+        if re.search(r"\bALIGN\s+['(]", text, re.IGNORECASE):
             from greptimedb_spark.range_query import parse_range_sql, range_sql
 
             default_by = None

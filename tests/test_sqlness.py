@@ -55,6 +55,9 @@ def _parse_result_file(path: str):
             elif line.startswith("Error"):
                 expected = "error"
                 i += 1
+            elif line == "++":
+                expected = []
+                i += 2  # '++' twice = zero-column empty table
             elif line.startswith("+"):
                 i += 1  # top border
                 i += 1  # header
@@ -103,8 +106,11 @@ def _run_case(spark, tmp_path, case: str, min_checked: int):
             continue
         if expected is None:
             continue
-        got = [[_norm_cell(c) for c in row] for row in df.collect()]
-        want = [[_norm_cell(c) for c in row] for row in expected]
+        # cell-sorted rows: column ORDER is presentation (reference picks its
+        # own projection order, e.g. TQL emits value first); values must match
+        cell_key = lambda x: (x is None, str(type(x)), str(x))
+        got = [sorted((_norm_cell(c) for c in row), key=cell_key) for row in df.collect()]
+        want = [sorted((_norm_cell(c) for c in row), key=cell_key) for row in expected]
         key = lambda r: tuple((x is None, str(x)) for x in r)
         assert sorted(got, key=key) == sorted(want, key=key), f"mismatch for: {stmt}"
         checked += 1
@@ -122,3 +128,19 @@ def test_sqlness_range_by(spark, tmp_path):
 
 def test_sqlness_range_to(spark, tmp_path):
     checked, _ = _run_case(spark, tmp_path, "range/to", 3)
+
+
+def test_sqlness_tql_basic(spark, tmp_path):
+    checked, skipped = _run_case(spark, tmp_path, "tql/basic", 3)
+
+
+def test_sqlness_tql_aggr_over_time(spark, tmp_path):
+    checked, skipped = _run_case(spark, tmp_path, "tql/aggr_over_time", 3)
+
+
+def test_sqlness_tql_binary_operator(spark, tmp_path):
+    checked, skipped = _run_case(spark, tmp_path, "tql/binary_operator", 2)
+
+
+def test_sqlness_range_interval(spark, tmp_path):
+    checked, _ = _run_case(spark, tmp_path, "range/interval", 1)
