@@ -90,6 +90,15 @@ def _map_type(t: str) -> str:
     return _TYPE_MAP.get(t, t)
 
 
+def _ts_unit(t: str) -> str:
+    """Integer-literal unit for a greptime timestamp type: timestamp(0)=s,
+    (3)=ms, (6)=µs, (9)=ns; bare timestamp defaults to ms."""
+    m = re.match(r"timestamp(?:\((\d)\))?", t.strip().lower())
+    if not m:
+        return "ms"
+    return {None: "ms", "0": "s", "3": "ms", "6": "us", "9": "ns"}.get(m.group(1), "ms")
+
+
 class GreptimeSQL:
     """Session facade: spark.sql + dialect rewrites + PromQL metric registry.
 
@@ -150,6 +159,8 @@ class GreptimeSQL:
                 cm = re.match(r"(\w+)\s+([\w()]+)(.*)", item, re.DOTALL)
                 col, typ, rest = cm.group(1), cm.group(2), cm.group(3) or ""
                 cols.append((col, _map_type(typ)))
+                self._ts_units = getattr(self, "_ts_units", {})
+                self._ts_units.setdefault(name, {})[col] = _ts_unit(typ)
                 if re.search(r"TIME\s+INDEX", rest, re.IGNORECASE):
                     time_index = col
                 if re.search(r"PRIMARY\s+KEY", rest, re.IGNORECASE):
@@ -179,34 +190,32 @@ class GreptimeSQL:
             if col_list:
                 order = [c.strip() for c in col_list.split(",")]
                 cols = [next(c for c in cols if c[0] == o) for o in order]
-            schema = ", ".join(f"{c} {t}" for c, t in cols)
             # evaluate the VALUES rows with Spark itself (handles literals,
-            # strings, nulls, ISO timestamps the same way the reference does)
-            meta = self.catalog.meta(name)
-            sel = ", ".join(
-                f"CAST(col{i + 1} AS {t}) AS {c}" if t != "timestamp"
-                else f"CAST(CAST(col{i + 1} AS STRING) AS TIMESTAMP) AS {c}"
-                for i, (c, t) in enumerate(cols)
-            )
-            df = self.spark.sql(f"SELECT * FROM VALUES {values_text}").toDF(
+            # strings, nulls, ISO timestamps the same way the reference does);
+            # integer literals for timestamp columns are epoch values in the
+            # column's declared precision (timestamp(0)=s .. timestamp(9)=ns)
+            raw = self.spark.sql(f"SELECT * FROM VALUES {values_text}").toDF(
                 *[f"col{i + 1}" for i in range(len(cols))]
-            ).selectExpr(*[s for s in sel.split(", ")])
-            # greptime accepts integer-ms timestamp literals
-            ti = meta.time_index
-            if dict(cols).get(ti) == "timestamp":
-                raw = self.spark.sql(f"SELECT * FROM VALUES {values_text}").toDF(
-                    *[f"col{i + 1}" for i in range(len(cols))]
-                )
-                idx = [c for c, _ in cols].index(ti)
-                raw_col = f"col{idx + 1}"
-                if dict(raw.dtypes)[raw_col] in ("bigint", "int"):
-                    exprs = []
-                    for i, (c, t) in enumerate(cols):
-                        if c == ti:
-                            exprs.append(f"timestamp_millis(CAST(col{i + 1} AS BIGINT)) AS {c}")
-                        else:
-                            exprs.append(f"CAST(col{i + 1} AS {t}) AS {c}")
-                    df = raw.selectExpr(*exprs)
+            )
+            units = getattr(self, "_ts_units", {}).get(name, {})
+            int_to_ts = {
+                "s": "timestamp_seconds({v})",
+                "ms": "timestamp_millis({v})",
+                "us": "timestamp_micros({v})",
+                "ns": "timestamp_micros(CAST({v} / 1000 AS BIGINT))",
+            }
+            exprs = []
+            for i, (c, t) in enumerate(cols):
+                v = f"col{i + 1}"
+                if t == "timestamp":
+                    if dict(raw.dtypes)[v] in ("bigint", "int", "smallint", "tinyint"):
+                        tpl = int_to_ts[units.get(c, "ms")]
+                        exprs.append(tpl.format(v=f"CAST({v} AS BIGINT)") + f" AS {c}")
+                    else:
+                        exprs.append(f"CAST(CAST({v} AS STRING) AS TIMESTAMP) AS {c}")
+                else:
+                    exprs.append(f"CAST({v} AS {t}) AS {c}")
+            df = raw.selectExpr(*exprs)
             self.catalog.insert(name, df)
             self.catalog.read(name).createOrReplaceTempView(name)
             return self.spark.createDataFrame([], "result string")

@@ -144,3 +144,7 @@ def test_sqlness_tql_binary_operator(spark, tmp_path):
 
 def test_sqlness_range_interval(spark, tmp_path):
     checked, _ = _run_case(spark, tmp_path, "range/interval", 1)
+
+
+def test_sqlness_range_precisions(spark, tmp_path):
+    checked, _ = _run_case(spark, tmp_path, "range/precisions", 1)
