@@ -186,6 +186,9 @@ class GreptimeSQL:
         m = self._INSERT_RE.match(text.strip().rstrip(";"))
         if m:
             name, col_list, values_text = m.groups()
+            known = getattr(self, "_schemas", {})
+            if name not in known:
+                raise ValueError(f"table {name!r} does not exist (known: {sorted(known)})")
             cols = self._schemas[name]
             if col_list:
                 order = [c.strip() for c in col_list.split(",")]
