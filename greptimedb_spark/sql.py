@@ -73,7 +73,8 @@ _TYPE_MAP = {
     "int": "int", "int32": "int", "integer": "int", "bigint": "bigint", "int64": "bigint",
     "uint8": "smallint", "uint16": "int", "uint32": "bigint", "uint64": "decimal(20,0)",
     "float": "float", "float32": "float", "double": "double", "float64": "double",
-    "string": "string", "binary": "binary", "boolean": "boolean", "bool": "boolean",
+    "string": "string", "varchar": "string", "text": "string", "char": "string",
+    "binary": "binary", "varbinary": "binary", "boolean": "boolean", "bool": "boolean",
     "date": "date", "datetime": "timestamp",
 }
 
@@ -133,10 +134,10 @@ class GreptimeSQL:
         re.IGNORECASE | re.DOTALL,
     )
     _INSERT_RE = re.compile(
-        r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.*)$",
+        r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?\"?(\w+)\"?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.*)$",
         re.IGNORECASE | re.DOTALL,
     )
-    _DROP_RE = re.compile(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE)
+    _DROP_RE = re.compile(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?\"?(\w+)\"?\s*$", re.IGNORECASE)
 
     def _ddl(self, text: str):
         if self.catalog is None:
@@ -144,6 +145,10 @@ class GreptimeSQL:
         text = text.replace('`', '')
         from greptimedb_spark.catalog import TableMeta
 
+        if not self._INSERT_RE.match(text.strip().rstrip(";")):
+            # ANSI double-quoted identifiers → bare (NOT in INSERT, where
+            # double quotes are string literals in the reference dialect)
+            text = re.sub(r'"(\w+)"', r"\1", text)
         m = self._CREATE_RE.match(text.strip().rstrip(";"))
         if m:
             name, cols_text, with_text = m.groups()
@@ -280,6 +285,8 @@ class GreptimeSQL:
             return out.withColumnRenamed("value", value_alias) if value_alias != "value" else out
         text = _rewrite_atat(text)
         text = _rewrite_aliases(text)
+        if not re.match(r"^\s*INSERT", text, re.IGNORECASE):
+            text = re.sub(r'"(\w+)"', r"\1", text)  # ANSI quoted identifiers
         if re.search(r"\bALIGN\s+['(]", text, re.IGNORECASE):
             from greptimedb_spark.range_query import parse_range_sql, range_sql
 
