@@ -175,6 +175,46 @@ _CONFORMANCE_CASES = [
     ("window/percent_functions", 3),
     ("aggregate/avg", 4),
     ("aggregate/approx_distinct", 2),
+    ("aggregate/bit_operations", 7),
+    ("aggregate/corr", 4),
+    ("aggregate/covar", 5),
+    ("aggregate/distinct", 7),
+    ("aggregate/distinct_order_by", 4),
+    ("aggregate/first_last", 15),
+    ("aggregate/median", 4),
+    ("aggregate/regression", 8),
+    ("aggregate/stddev", 18),
+    ("order/order_by", 25),
+    ("order/order_by_basic", 12),
+    ("order/order_by_expressions", 8),
+    ("order/windowed_sort", 4),
+    ("window/value_functions", 2),
+    ("window/window_advanced", 3),
+    ("window/window_aggregates", 4),
+    ("window/window_frames", 3),
+    ("window/window_null_handling", 4),
+    ("join/inner_join_advanced", 7),
+    ("join/join_conditions_complex", 7),
+    ("join/join_distinct", 3),
+    ("join/join_null_handling", 5),
+    ("join/join_types", 5),
+    ("join/join_with_expressions", 4),
+    ("join/join_with_nulls", 5),
+    ("join/join_with_subqueries", 5),
+    ("join/left_outer_join", 4),
+    ("join/multi_way_joins", 5),
+    ("join/multiple_joins", 3),
+    ("join/natural_join", 3),
+    ("join/natural_join_advanced", 5),
+    ("join/outer_join_complex", 5),
+    ("join/right_outer_join", 3),
+    ("join/self_join", 4),
+    ("join/using_clause_joins", 5),
+    ("range/calculate", 4),
+    ("tql/case_sensitive", 3),
+    ("tql/join", 6),
+    ("tql/literal_only", 3),
+    ("tql/range", 11),
 ]
 
 
