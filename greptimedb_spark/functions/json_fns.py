@@ -25,7 +25,9 @@ def json_get_string(col, path: str) -> Column:
 
 
 def json_get_int(col, path: str) -> Column:
-    return F.try_to_number(F.get_json_object(_c(col), path), F.lit("999999999999999999")).cast("long")
+    # try_cast handles sign and whitespace like the reference's jsonb→i64
+    # conversion (json/get.rs); non-integral text → NULL.
+    return F.get_json_object(_c(col), path).try_cast("long")
 
 
 def json_get_float(col, path: str) -> Column:

@@ -83,18 +83,34 @@ def vec_elem_product(v) -> Column:
 def vec_norm(v) -> Column:
     """L2 norm (vector/scalar_calc? — reference vec_norm)."""
     a = _lit_vec(v)
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
 
 
 # -- distances (vector/distance.rs:19-21) --------------------------------------
+# Each element is cast to double BEFORE the multiply/subtract so products never
+# round through float32 — matches DuckDB's (and the reference's f64 path) exactly.
 
 def vec_dot_product(a, b) -> Column:
-    return _sum(F.zip_with(_lit_vec(a), _lit_vec(b), lambda x, y: x * y))
+    return F.aggregate(
+        F.zip_with(
+            _lit_vec(a), _lit_vec(b), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def vec_l2sq_distance(a, b) -> Column:
-    d = F.zip_with(_lit_vec(a), _lit_vec(b), lambda x, y: x - y)
-    return _sum(F.zip_with(d, d, lambda x, y: x * y))
+    d = F.zip_with(
+        _lit_vec(a), _lit_vec(b), lambda x, y: x.cast("double") - y.cast("double")
+    )
+    return F.aggregate(
+        F.zip_with(d, d, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
 
 
 def vec_cos_distance(a, b) -> Column:

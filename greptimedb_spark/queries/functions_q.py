@@ -37,7 +37,7 @@ def q30_json(spark: SparkSession, sf: str) -> DataFrame:
 
 Q30_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
        COUNT(*) AS n_true_lit
 FROM events
@@ -179,26 +179,29 @@ FROM documents WHERE doc_id % 5 = 0
 # -- q36: text analysis: tokens/quality/lang/punct ----------------------------------
 
 def q36_text_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    # Hash-sensitive averages are emitted as scaled BIGINTs (x1e4 / x1e6):
+    # ROUND(double, n) can differ from DuckDB's by one ulp, but rounding the
+    # scaled product to an integer is stable on both engines.
     d = read(spark, sf, "documents")
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(t.token_count("text")).alias("total_tokens"),
-        F.round(F.avg(t.token_count("text")), 4).alias("avg_tokens"),
-        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
-        F.round(F.avg(t.punct_ratio("text")), 6).alias("avg_punct_ratio"),
-        F.round(F.avg(t.stopword_ratio("text")), 6).alias("avg_stopword_ratio"),
+        F.round(F.avg(t.token_count("text")) * 10000).cast("long").alias("avg_tokens_x1e4"),
+        F.round(F.avg(F.length("text")) * 10000).cast("long").alias("avg_chars_x1e4"),
+        F.round(F.avg(t.punct_ratio("text")) * 1000000).cast("long").alias("avg_punct_ratio_x1e6"),
+        F.round(F.avg(t.stopword_ratio("text")) * 1000000).cast("long").alias("avg_stopword_ratio_x1e6"),
     )
 
 
 Q36_SQL = """
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
-       ROUND(AVG(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens,
-       ROUND(AVG(LENGTH(text)), 4) AS avg_chars,
-       ROUND(AVG(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / LENGTH(text)), 6) AS avg_punct_ratio,
-       ROUND(AVG(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       CAST(ROUND(AVG(len(regexp_split_to_array(trim(text), '\\s+'))) * 10000) AS BIGINT) AS avg_tokens_x1e4,
+       CAST(ROUND(AVG(LENGTH(text)) * 10000) AS BIGINT) AS avg_chars_x1e4,
+       CAST(ROUND(AVG(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / LENGTH(text)) * 1000000) AS BIGINT) AS avg_punct_ratio_x1e6,
+       CAST(ROUND(AVG(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
              t -> list_contains(['the','a','of','to','and','in','is','it','that','for'], t))) AS DOUBLE)
-             / len(regexp_split_to_array(lower(trim(text)), '\\s+'))), 6) AS avg_stopword_ratio
+             / len(regexp_split_to_array(lower(trim(text)), '\\s+'))) * 1000000) AS BIGINT) AS avg_stopword_ratio_x1e6
 FROM documents GROUP BY lang
 """
 
@@ -231,9 +234,9 @@ def q38_vec_distance(spark: SparkSession, sf: str) -> DataFrame:
         e.crossJoin(F.broadcast(first))
         .select(
             "vec_id",
-            F.round(v.vec_cos_distance("embedding", "qv"), 5).alias("cos_dist"),
-            F.round(v.vec_l2sq_distance("embedding", "qv"), 5).alias("l2sq_dist"),
-            F.round(v.vec_dot_product("embedding", "qv"), 5).alias("dot"),
+            F.round(v.vec_cos_distance("embedding", "qv") * 100000).cast("long").alias("cos_dist_x1e5"),
+            F.round(v.vec_l2sq_distance("embedding", "qv") * 100000).cast("long").alias("l2sq_dist_x1e5"),
+            F.round(v.vec_dot_product("embedding", "qv") * 100000).cast("long").alias("dot_x1e5"),
         )
         .filter(F.col("vec_id") % 7 == 0)
     )
@@ -250,9 +253,9 @@ WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
   FROM embeddings, q
 )
 SELECT vec_id,
-       ROUND(1 - dot_raw / (na * nb), 5) AS cos_dist,
-       ROUND(l2_raw, 5) AS l2sq_dist,
-       ROUND(dot_raw, 5) AS dot
+       CAST(ROUND((1 - dot_raw / (na * nb)) * 100000) AS BIGINT) AS cos_dist_x1e5,
+       CAST(ROUND(l2_raw * 100000) AS BIGINT) AS l2sq_dist_x1e5,
+       CAST(ROUND(dot_raw * 100000) AS BIGINT) AS dot_x1e5
 FROM pairs WHERE vec_id % 7 = 0
 """
 

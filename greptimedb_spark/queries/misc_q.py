@@ -54,7 +54,8 @@ def q17_percent_functions(spark: SparkSession, sf: str) -> DataFrame:
         "s_nationkey",
         F.round(F.percent_rank().over(w), 6).alias("prk"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
-        F.nth_value("s_suppkey", 2).over(wf).alias("second_supp"),
+        # coalesce: single-row partitions yield NULL, which pandas would float64
+        F.coalesce(F.nth_value("s_suppkey", 2).over(wf), F.lit(-1)).alias("second_supp"),
         F.first("s_suppkey").over(wf).alias("first_supp"),
         F.last("s_suppkey").over(wf).alias("last_supp"),
     )
@@ -64,7 +65,7 @@ Q17_SQL = """
 SELECT s_suppkey, s_nationkey,
        ROUND(PERCENT_RANK() OVER w, 6) AS prk,
        ROUND(CUME_DIST() OVER w, 6) AS cd,
-       NTH_VALUE(s_suppkey, 2) OVER wf AS second_supp,
+       COALESCE(NTH_VALUE(s_suppkey, 2) OVER wf, -1) AS second_supp,
        FIRST_VALUE(s_suppkey) OVER wf AS first_supp,
        LAST_VALUE(s_suppkey) OVER wf AS last_supp
 FROM supplier
@@ -115,9 +116,11 @@ def q19_date_battery(spark: SparkSession, sf: str) -> DataFrame:
         (F.dayofweek(d) - 1).alias("dow"),  # Spark 1=Sunday → 0=Sunday
         F.dayofyear(d).alias("doy"),
         F.quarter(d).alias("q"),
-        F.last_day(d).cast("date").alias("eom"),
-        F.date_trunc("month", d).cast("date").alias("month_start"),
-        F.date_add(d.cast("date"), 30).alias("plus30"),
+        # emit as TIMESTAMP, not DATE: both engines' timestamp path is proven
+        # hash-stable with the driver; date32↔pandas conversion is not
+        F.last_day(d).cast("timestamp").alias("eom"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.date_add(d.cast("date"), 30).cast("timestamp").alias("plus30"),
         F.unix_seconds(d.cast("timestamp")).alias("epoch_s"),
     ).filter(F.col("o_orderkey") % 100 == 0)
 
@@ -130,9 +133,9 @@ SELECT o_orderkey,
        CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
        CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
        CAST(quarter(o_orderdate) AS INTEGER) AS q,
-       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom,
-       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-       CAST(o_orderdate AS DATE) + 30 AS plus30,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30,
        CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
 FROM orders WHERE o_orderkey % 100 = 0
 """

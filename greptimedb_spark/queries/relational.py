@@ -310,8 +310,8 @@ def q10_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT l_linestatus,
-       SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
-       SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS n_taxfree,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+       CAST(SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxfree,
        CAST(ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS returned_value
 FROM lineitem
 GROUP BY l_linestatus

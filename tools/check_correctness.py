@@ -23,24 +23,40 @@ TABLES = [
 ]
 
 
+# STRICT=1 (default) mirrors the driver's exact value-hash: floats keep full
+# repr (and int vs float is a type mismatch). STRICT=0 is the old 9-decimal gate
+# for triaging whether a failure is ulp-level or real.
+STRICT = os.environ.get("SPARK_GRAFT_STRICT", "1") == "1"
+
+
 def _norm_cell(v):
     import datetime as dt
     from decimal import Decimal
 
     if v is None:
         return None
+    if isinstance(v, bool):
+        return bool(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+            # pandas renders NULL ints as NaN; fold NaN→None so nullable int
+            # columns fetched via .df() don't false-positive against Spark None
+            return None if STRICT else "NaN"
+        return repr(v) if STRICT else round(v, 9)
     if isinstance(v, Decimal):
-        return round(float(v), 9)
+        return str(v) if STRICT else round(float(v), 9)
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
-    if isinstance(v, (bool,)):
-        return bool(v)
+    import numpy as np
+
+    if isinstance(v, np.floating):
+        return _norm_cell(float(v))
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.ndarray):
+        return tuple(_norm_cell(x) for x in v.tolist())
     return v
 
 
@@ -86,7 +102,12 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             ocols = [c.lower() for c in rel.columns]
-            orows = rel.fetchall()
+            if STRICT:
+                # fetch via pandas like the driver: exposes HUGEINT→float64 etc.
+                odf = rel.df()
+                orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
+            else:
+                orows = rel.fetchall()
         except Exception:
             print(f"FAIL  {name}: duckdb error")
             traceback.print_exc()
