@@ -50,6 +50,8 @@ class TableMeta:
     append_mode: bool = False
     ttl: str | None = None  # e.g. "7 days" (SQL interval literal)
     partition_granularity: str = "day"  # hour | day | month — physical layout
+    columns: list | None = None  # [(name, spark_type)] — declared schema
+    batch_no: int = 0  # ingest batch counter (strict write ordering)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2)
@@ -93,18 +95,43 @@ class Catalog:
 
     def insert(self, name: str, df: DataFrame) -> None:
         """Append a batch. Adds the monotone ingest sequence and the physical
-        time-bucket partition column; no shuffle beyond the partitioned write."""
+        time-bucket partition column.
+
+        Ordering: ``__seq = (batch_no << 33) | monotonically_increasing_id``.
+        The per-table batch counter (persisted in the table meta) guarantees
+        any later batch outranks every row of every earlier batch — matching
+        the reference's strict ingest-order dedup (mito2 sequence numbers) —
+        while monotonically_increasing_id orders rows *within* a batch.
+
+        The batch is repartitioned on the bucket column before the
+        partitionBy write so each time-bucket directory receives one file per
+        batch instead of one per upstream partition (small-files fix; at
+        1000 executors this is the difference between p and p×buckets files)."""
         meta = self.meta(name)
-        seq_base = time.time_ns()
+        batch_no = meta.batch_no + 1
+        self._update_meta(name, batch_no=batch_no)
         out = (
-            df.withColumn(SEQ_COL, F.lit(seq_base) + F.monotonically_increasing_id())
+            df.withColumn(
+                SEQ_COL,
+                F.lit(batch_no).cast("long") * F.lit(1 << 33)
+                + F.monotonically_increasing_id() % F.lit(1 << 33),
+            )
             .withColumn(BUCKET_COL, F.date_trunc(meta.partition_granularity, F.col(meta.time_index)))
         )
+        if df.rdd.getNumPartitions() > 1:
+            out = out.repartition(F.col(BUCKET_COL))  # AQE coalesces small buckets
         (
             out.write.mode("append")
             .partitionBy(BUCKET_COL)
             .parquet(os.path.join(self._table_path(name), "data"))
         )
+
+    def _update_meta(self, name: str, **kv) -> None:
+        meta = self.meta(name)
+        for k, v in kv.items():
+            setattr(meta, k, v)
+        with open(os.path.join(self._table_path(name), _META_FILE), "w") as f:
+            f.write(meta.to_json())
 
     # -- read path -----------------------------------------------------------
 
@@ -115,6 +142,8 @@ class Catalog:
         """
         meta = self.meta(name)
         data_path = os.path.join(self._table_path(name), "data")
+        if not self._has_data(data_path):
+            return self._empty_df(meta)
         df = self.spark.read.parquet(data_path)
         if raw or meta.append_mode:
             return df.drop(SEQ_COL, BUCKET_COL)
@@ -123,6 +152,48 @@ class Catalog:
             now = F.expr(f"TIMESTAMP '{at}'") if at else F.current_timestamp()
             df = df.filter(F.col(meta.time_index) > now - F.expr(f"INTERVAL {meta.ttl}"))
         return df
+
+    @staticmethod
+    def _has_data(data_path: str) -> bool:
+        if not os.path.isdir(data_path):
+            return False
+        for root, _dirs, files in os.walk(data_path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def _empty_df(self, meta: TableMeta) -> DataFrame:
+        """Created-but-never-written table → empty frame with the declared
+        schema (the reference serves these from region metadata alone)."""
+        if not meta.columns:
+            raise FileNotFoundError(
+                f"table {meta.name} has no data and no declared schema"
+            )
+        schema = ", ".join(f"`{c}` {t}" for c, t in meta.columns)
+        return self.spark.createDataFrame([], schema)
+
+    def delete(self, name: str, predicate) -> int:
+        """DELETE FROM t WHERE predicate — copy-on-write rewrite.
+
+        ``predicate`` is a pyspark Column (or SQL text) evaluated against the
+        raw stored rows; matching rows are removed and the table rewritten.
+        At scale this would rewrite only the time-bucket partitions containing
+        matches (predicate → partition pruning); here the table is rewritten
+        whole. Reference: DELETE statement, src/sql/src/statements/delete.rs."""
+        import shutil
+
+        meta = self.meta(name)
+        data_path = os.path.join(self._table_path(name), "data")
+        if not self._has_data(data_path):
+            return 0
+        df = self.spark.read.parquet(data_path)
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        keep = df.filter(~F.coalesce(pred, F.lit(False)))
+        tmp = data_path + ".delete"
+        keep.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+        shutil.rmtree(data_path)
+        os.rename(tmp, data_path)
+        return 0
 
     def read_series(self, name: str, raw: bool = False) -> DataFrame:
         """Per-series scan (reference SeriesScan, src/mito2/src/read/scan_region.rs:389):

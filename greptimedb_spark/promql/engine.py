@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from greptimedb_spark.promql.parser import (
     Aggregate, BinaryOp, Call, LabelMatcher, NumberLiteral, StringLiteral,
-    Unary, VectorMatching, VectorSelector, parse_promql,
+    Subquery, Unary, VectorMatching, VectorSelector, parse_promql,
 )
 
 DEFAULT_LOOKBACK_MS = 300_000  # 5m, reference src/query/src/parser.rs:40
@@ -56,6 +56,7 @@ class MetricTable:
 class VectorResult:
     df: DataFrame  # (__t long, *labels, value double)
     labels: list[str]
+    is_scalar: bool = False  # scalar()/time() results: one value per step, no labels
 
 
 @dataclass
@@ -104,7 +105,10 @@ class PromQLEngine:
             inner = self._eval(node.expr, ctx)
             if isinstance(inner, float):
                 return -inner
-            return VectorResult(inner.df.withColumn("value", -F.col("value")), inner.labels)
+            return VectorResult(
+                inner.df.withColumn("value", -F.col("value")), inner.labels,
+                inner.is_scalar,
+            )
         if isinstance(node, Aggregate):
             return self._aggregate(node, ctx)
         if isinstance(node, Call):
@@ -137,7 +141,11 @@ class PromQLEngine:
                 matchers.append(m)
         mt = self.tables.get(metric)
         if mt is None:
-            raise ValueError(f"unknown metric {metric!r}")
+            # reference returns an empty result for unknown metrics
+            # (tests/cases/standalone/common/promql/label.result "Should
+            # return empty result instead of error")
+            empty = self.spark.createDataFrame([], "__x long, value double")
+            return empty, []
         value_col = mt.value_col
         if field_sel is not None:
             if mt.fields and field_sel not in mt.fields:
@@ -152,7 +160,9 @@ class PromQLEngine:
         if empty:
             df = df.filter(F.lit(False))
         for m in matchers:
-            c = F.col(m.name)
+            # Prometheus semantics: an absent label (missing column, or NULL
+            # tag value) matches as the empty string
+            c = F.coalesce(F.col(m.name), F.lit("")) if m.name in df.columns else F.lit("")
             if m.op == "=":
                 df = df.filter(c == m.value)
             elif m.op == "!=":
@@ -206,11 +216,35 @@ class PromQLEngine:
         "double_exponential_smoothing", "holt_winters",
     }
 
-    def _range_fn(self, fn: str, sel: VectorSelector, ctx: _Ctx, extra=None) -> VectorResult:
-        if sel.range_ms is None:
-            raise ValueError(f"{fn}() needs a range vector")
-        base, tags = self._metric_base(sel)
-        rng = sel.range_ms
+    def _range_samples(self, arg, ctx: _Ctx):
+        """Samples feeding a range function: (df(__x, *tags, value), tags, rng).
+
+        A Subquery evaluates its inner expression on an absolute-aligned
+        sub-step grid (Prometheus subquery semantics: steps are multiples of
+        the resolution, window is (t-range, t]); the resulting per-step
+        samples then act as the raw samples of the outer range function."""
+        if isinstance(arg, Subquery):
+            rng = arg.range_ms
+            sub = arg.step_ms or ctx.step
+            lo = ((ctx.start - rng) // sub) * sub + sub
+            hi = max((ctx.end // sub) * sub, lo)
+            ictx = _Ctx(lo, hi, sub, ctx.lookback)
+            inner = self._eval(arg.expr, ictx)
+            if isinstance(inner, (int, float)):
+                inner = self._scalar_to_vector(float(inner), ictx)
+            base = inner.df.select(
+                F.col("__t").alias("__x"), *inner.labels, "value"
+            )
+            if arg.offset_ms:
+                base = base.withColumn("__x", F.col("__x") + F.lit(arg.offset_ms))
+            return base, list(inner.labels), rng
+        if not isinstance(arg, VectorSelector) or arg.range_ms is None:
+            raise ValueError("range function needs a range vector")
+        base, tags = self._metric_base(arg)
+        return base, tags, arg.range_ms
+
+    def _range_fn(self, fn: str, sel, ctx: _Ctx, extra=None) -> VectorResult:
+        base, tags, rng = self._range_samples(sel, ctx)
 
         needs_series_pass = fn in (
             "rate", "increase", "idelta", "irate", "changes", "resets"
@@ -278,13 +312,26 @@ class PromQLEngine:
         if fn in ("min_over_time",):
             aggs.append(F.min("value").alias("v_min"))
         if fn in ("max_over_time",):
-            aggs.append(F.max("value").alias("v_max"))
+            # Prometheus maxOverTime skips NaN unless every sample is NaN
+            # (Spark's max sorts NaN above all values — the opposite)
+            aggs.append(
+                F.coalesce(
+                    F.max(F.when(~F.isnan("value"), F.col("value"))),
+                    F.lit(float("nan")),
+                ).alias("v_max")
+            )
         if fn in ("sum_over_time",):
             aggs.append(F.sum("value").alias("v_sum"))
         if fn in ("stddev_over_time", "stdvar_over_time"):
             aggs.append(F.var_pop("value").alias("v_varp"))
         if fn == "quantile_over_time":
-            aggs.append(F.percentile("value", float(extra)).alias("v_quant"))
+            q = float(extra)
+            if 0.0 <= q <= 1.0:
+                aggs.append(F.percentile("value", q).alias("v_quant"))
+            else:  # Prometheus: out-of-range φ → ±Inf (with a warning)
+                aggs.append(
+                    F.lit(float("inf") if q > 1 else float("-inf")).alias("v_quant")
+                )
         if fn in ("deriv", "predict_linear"):
             xs = (F.col("__x") - F.col("__t")) / 1000.0
             aggs += [
@@ -427,9 +474,13 @@ class PromQLEngine:
         op = node.op
         if op in ("topk", "bottomk"):
             k = int(self._eval(node.param, ctx))
-            order = F.desc("value") if op == "topk" else F.asc("value")
+            # ties broken by tag columns in the SAME direction as the value
+            # sort (reference planner.rs create_window_exprs: value then tags,
+            # all desc for topk / asc for bottomk, nulls first)
+            asc = op == "bottomk"
+            mk = (lambda c: F.asc_nulls_first(c)) if asc else (lambda c: F.desc_nulls_first(c))
             w = Window.partitionBy("__t", *keep).orderBy(
-                order, *[F.asc(l) for l in inner.labels]
+                mk("value"), *[mk(l) for l in inner.labels]
             )
             out = (
                 inner.df.withColumn("__rk", F.row_number().over(w))
@@ -446,11 +497,14 @@ class PromQLEngine:
             )
             return VectorResult(out, keep + [label])
         agg = {
+            # count counts non-NULL values but keeps NULL-only groups as 0
+            # (reference promql/scalar.result presence_metric goldens); other
+            # aggregates drop NULL samples entirely (NULL-only groups vanish)
             "sum": F.sum("value"),
             "avg": F.avg("value"),
             "min": F.min("value"),
             "max": F.max("value"),
-            "count": F.count(F.lit(1)).cast("double"),
+            "count": F.count(F.col("value")).cast("double"),
             "stddev": F.expr("stddev_pop(value)"),
             "stdvar": F.expr("var_pop(value)"),
             "group": F.lit(1.0),
@@ -459,7 +513,8 @@ class PromQLEngine:
         }.get(op)
         if agg is None:
             raise ValueError(f"unsupported aggregation {op}")
-        out = inner.df.groupBy("__t", *keep).agg(agg.alias("value"))
+        src = inner.df if op == "count" else inner.df.filter(F.col("value").isNotNull())
+        out = src.groupBy("__t", *keep).agg(agg.alias("value"))
         return VectorResult(out, keep)
 
     # -- function calls ---------------------------------------------------------
@@ -468,6 +523,17 @@ class PromQLEngine:
         "abs": F.abs, "ceil": F.ceil, "floor": F.floor, "exp": F.exp,
         "ln": F.log, "log2": F.log2, "log10": F.log10, "sqrt": F.sqrt,
         "sgn": F.signum,
+    }
+
+    _TIME_COMPONENT_FNS = {
+        "minute": F.minute,
+        "hour": F.hour,
+        "day_of_week": lambda ts: F.dayofweek(ts) - 1,  # Prometheus 0=Sunday
+        "day_of_month": F.dayofmonth,
+        "day_of_year": F.dayofyear,
+        "days_in_month": lambda ts: F.dayofmonth(F.last_day(ts)),
+        "month": F.month,
+        "year": F.year,
     }
 
     def _call(self, node: Call, ctx: _Ctx):
@@ -491,7 +557,7 @@ class PromQLEngine:
             out = v.df.withColumn(
                 "value", self._MATH_FNS[fn](F.col("value")).cast("double")
             )
-            return VectorResult(out, v.labels)
+            return VectorResult(out, v.labels, v.is_scalar)
         if fn == "round":
             v = self._eval(node.args[0], ctx)
             to = self._eval(node.args[1], ctx) if len(node.args) > 1 else 1.0
@@ -510,47 +576,103 @@ class PromQLEngine:
             return VectorResult(v.df.withColumn("value", c), v.labels)
         if fn == "time":
             return VectorResult(
-                self._grid(ctx).withColumn("value", F.col("__t") / 1000.0), []
+                self._grid(ctx).withColumn("value", F.col("__t") / 1000.0), [],
+                is_scalar=True,
+            )
+        if fn in self._TIME_COMPONENT_FNS:
+            # Prometheus time-component family: arg defaults to vector(time());
+            # input values are epoch seconds, output the UTC component
+            if node.args:
+                v = self._eval(node.args[0], ctx)
+                if isinstance(v, float):
+                    v = self._scalar_to_vector(v, ctx)
+            else:
+                v = VectorResult(
+                    self._grid(ctx).withColumn("value", F.col("__t") / 1000.0), []
+                )
+            ts = F.timestamp_seconds(F.col("value"))
+            comp = self._TIME_COMPONENT_FNS[fn](ts).cast("double")
+            return VectorResult(v.df.withColumn("value", comp), v.labels, v.is_scalar)
+        if fn == "timestamp":
+            sel = node.args[0]
+            if isinstance(sel, VectorSelector) and sel.range_ms is None:
+                # value := the selected sample's own timestamp (seconds)
+                base, tags = self._metric_base(sel)
+                ex = self._explode_steps(base, ctx.lookback, ctx)
+                out = ex.groupBy("__t", *tags).agg((F.max("__x") / 1000.0).alias("value"))
+                return VectorResult(out, tags)
+            v = self._eval(sel, ctx)
+            return VectorResult(
+                v.df.withColumn("value", F.col("__t") / 1000.0), v.labels, v.is_scalar
             )
         if fn == "vector":
             s = self._eval(node.args[0], ctx)
+            if isinstance(s, VectorResult):  # vector(scalar(...)) etc.
+                return VectorResult(s.df, [], is_scalar=False)
             return self._scalar_to_vector(float(s), ctx)
         if fn == "scalar":
+            # reference ScalarCalculate (scalar_calculate.rs poll_next): a
+            # single-series input passes through row-for-row (missing steps
+            # stay missing); zero rows or >1 series → full NaN grid
             v = self._eval(node.args[0], ctx)
-            g = v.df.groupBy("__t").agg(
-                F.count(F.lit(1)).alias("n"), F.first("value").alias("v")
+            if isinstance(v, (int, float)):
+                return self._scalar_vector(float(v), ctx)
+            if v.is_scalar:
+                return v
+            if v.labels:
+                ns = F.count_distinct(F.struct(*[F.col(l) for l in v.labels]))
+            else:
+                ns = F.when(F.count(F.lit(1)) > 0, 1).otherwise(0)
+            summary = v.df.agg(
+                ns.alias("__ns"), F.count(F.lit(1)).alias("__nr")
             )
-            grid = self._grid(ctx)
-            out = grid.join(g, "__t", "left").select(
-                "__t",
-                F.when(F.col("n") == 1, F.col("v")).otherwise(float("nan")).alias("value"),
-            )
-            return VectorResult(out, [])
-        if fn == "absent":
-            v = self._eval(node.args[0], ctx)
-            present = v.df.select("__t").distinct()
-            out = self._grid(ctx).join(present, "__t", "left_anti").withColumn(
-                "value", F.lit(1.0)
-            )
-            return VectorResult(out, [])
-        if fn == "absent_over_time":
+            single = v.df.crossJoin(
+                summary.filter((F.col("__nr") > 0) & (F.col("__ns") <= 1)).select("__ns")
+            ).select("__t", F.col("value").cast("double").alias("value"))
+            nan_grid = self._grid(ctx).crossJoin(
+                summary.filter((F.col("__nr") == 0) | (F.col("__ns") > 1)).select("__nr")
+            ).select("__t", F.lit(float("nan")).alias("value"))
+            return VectorResult(single.unionByName(nan_grid), [], is_scalar=True)
+        if fn in ("absent", "absent_over_time"):
             sel = node.args[0]
-            base, tags = self._metric_base(sel)
-            ex = self._explode_steps(base, sel.range_ms, ctx)
-            present = ex.select("__t").distinct()
+            if fn == "absent_over_time":
+                base, tags, rng = self._range_samples(sel, ctx)
+                present = self._explode_steps(base, rng, ctx).select("__t").distinct()
+            else:
+                v = self._eval(sel, ctx)
+                present = v.df.select("__t").distinct()
             out = self._grid(ctx).join(present, "__t", "left_anti").withColumn(
                 "value", F.lit(1.0)
             )
-            return VectorResult(out, [])
+            # labels derived from the selector's equality matchers
+            # (Prometheus absent(): {a="b"} matchers become output labels)
+            labels = []
+            if isinstance(sel, VectorSelector):
+                eq = {}
+                for m2 in sel.matchers:
+                    if m2.op == "=" and not m2.name.startswith("__"):
+                        eq[m2.name] = m2.value  # last one wins
+                for k2, val2 in eq.items():
+                    out = out.withColumn(k2, F.lit(val2))
+                    labels.append(k2)
+            return VectorResult(out, labels)
         if fn == "label_replace":
+            # reference planner.rs build_regexp_replace_label_expr semantics
             v = self._eval(node.args[0], ctx)
             dst, repl, src, regex = [self._eval(a, ctx) for a in node.args[1:5]]
-            src_col = F.col(src) if src in v.labels else F.lit("")
-            matched = src_col.rlike(f"^(?:{regex})$")
-            replaced = F.regexp_replace(src_col, f"^(?:{regex})$", repl.replace("$", "$"))
-            new = F.when(matched, replaced).otherwise(
-                F.col(dst) if dst in v.labels else F.lit(None).cast("string")
-            )
+            import re as _re
+
+            if not _re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", dst) or dst.startswith("__"):
+                raise ValueError(f"invalid destination label name {dst!r}")
+            if src in v.labels and regex == "":
+                return v  # existing src + empty regex → unchanged
+            if src not in v.labels:
+                if repl == "":
+                    return v  # missing src + empty replacement → unchanged
+                labels = v.labels + ([dst] if dst not in v.labels else [])
+                return VectorResult(v.df.withColumn(dst, F.lit(repl)), labels)
+            anchored = f"^(?s:{regex})$"
+            new = F.regexp_replace(F.coalesce(F.col(src), F.lit("")), anchored, repl)
             labels = v.labels + ([dst] if dst not in v.labels else [])
             return VectorResult(v.df.withColumn(dst, new), labels)
         if fn == "label_join":
@@ -558,10 +680,18 @@ class PromQLEngine:
             dst = self._eval(node.args[1], ctx)
             sep = self._eval(node.args[2], ctx)
             srcs = [self._eval(a, ctx) for a in node.args[3:]]
-            new = F.concat_ws(sep, *[F.col(s) for s in srcs])
+            if not srcs:
+                raise ValueError("label_join needs at least one source label")
+            new = F.concat_ws(
+                sep,
+                *[
+                    F.coalesce(F.col(s), F.lit("")) if s in v.labels else F.lit("")
+                    for s in srcs
+                ],
+            )
             labels = v.labels + ([dst] if dst not in v.labels else [])
             return VectorResult(v.df.withColumn(dst, new), labels)
-        if fn in ("sort", "sort_desc"):
+        if fn in ("sort", "sort_desc", "sort_by_label", "sort_by_label_desc"):
             return self._eval(node.args[0], ctx)  # ordering applied at output
         if fn == "histogram_quantile":
             q = self._eval(node.args[0], ctx)
@@ -639,13 +769,49 @@ class PromQLEngine:
             a, b = (sc, c) if flipped else (c, sc)
             if op in self._CMP:
                 cond = self._cmp_col(op, a, b)
-                if node.bool_modifier:
+                if node.bool_modifier or v.is_scalar:
                     out = v.df.withColumn("value", cond.cast("double"))
                 else:
                     out = v.df.filter(cond)
-                return VectorResult(out, v.labels)
+                return VectorResult(out, v.labels, v.is_scalar)
             out = v.df.withColumn("value", self._arith_col(op, a, b))
-            return VectorResult(out, v.labels)
+            return VectorResult(out, v.labels, v.is_scalar)
+
+        if lhs.is_scalar and rhs.is_scalar:
+            j = (
+                lhs.df.select("__t", F.col("value").alias("__lv"))
+                .join(rhs.df.select("__t", F.col("value").alias("__rv")), "__t", "inner")
+            )
+            a, b = F.col("__lv"), F.col("__rv")
+            if op in self._CMP:
+                val = self._cmp_col(op, a, b).cast("double")
+            else:
+                val = self._arith_col(op, a, b)
+            return VectorResult(
+                j.select("__t", val.alias("value")), [], is_scalar=True
+            )
+
+        if lhs.is_scalar != rhs.is_scalar:
+            # scalar()-valued operand: per-step value applied to every series
+            # of the vector side; the vector side's labels are kept
+            # (reference planner treats scalar() as a literal per timestamp)
+            v, s, flipped = (
+                (rhs, lhs, True) if lhs.is_scalar else (lhs, rhs, False)
+            )
+            sdf = s.df.select(F.col("__t").alias("__st"), F.col("value").alias("__sv"))
+            j = v.df.join(sdf, F.col("__t") == F.col("__st"), "inner").drop("__st")
+            a, b = (
+                (F.col("__sv"), F.col("value")) if flipped else (F.col("value"), F.col("__sv"))
+            )
+            if op in self._CMP:
+                cond = self._cmp_col(op, a, b)
+                if node.bool_modifier:
+                    out = j.withColumn("value", cond.cast("double"))
+                else:
+                    out = j.filter(cond)  # keeps the vector side's value
+            else:
+                out = j.withColumn("value", self._arith_col(op, a, b))
+            return VectorResult(out.select("__t", *v.labels, "value"), v.labels)
 
         return self._vector_binary(node, lhs, rhs)
 
@@ -678,67 +844,125 @@ class PromQLEngine:
         return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[op]
 
     def _vector_binary(self, node: BinaryOp, lhs: VectorResult, rhs: VectorResult):
+        """Vector-vector binary op with Prometheus matching semantics.
+
+        Default (no modifier) matching is on the UNION of both sides' label
+        sets — series match only when every label agrees, treating an absent
+        label as NULL and comparing null-safely (the reference's DataFusion
+        hash join with null_equals_null; matches its
+        promql/set_operation.result goldens for NULL-valued tags). The
+        one-to-one output keeps the LHS label columns (reference planner
+        projects lhs tags regardless of on/ignoring)."""
         op = node.op
         m = node.matching or VectorMatching()
         if m.on is not None:
-            match_labels = [l for l in m.on]
+            match_labels = list(dict.fromkeys(m.on))
         else:
-            common = set(lhs.labels) & set(rhs.labels)
+            union = list(dict.fromkeys([*lhs.labels, *rhs.labels]))
             if m.ignoring:
-                common -= set(m.ignoring)
-            match_labels = sorted(common)
+                union = [lab for lab in union if lab not in m.ignoring]
+            match_labels = union
 
-        l = lhs.df.select("__t", *lhs.labels, F.col("value").alias("__lv"))
-        r = rhs.df.select("__t", *rhs.labels, F.col("value").alias("__rv"))
+        def side_col(alias, v, lab):
+            if lab in v.labels:
+                return F.col(f"{alias}.{lab}")
+            return F.lit(None).cast("string")
+
+        def _match_cond(alias_a, va, alias_b, vb):
+            cond = F.col(f"{alias_a}.__t") == F.col(f"{alias_b}.__t")
+            for lab in match_labels:
+                cond = cond & side_col(alias_a, va, lab).eqNullSafe(
+                    side_col(alias_b, vb, lab)
+                )
+            return cond
+
+        self._join_n = getattr(self, "_join_n", 0) + 1
+        la, ra = f"lbin{self._join_n}", f"rbin{self._join_n}"
+        l = lhs.df.alias(la)
+        r = rhs.df.alias(ra)
+        cond = _match_cond(la, lhs, ra, rhs)
 
         if op in ("and", "unless"):
-            keys = ["__t", *match_labels]
             how = "left_semi" if op == "and" else "left_anti"
-            out = lhs.df.join(r.select(*keys).distinct(), keys, how)
+            out = l.join(r, cond, how)
             return VectorResult(out, lhs.labels)
         if op == "or":
-            keys = ["__t", *match_labels]
-            extra = r.join(l.select(*keys).distinct(), keys, "left_anti")
-            rhs_as_lhs = extra.select(
+            # output label universe = union of both sides, null-filled
+            # (Prometheus preserves each side's full label set)
+            out_labels = list(dict.fromkeys([*lhs.labels, *rhs.labels]))
+            lout = lhs.df.select(
+                "__t",
+                *[
+                    (F.col(lab) if lab in lhs.labels else F.lit(None).cast("string")).alias(lab)
+                    for lab in out_labels
+                ],
+                "value",
+            )
+            extra = r.join(l, _match_cond(ra, rhs, la, lhs), "left_anti")
+            rout = extra.select(
                 "__t",
                 *[
                     (F.col(lab) if lab in rhs.labels else F.lit(None).cast("string")).alias(lab)
-                    for lab in lhs.labels
+                    for lab in out_labels
                 ],
-                F.col("__rv").alias("value"),
+                "value",
             )
-            out = lhs.df.select("__t", *lhs.labels, "value").unionByName(rhs_as_lhs)
-            return VectorResult(out, lhs.labels)
+            return VectorResult(lout.unionByName(rout), out_labels)
 
         # arithmetic / comparison joins
+        # a completely label-less side (e.g. vector(1)) broadcasts per step
+        # against every series of the other side, keeping the labeled side's
+        # labels (reference issue #5392 pin in promql/set_operation.result)
+        if m.on is None and not m.ignoring and (not lhs.labels) != (not rhs.labels) and op not in ("and", "unless", "or"):
+            v, s, flipped = (
+                (rhs, lhs, True) if not lhs.labels else (lhs, rhs, False)
+            )
+            sdf = s.df.select(F.col("__t").alias("__st"), F.col("value").alias("__sv"))
+            j = v.df.join(sdf, F.col("__t") == F.col("__st"), "inner").drop("__st")
+            a, b = (
+                (F.col("__sv"), F.col("value")) if flipped else (F.col("value"), F.col("__sv"))
+            )
+            if op in self._CMP:
+                cond2 = self._cmp_col(op, a, b)
+                if node.bool_modifier:
+                    out = j.withColumn("value", cond2.cast("double"))
+                else:
+                    out = j.filter(cond2).withColumn("value", a)
+            else:
+                out = j.withColumn("value", self._arith_col(op, a, b))
+            return VectorResult(out.select("__t", *v.labels, "value"), v.labels)
+
         group_left = m.group_left is not None
         group_right = m.group_right is not None
-        keys = ["__t", *match_labels]
         if group_left or group_right:
-            many, one = (lhs, rhs) if group_left else (rhs, lhs)
-            many_df = many.df.select("__t", *many.labels, F.col("value").alias("__mv"))
+            many, one, ma, oa = (
+                (lhs, rhs, la, ra) if group_left else (rhs, lhs, ra, la)
+            )
             extra = (m.group_left or m.group_right or [])
             one_cols = [c for c in extra if c in one.labels]
-            one_df = one.df.select(keys + one_cols + [F.col("value").alias("__ov")])
-            j = many_df.join(one_df, keys, "inner")
-            a, b = (F.col("__mv"), F.col("__ov")) if group_left else (F.col("__ov"), F.col("__mv"))
+            j = l.join(r, cond, "inner")
+            a, b = F.col(f"{la}.value"), F.col(f"{ra}.value")
             labels = many.labels + [c for c in one_cols if c not in many.labels]
+            sel_cols = [F.col(f"{ma}.__t").alias("__t")] + [
+                F.col(f"{ma}.{lab}").alias(lab) for lab in many.labels
+            ] + [F.col(f"{oa}.{c}").alias(c) for c in one_cols if c not in many.labels]
         else:
-            j = l.select(keys + [F.col("__lv")]).join(
-                r.select(keys + [F.col("__rv")]), keys, "inner"
-            )
-            a, b = F.col("__lv"), F.col("__rv")
-            labels = match_labels
+            j = l.join(r, cond, "inner")
+            a, b = F.col(f"{la}.value"), F.col(f"{ra}.value")
+            labels = list(lhs.labels)
+            sel_cols = [F.col(f"{la}.__t").alias("__t")] + [
+                F.col(f"{la}.{lab}").alias(lab) for lab in lhs.labels
+            ]
 
         if op in self._CMP:
-            cond = self._cmp_col(op, a, b)
+            cond2 = self._cmp_col(op, a, b)
             if node.bool_modifier:
-                out = j.withColumn("value", cond.cast("double"))
+                out = j.select(*sel_cols, cond2.cast("double").alias("value"))
             else:
-                out = j.filter(cond).withColumn("value", a)
+                out = j.filter(cond2).select(*sel_cols, a.alias("value"))
         else:
-            out = j.withColumn("value", self._arith_col(op, a, b))
-        return VectorResult(out.select("__t", *labels, "value"), labels)
+            out = j.select(*sel_cols, self._arith_col(op, a, b).alias("value"))
+        return VectorResult(out, labels)
 
     # -- misc -------------------------------------------------------------------
 
@@ -749,3 +973,8 @@ class PromQLEngine:
 
     def _scalar_to_vector(self, s: float, ctx: _Ctx) -> VectorResult:
         return VectorResult(self._grid(ctx).withColumn("value", F.lit(s)), [])
+
+    def _scalar_vector(self, s: float, ctx: _Ctx) -> VectorResult:
+        return VectorResult(
+            self._grid(ctx).withColumn("value", F.lit(s)), [], is_scalar=True
+        )

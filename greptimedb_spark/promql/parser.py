@@ -45,6 +45,16 @@ class VectorSelector:
 
 
 @dataclass
+class Subquery:
+    """``expr[range:step]`` — inner expr re-evaluated on a step grid."""
+
+    expr: object
+    range_ms: int
+    step_ms: int | None = None  # None → default eval interval
+    offset_ms: int = 0
+
+
+@dataclass
 class Call:
     func: str
     args: list
@@ -193,24 +203,26 @@ class Parser:
             t = self.peek()
             if t is None:
                 break
-            op = t.text
+            # keyword operators/modifiers are case-insensitive (the reference
+            # promql corpus writes AND/ON/IGNORING uppercase)
+            op = t.text.lower() if t.kind == "IDENT" else t.text
             if op not in _PRECEDENCE or _PRECEDENCE[op] < min_prec:
                 break
             self.next()
             bool_mod = False
             matching = None
-            if self.peek() is not None and self.peek().text == "bool":
+            if self.peek() is not None and self.peek().text.lower() == "bool":
                 self.next()
                 bool_mod = True
-            if self.peek() is not None and self.peek().text in ("on", "ignoring"):
-                kw = self.next().text
+            if self.peek() is not None and self.peek().text.lower() in ("on", "ignoring"):
+                kw = self.next().text.lower()
                 labels = self._label_list()
                 matching = VectorMatching(
                     on=labels if kw == "on" else None,
                     ignoring=labels if kw == "ignoring" else None,
                 )
-                if self.peek() is not None and self.peek().text in ("group_left", "group_right"):
-                    side = self.next().text
+                if self.peek() is not None and self.peek().text.lower() in ("group_left", "group_right"):
+                    side = self.next().text.lower()
                     extra: list[str] = []
                     if self.peek() is not None and self.peek().kind == "LPAREN":
                         extra = self._label_list()
@@ -241,11 +253,20 @@ class Parser:
             if t.kind == "LBRACKET":
                 self.next()
                 dur = self.expect("DURATION").text
+                if self.peek() is not None and self.peek().kind == "COLON":
+                    # subquery: expr[range:step] (step optional)
+                    self.next()
+                    step_ms = None
+                    if self.peek() is not None and self.peek().kind == "DURATION":
+                        step_ms = parse_duration(self.next().text)
+                    self.expect("RBRACKET")
+                    e = Subquery(e, parse_duration(dur), step_ms)
+                    continue
                 self.expect("RBRACKET")
                 if not isinstance(e, VectorSelector):
                     raise ValueError("range selector on non-selector")
                 e.range_ms = parse_duration(dur)
-            elif t.text == "offset":
+            elif t.kind == "IDENT" and t.text.lower() == "offset":
                 self.next()
                 neg = False
                 if self.at_op("-"):
@@ -253,7 +274,7 @@ class Parser:
                     neg = True
                 dur = self.expect("DURATION").text
                 off = parse_duration(dur)
-                if not isinstance(e, VectorSelector):
+                if not isinstance(e, (VectorSelector, Subquery)):
                     raise ValueError("offset on non-selector")
                 e.offset_ms = -off if neg else off
             else:
@@ -274,7 +295,7 @@ class Parser:
             return NumberLiteral(float(int(txt, 16)) if txt.startswith("0x") else float(txt))
         if t.kind == "STRING":
             self.next()
-            return StringLiteral(t.text[1:-1])
+            return StringLiteral(_unquote(t.text))
         if t.kind == "LPAREN":
             self.next()
             e = self.parse_expr(0)
@@ -354,12 +375,48 @@ class Parser:
                 raise ValueError(f"bad matcher op {op}")
             if op == "==":
                 op = "="
-            val = self.expect("STRING").text[1:-1]
+            val = _unquote(self.expect("STRING").text)
             out.append(LabelMatcher(name, op, val))
             if self.peek() is not None and self.peek().kind == "COMMA":
                 self.next()
         self.expect("RBRACE")
         return out
+
+
+_ESCAPES = {
+    "\\": "\\", '"': '"', "'": "'", "n": "\n", "t": "\t", "r": "\r",
+    "a": "\a", "b": "\b", "f": "\f", "v": "\v", "/": "/",
+}
+
+
+def _unquote(text: str) -> str:
+    """Process Go-style escapes inside a quoted PromQL string literal —
+    ``"10\\.0\\.1"`` means the 6-char regex ``10\\.0\\.1`` (backslash kept as
+    the regex escape), while ``\\\\`` collapses to one backslash."""
+    body = text[1:-1]
+    out = []
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            if nxt in ("x", "u", "U") or nxt.isdigit():
+                # \xHH / \uHHHH / \UHHHHHHHH / octal
+                import re as _re
+
+                m = _re.match(r"\\x([0-9a-fA-F]{2})|\\u([0-9a-fA-F]{4})|\\U([0-9a-fA-F]{8})|\\([0-7]{3})", body[i:])
+                if m:
+                    h = m.group(1) or m.group(2) or m.group(3)
+                    out.append(chr(int(h, 16)) if h else chr(int(m.group(4), 8)))
+                    i += m.end()
+                    continue
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+                i += 2
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def parse_promql(query: str):

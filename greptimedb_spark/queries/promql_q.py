@@ -107,7 +107,7 @@ WITH grid AS (
 )
 SELECT ts_ms, event_type, value
 FROM cnt
-QUALIFY ROW_NUMBER() OVER (PARTITION BY ts_ms ORDER BY value DESC, event_type ASC) <= 2
+QUALIFY ROW_NUMBER() OVER (PARTITION BY ts_ms ORDER BY value DESC, event_type DESC) <= 2
 """
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _ALIASES = {
     # greptime/datafusion name → spark name (same arity)
@@ -40,6 +41,34 @@ _TQL_RE = re.compile(
     r"(?:,\s*([^)]+)\s*)?\)\s*,?\s*(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+# TQL EVAL with the (start, end, step) omitted → defaults (0, 0, '1s')
+# (reference parser allows it; promql/label.result exercises it)
+_TQL_NOARGS_RE = re.compile(
+    r"^\s*TQL\s+EVAL\s+(?!\()(.*)$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _strip_line_comments(text: str) -> str:
+    """Remove `-- ...` end-of-line comments outside string literals."""
+    out = []
+    for line in text.splitlines():
+        res, i, q = [], 0, None
+        while i < len(line):
+            ch = line[i]
+            if q:
+                if ch == q:
+                    q = None
+                res.append(ch)
+            elif ch in ("'", '"'):
+                q = ch
+                res.append(ch)
+            elif ch == "-" and line[i : i + 2] == "--":
+                break
+            else:
+                res.append(ch)
+            i += 1
+        out.append("".join(res))
+    return "\n".join(out)
 
 
 def _rewrite_atat(text: str) -> str:
@@ -54,6 +83,24 @@ def _rewrite_aliases(text: str) -> str:
     for old, new in _ALIASES.items():
         text = re.sub(rf"\b{old}\s*\(", f"{new}(", text, flags=re.IGNORECASE)
     return text
+
+
+_COLON_CAST_RE = re.compile(
+    r"('(?:[^']*)'|\b\w+(?:\([^()]*\))?)\s*::\s*(\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+)
+
+
+def _rewrite_colon_cast(text: str) -> str:
+    """DataFusion `expr::TYPE` cast → CAST(expr AS TYPE). Handles literal and
+    simple-identifier/call operands (the forms the sqlness corpus uses)."""
+
+    def repl(m: re.Match) -> str:
+        val, typ = m.group(1), m.group(2)
+        if re.fullmatch(r"'(?:nan|NAN|NaN)'", val) and typ.lower() in ("double", "float64"):
+            val = "'NaN'"  # Spark double parsing accepts only this spelling
+        return f"CAST({val} AS {_map_type(typ)})"
+
+    return _COLON_CAST_RE.sub(repl, text)
 
 
 def _parse_time_arg(arg: str) -> int:
@@ -138,6 +185,10 @@ class GreptimeSQL:
         re.IGNORECASE | re.DOTALL,
     )
     _DROP_RE = re.compile(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?\"?(\w+)\"?\s*$", re.IGNORECASE)
+    _DELETE_RE = re.compile(
+        r"^\s*DELETE\s+FROM\s+\"?(\w+)\"?\s*(?:WHERE\s+(.*))?$",
+        re.IGNORECASE | re.DOTALL,
+    )
 
     def _ddl(self, text: str):
         if self.catalog is None:
@@ -159,8 +210,14 @@ class GreptimeSQL:
                     continue
                 pk_inline = re.match(r"PRIMARY\s+KEY\s*\(([^)]*)\)", item, re.IGNORECASE)
                 if pk_inline:
-                    tags.extend(c.strip() for c in pk_inline.group(1).split(","))
+                    tags.extend(c.strip().strip('"`') for c in pk_inline.group(1).split(","))
                     continue
+                ti_inline = re.match(r"TIME\s+INDEX\s*\(\s*\"?`?(\w+)`?\"?\s*\)", item, re.IGNORECASE)
+                if ti_inline:
+                    time_index = ti_inline.group(1)
+                    continue
+                if re.match(r"(FULLTEXT|INVERTED|SKIPPING)\s+INDEX", item, re.IGNORECASE):
+                    continue  # index clauses: Parquet stats/bloom serve these
                 cm = re.match(r"(\w+)\s+([\w()]+)(.*)", item, re.DOTALL)
                 col, typ, rest = cm.group(1), cm.group(2), cm.group(3) or ""
                 cols.append((col, _map_type(typ)))
@@ -183,6 +240,7 @@ class GreptimeSQL:
                 merge_mode=opts.get("merge_mode", "last_row"),
                 append_mode=opts.get("append_mode", "false").lower() == "true",
                 ttl=opts.get("ttl"),
+                columns=[list(c) for c in cols],
             )
             self.catalog.create_table(meta, if_not_exists="IF NOT EXISTS" in text.upper())
             self._schemas = getattr(self, "_schemas", {})
@@ -193,11 +251,24 @@ class GreptimeSQL:
             name, col_list, values_text = m.groups()
             known = getattr(self, "_schemas", {})
             if name not in known:
-                raise ValueError(f"table {name!r} does not exist (known: {sorted(known)})")
-            cols = self._schemas[name]
+                # recover the declared schema from the catalog meta (table
+                # created by an earlier session)
+                try:
+                    meta_cols = self.catalog.meta(name).columns
+                except FileNotFoundError:
+                    meta_cols = None
+                if not meta_cols:
+                    raise ValueError(
+                        f"table {name!r} does not exist (known: {sorted(known)})"
+                    )
+                known = getattr(self, "_schemas", {})
+                known[name] = [tuple(c) for c in meta_cols]
+                self._schemas = known
+            full_cols = self._schemas[name]
+            cols = full_cols
             if col_list:
-                order = [c.strip() for c in col_list.split(",")]
-                cols = [next(c for c in cols if c[0] == o) for o in order]
+                order = [c.strip().strip('"`') for c in col_list.split(",")]
+                cols = [next(c for c in full_cols if c[0] == o) for o in order]
             # evaluate the VALUES rows with Spark itself (handles literals,
             # strings, nulls, ISO timestamps the same way the reference does);
             # integer literals for timestamp columns are epoch values in the
@@ -224,6 +295,16 @@ class GreptimeSQL:
                 else:
                     exprs.append(f"CAST({v} AS {t}) AS {c}")
             df = raw.selectExpr(*exprs)
+            listed = {c for c, _t in cols}
+            if listed != {c for c, _t in full_cols}:
+                # column-list INSERT: null-fill the unlisted columns and emit
+                # in declared order so every parquet file shares one schema
+                df = df.select(
+                    *[
+                        F.col(c) if c in listed else F.lit(None).cast(t).alias(c)
+                        for c, t in full_cols
+                    ]
+                )
             self.catalog.insert(name, df)
             self.catalog.read(name).createOrReplaceTempView(name)
             return self.spark.createDataFrame([], "result string")
@@ -232,11 +313,36 @@ class GreptimeSQL:
             self.catalog.drop_table(m.group(1))
             self.spark.catalog.dropTempView(m.group(1))
             return self.spark.createDataFrame([], "result string")
+        m = self._DELETE_RE.match(text.strip().rstrip(";"))
+        if m:
+            name, pred = m.groups()
+            meta = self.catalog.meta(name)
+            pred = pred.strip() if pred else "true"
+            try:
+                self.catalog.delete(name, pred)
+            except Exception:
+                # `ts = 0`-style integer comparisons against the timestamp
+                # column: rewrite the time index to its declared integer unit
+                unit = getattr(self, "_ts_units", {}).get(name, {}).get(
+                    meta.time_index, "ms"
+                )
+                conv = {
+                    "s": "unix_seconds({c})",
+                    "ms": "unix_millis({c})",
+                    "us": "unix_micros({c})",
+                    "ns": "unix_micros({c}) * 1000",
+                }[unit].format(c=meta.time_index)
+                pred2 = re.sub(rf"\b{meta.time_index}\b", f"({conv})", pred)
+                self.catalog.delete(name, pred2)
+            self.catalog.read(name).createOrReplaceTempView(name)
+            return self.spark.createDataFrame([], "result string")
         return None
 
     _SET_TZ_RE = re.compile(r"^\s*SET\s+time_zone\s*=\s*'([^']*)'\s*$", re.IGNORECASE)
 
     def sql(self, text: str, time_index: str = "ts") -> DataFrame:
+        text = _strip_line_comments(text)
+        text = _rewrite_colon_cast(text)
         m = self._SET_TZ_RE.match(text.strip().rstrip(";"))
         if m:
             self.tz_offset_ms = _tz_offset_ms(m.group(1))
@@ -244,11 +350,18 @@ class GreptimeSQL:
         ddl = self._ddl(text)
         if ddl is not None:
             return ddl
+        tql_groups = None
         m = _TQL_RE.match(text)
         if m:
+            tql_groups = m.groups()
+        else:
+            m2 = _TQL_NOARGS_RE.match(text.strip().rstrip(";"))
+            if m2:
+                tql_groups = ("0", "0", "'1s'", None, m2.group(1))
+        if tql_groups is not None:
             from greptimedb_spark.promql import MetricTable, PromQLEngine
 
-            start, end, step, lookback, promql = m.groups()
+            start, end, step, lookback, promql = tql_groups
             promql = promql.strip().rstrip(";")
             # trailing `AS name` renames the value column (reference tql.rs)
             value_alias = "value"
