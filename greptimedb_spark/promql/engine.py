@@ -704,7 +704,12 @@ class PromQLEngine:
         (step, labels-minus-le), sort by le, linear-interpolate inside the
         target bucket."""
         if "le" not in v.labels:
-            raise ValueError("histogram_quantile needs an 'le' label")
+            # series without an le label are ignored → empty result
+            empty = self.spark.createDataFrame(
+                [], "__t long, " + ", ".join(f"`{l}` string" for l in v.labels) + ", value double"
+                if v.labels else "__t long, value double",
+            )
+            return VectorResult(empty, list(v.labels))
         keep = [l for l in v.labels if l != "le"]
         le_num = F.when(F.lower("le").isin("inf", "+inf"), F.lit(float("inf"))).otherwise(
             F.col("le").cast("double")
@@ -714,14 +719,43 @@ class PromQLEngine:
             .groupBy("__t", *keep)
             .agg(F.sort_array(F.collect_list(F.struct("__le", "value"))).alias("b"))
         )
+        if math.isnan(q) or q < 0 or q > 1:
+            # Prometheus: φ outside [0,1] → ±Inf, NaN → NaN (per series)
+            lit_val = float("nan") if math.isnan(q) else (
+                float("-inf") if q < 0 else float("inf")
+            )
+            out = g.withColumn("value", F.lit(lit_val)).select("__t", *keep, "value")
+            return VectorResult(out, keep)
+        # Prometheus ensureMonotonic: buckets selected at mixed timestamps can
+        # be non-cumulative; clamp counts to a running max over ascending le
+        mono = F.aggregate(
+            F.col("b"),
+            F.expr("CAST(array() AS ARRAY<STRUCT<__le: DOUBLE, value: DOUBLE>>)"),
+            lambda acc, s: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        s["__le"].alias("__le"),
+                        F.greatest(
+                            s["value"],
+                            F.coalesce(
+                                F.try_element_at(acc, F.lit(-1))["value"],
+                                F.lit(float("-inf")),
+                            ),
+                        ).alias("value"),
+                    )
+                ),
+            ),
+        )
+        g = g.withColumn("b", mono)
         b = F.col("b")
-        total = F.element_at(b, -1)["value"]
+        total = F.try_element_at(b, F.lit(-1))["value"]
         rank = F.lit(q) * total
         # first bucket with cumulative count >= rank
         hit = F.filter(b, lambda s: s["value"] >= rank)
-        bucket = F.element_at(hit, 1)
+        bucket = F.try_element_at(hit, F.lit(1))
         below = F.filter(b, lambda s: s["value"] < rank)
-        prev = F.element_at(below, -1)
+        prev = F.try_element_at(below, F.lit(-1))
         lower = F.when(F.size(below) > 0, prev["__le"]).otherwise(
             F.when(bucket["__le"] > 0, F.lit(0.0)).otherwise(bucket["__le"])
         )
@@ -739,11 +773,11 @@ class PromQLEngine:
         out = (
             g.withColumn(
                 "__inf_le",
-                F.element_at(F.filter(b, lambda s: s["__le"] == float("inf")), 1)["__le"],
+                F.try_element_at(F.filter(b, lambda s: s["__le"] == float("inf")), F.lit(1))["__le"],
             )
             .withColumn(
                 "__max_finite_le",
-                F.element_at(F.filter(b, lambda s: s["__le"] != float("inf")), -1)["__le"],
+                F.try_element_at(F.filter(b, lambda s: s["__le"] != float("inf")), F.lit(-1))["__le"],
             )
             .withColumn("value", val)
             .select("__t", *keep, "value")
@@ -855,6 +889,15 @@ class PromQLEngine:
         projects lhs tags regardless of on/ignoring)."""
         op = node.op
         m = node.matching or VectorMatching()
+
+        def _masked(labels):
+            if m.on is not None:
+                return [lab for lab in labels if lab in m.on]
+            if m.ignoring:
+                return [lab for lab in labels if lab not in m.ignoring]
+            return list(labels)
+
+        lkeys, rkeys = _masked(lhs.labels), _masked(rhs.labels)
         if m.on is not None:
             match_labels = list(dict.fromkeys(m.on))
         else:
@@ -947,11 +990,27 @@ class PromQLEngine:
                 F.col(f"{ma}.{lab}").alias(lab) for lab in many.labels
             ] + [F.col(f"{oa}.{c}").alias(c) for c in one_cols if c not in many.labels]
         else:
+            # one-to-one: each side's masked tag set is the join key; unequal
+            # key sets → empty result (reference binary_join_key_columns
+            # force_empty_join); the output projects the RHS tag columns
+            # (reference join plan: left pruned to keys, rhs columns kept)
+            labels = list(rhs.labels)
+            if sorted(lkeys) != sorted(rkeys):
+                empty = self.spark.createDataFrame(
+                    [],
+                    "__t long"
+                    + "".join(f", `{lab}` string" for lab in labels)
+                    + ", value double",
+                )
+                return VectorResult(empty, labels)
+            keys = sorted(lkeys)
+            cond = F.col(f"{la}.__t") == F.col(f"{ra}.__t")
+            for lab in keys:
+                cond = cond & F.col(f"{la}.{lab}").eqNullSafe(F.col(f"{ra}.{lab}"))
             j = l.join(r, cond, "inner")
             a, b = F.col(f"{la}.value"), F.col(f"{ra}.value")
-            labels = list(lhs.labels)
-            sel_cols = [F.col(f"{la}.__t").alias("__t")] + [
-                F.col(f"{la}.{lab}").alias(lab) for lab in lhs.labels
+            sel_cols = [F.col(f"{ra}.__t").alias("__t")] + [
+                F.col(f"{ra}.{lab}").alias(lab) for lab in rhs.labels
             ]
 
         if op in self._CMP:

@@ -175,11 +175,6 @@ class GreptimeSQL:
 
     # -- DDL/DML ----------------------------------------------------------
 
-    _CREATE_RE = re.compile(
-        r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*"
-        r"(?:WITH\s*\((.*)\))?\s*$",
-        re.IGNORECASE | re.DOTALL,
-    )
     _INSERT_RE = re.compile(
         r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?\"?(\w+)\"?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.*)$",
         re.IGNORECASE | re.DOTALL,
@@ -196,13 +191,34 @@ class GreptimeSQL:
         text = text.replace('`', '')
         from greptimedb_spark.catalog import TableMeta
 
+        # PARTITION ON COLUMNS (...) (...) — the reference's range-sharding
+        # clause; region placement maps to Parquet bucket layout + hash
+        # shuffles here, so the clause is accepted and dropped
+        text = re.sub(
+            r"PARTITION\s+ON\s+COLUMNS\s*\([^)]*\)\s*\((?:[^()]|\([^()]*\))*\)",
+            "",
+            text,
+            flags=re.IGNORECASE | re.DOTALL,
+        )
         if not self._INSERT_RE.match(text.strip().rstrip(";")):
             # ANSI double-quoted identifiers → bare (NOT in INSERT, where
             # double quotes are string literals in the reference dialect)
             text = re.sub(r'"(\w+)"', r"\1", text)
-        m = self._CREATE_RE.match(text.strip().rstrip(";"))
+        # CREATE parsed by paren-depth (trailing ENGINE=/WITH() clauses make
+        # a single greedy regex mis-capture the column list)
+        cm0 = re.match(
+            r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\(",
+            text.strip().rstrip(";"),
+            re.IGNORECASE,
+        )
+        m = cm0
+        if cm0 is not None:
+            body = text.strip().rstrip(";")
+            name = cm0.group(1)
+            cols_text, tail = _balanced_paren(body[cm0.end() - 1 :])
+            wm = re.search(r"WITH\s*\(", tail, re.IGNORECASE)
+            with_text = _balanced_paren(tail[wm.end() - 1 :])[0] if wm else None
         if m:
-            name, cols_text, with_text = m.groups()
             cols, tags, time_index = [], [], None
             for item in _split_columns(cols_text):
                 item = item.strip()
@@ -273,6 +289,7 @@ class GreptimeSQL:
             # strings, nulls, ISO timestamps the same way the reference does);
             # integer literals for timestamp columns are epoch values in the
             # column's declared precision (timestamp(0)=s .. timestamp(9)=ns)
+            values_text = values_text.strip().rstrip(",")  # trailing comma (commented-out tuple)
             raw = self.spark.sql(f"SELECT * FROM VALUES {values_text}").toDF(
                 *[f"col{i + 1}" for i in range(len(cols))]
             )
@@ -432,6 +449,19 @@ def _tz_offset_ms(tz: str) -> int:
 
     off = dt.datetime(1970, 1, 1, tzinfo=ZoneInfo(tz)).utcoffset()
     return int(off.total_seconds() * 1000)
+
+
+def _balanced_paren(s: str) -> tuple[str, str]:
+    """``s`` starts at '(' → (inner text, remainder after the matching ')')."""
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return s[1:i], s[i + 1 :]
+    return s[1:], ""
 
 
 def _split_columns(text: str) -> list[str]:

@@ -305,22 +305,24 @@ _CONFORMANCE_CASES = [
     ("promql/range_sparse_empty_trailing", 1),
     ("promql/regex", 4),
     ("promql/scalar", 45),
-    ("promql/set_operation", 35),
+    ("promql/set_operation", 40),
+    ("promql/simple_histogram", 23),
     ("promql/sort", 6),
+    ("promql/stats_schema_mismatch_regression", 1),
     ("promql/subquery", 6),
     ("promql/time_fn", 42),
     ("promql/timestamp_fn", 13),
     ("promql/topk_bottomk", 12),
+    ("promql/histogram_multi_partition", 1),
+    ("promql/tsid_binary_join_regression", 9),
+    ("promql/tsid_histogram_quantile_regression", 4),
 ]
 
-# promql files NOT in the battery, with reasons:
-# - promql/encode_substrait, promql/histogram_multi_partition (tql analyze):
-#   goldens are plan/substrait dumps — engine-specific text, not comparable
-# - promql/simple_histogram: 3 statements hit le-label edge cases (open)
+# promql files NOT in the battery, with reasons (29/31 run verbatim):
+# - promql/encode_substrait: goldens are substrait/plan dumps — engine-
+#   specific text, not comparable (TQL ANALYZE statements inside the files
+#   above are skipped for the same reason)
 # - promql/string_identifier: quoted ("service.name") label identifiers (open)
-# - promql/stats_schema_mismatch_regression, promql/tsid_*: metric-engine
-#   physical-table (tsid) regression pins — engine-internal machinery the
-#   Spark design intentionally lacks (SURVEY §2.1 maps it to Parquet layout)
 
 
 @pytest.mark.parametrize("case,min_checked", _CONFORMANCE_CASES,
