@@ -78,6 +78,13 @@ def main() -> None:
     cat.create_table(TableMeta(name="ev", time_index="ts", tags=["user_id"]))
     ev = read(spark, SF_DIR, "events")
     n_rows = ev.count()
+    # replicate to >=1M rows so fixed JVM/commit overhead doesn't dominate
+    factor = max(1, 1_000_000 // max(n_rows, 1))
+    if factor > 1:
+        from pyspark.sql import functions as F
+
+        ev = ev.crossJoin(F.broadcast(spark.range(factor))).drop("id")
+        n_rows *= factor
     t0 = time.time()
     cat.insert("ev", ev)
     dt = time.time() - t0

@@ -148,12 +148,14 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sh = shingle_hashes(df, id_col, text_col, shingle_k)
 
-    # One grouped pass produces everything per doc: shingle count, the full
-    # hash set (for exact verify), and the minhash signature. Downstream
-    # branches share the same shuffle (ReusedExchange).
+    # One grouped pass produces the per-doc shingle count and the minhash
+    # signature (128 fixed-width ints — bounded row payload). The exact-verify
+    # intersection below re-joins the exploded (id, h) relation instead of
+    # carrying per-doc hash arrays: at 100 TB the arrays are doc-sized and
+    # would ride through every candidate join, while (id, h) rows are 16
+    # bytes and hash-partition cleanly.
     per_doc = sh.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_sh"),
-        F.collect_list("h").alias("hs"),
         F.array(*[F.min(_perm_hash(F.col("h"), i)) for i in range(num_hashes)]).alias("sig"),
     )
     band_cols = [
@@ -171,14 +173,25 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # verify on candidates only: arrays join in, HOFs run on the few pairs
+    # |A∩B| by joining the exploded distinct (id, h) sets of the candidate
+    # pairs and counting matches — no arrays move through the shuffle
+    sh_a = sh.select(F.col("id").alias("id_a"), "h")
+    sh_b = sh.select(F.col("id").alias("id_b"), "h")
+    inter = (
+        pair_ids.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+
     out = (
         pair_ids.join(per_doc.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"),
-                                     F.col("hs").alias("hs_a"), F.col("sig").alias("sig_a")), "id_a")
+                                     F.col("sig").alias("sig_a")), "id_a")
         .join(per_doc.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"),
-                             F.col("hs").alias("hs_b"), F.col("sig").alias("sig_b")), "id_b")
+                             F.col("sig").alias("sig_b")), "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
     )
-    n_inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
     matches = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1)
     )

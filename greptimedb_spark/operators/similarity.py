@@ -45,32 +45,46 @@ def brute_force_topk(
     )
 
 
+def _plane_coeffs(dim: int, n_planes: int, seed: int) -> list:
+    """Deterministic pseudo-random plane matrix in [-1, 1], computed ONCE on
+    the driver (blake2b of (seed, plane, coord)) and shipped as literals —
+    identical on every executor, no per-row hashing."""
+    import hashlib
+
+    out = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = int.from_bytes(
+                hashlib.blake2b(f"{seed}:{p}:{i}".encode(), digest_size=8).digest(),
+                "big",
+            )
+            row.append((h % 2_000_001 - 1_000_000) / 1_000_000.0)
+        out.append(row)
+    return out
+
+
 def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 0) -> Column:
     """Sign pattern of the vector against n deterministic pseudo-random
-    hyperplanes. Plane coefficients come from xxhash64(seed, plane, coord)
-    mapped to [-1, 1] — identical on every executor, no state to ship.
+    hyperplanes. The coefficient matrix is precomputed on the driver and
+    embedded as literal arrays (previously n_planes×dim hash calls per ROW of
+    pure CPU — the per-row cost is now just the dot products).
 
     Built with array higher-order functions (not unrolled per-coordinate
     terms) so the generated code stays far below the JVM's 64 KB method limit
     at any dimension."""
-    idx = F.sequence(F.lit(1), F.lit(dim))
+    planes = _plane_coeffs(dim, n_planes, seed)
 
-    def plane_bit(p: int) -> Column:
-        coeffs = F.transform(
-            idx,
-            lambda i: (F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2_000_001)) - 1_000_000)
-            / 1_000_000.0,
-        )
+    sig = None
+    for p, row in enumerate(planes):
+        coeffs = F.array(*[F.lit(c) for c in row])
         dot = F.aggregate(
             F.zip_with(vec, coeffs, lambda x, c: x.cast("double") * c),
             F.lit(0.0),
             lambda acc, t: acc + t,
         )
-        return F.when(dot >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
-
-    sig = plane_bit(0)
-    for p in range(1, n_planes):
-        sig = sig + plane_bit(p)
+        bit = F.when(dot >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
     return sig.cast("long")
 
 

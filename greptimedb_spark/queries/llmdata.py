@@ -118,11 +118,15 @@ def q55_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return sim.lsh_topk(e, queries, dim=64, k=5, n_planes=4, n_tables=20)
 
 
-# -- q56: embedding near-dup pairs, exact (oracled) ---------------------------------
+# -- q56: embedding near-dup pairs via the LSH production path (oracled) ------------
+# The DuckDB oracle is the exact all-pairs scan, so this also asserts the LSH
+# path's recall = 1.0 on the gate data (deterministic hyperplanes: 3 planes ×
+# 24 tables keeps the miss probability at a 0.5-cosine boundary < 1e-3).
+# brute_force_neardup_pairs stays as the pytest oracle for other thresholds.
 
 def q56_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     e = read(spark, sf, "embeddings")
-    return sim.brute_force_neardup_pairs(e, threshold=0.5)
+    return sim.embedding_neardup_pairs(e, dim=64, threshold=0.5, n_planes=3, n_tables=24)
 
 
 Q56_SQL = """
