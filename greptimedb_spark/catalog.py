@@ -50,8 +50,13 @@ class TableMeta:
     append_mode: bool = False
     ttl: str | None = None  # e.g. "7 days" (SQL interval literal)
     partition_granularity: str = "day"  # hour | day | month — physical layout
-    columns: list | None = None  # [(name, spark_type)] — declared schema
+    # Declared schema: [name, spark_type, decl_type, default_sql|None,
+    # not_null] per column (short legacy entries [name, spark_type] accepted).
+    columns: list | None = None
     batch_no: int = 0  # ingest batch counter (strict write ordering)
+    # metric-engine logical tables keep columns name-sorted (reference
+    # metric engine schema ordering; sqlness alter/alter_table.sql t1/t2)
+    sorted_columns: bool = False
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2)
@@ -144,14 +149,36 @@ class Catalog:
         data_path = os.path.join(self._table_path(name), "data")
         if not self._has_data(data_path):
             return self._empty_df(meta)
-        df = self.spark.read.parquet(data_path)
+        df = self.spark.read.option("mergeSchema", "true").parquet(data_path)
+        # columns added by ALTER that no file carries yet must exist BEFORE
+        # the merge (they may be tags the dedup groups on)
+        if meta.columns and all(len(c) >= 2 for c in meta.columns):
+            for entry in meta.columns:
+                if entry[0] not in df.columns:
+                    df = df.withColumn(entry[0], F.lit(None).cast(entry[1]))
         if raw or meta.append_mode:
-            return df.drop(SEQ_COL, BUCKET_COL)
-        df = merge_view(df, meta)
-        if meta.ttl:
-            now = F.expr(f"TIMESTAMP '{at}'") if at else F.current_timestamp()
-            df = df.filter(F.col(meta.time_index) > now - F.expr(f"INTERVAL {meta.ttl}"))
-        return df
+            df = df.drop(SEQ_COL, BUCKET_COL)
+        else:
+            df = merge_view(df, meta)
+            if meta.ttl:
+                now = F.expr(f"TIMESTAMP '{at}'") if at else F.current_timestamp()
+                df = df.filter(F.col(meta.time_index) > now - F.expr(f"INTERVAL {meta.ttl}"))
+        return self._project_declared(df, meta)
+
+    def _project_declared(self, df: DataFrame, meta: TableMeta) -> DataFrame:
+        """Apply the declared schema (order, casts, columns added/dropped by
+        ALTER): missing columns read as NULL (ADD COLUMN ... DEFAULT backfills
+        at alter time), dropped columns vanish, MODIFY COLUMN casts."""
+        if not meta.columns or any(len(c) < 2 for c in meta.columns):
+            return df
+        out = []
+        for entry in meta.columns:
+            cname, styp = entry[0], entry[1]
+            if cname in df.columns:
+                out.append(F.col(cname).cast(styp).alias(cname))
+            else:
+                out.append(F.lit(None).cast(styp).alias(cname))
+        return df.select(*out)
 
     @staticmethod
     def _has_data(data_path: str) -> bool:
@@ -169,8 +196,114 @@ class Catalog:
             raise FileNotFoundError(
                 f"table {meta.name} has no data and no declared schema"
             )
-        schema = ", ".join(f"`{c}` {t}" for c, t in meta.columns)
+        schema = ", ".join(f"`{c[0]}` {c[1]}" for c in meta.columns)
         return self.spark.createDataFrame([], schema)
+
+    # -- schema evolution (reference AlterTable, src/sql/src/statements/
+    # alter.rs; sqlness common/alter/) --------------------------------------
+
+    def add_column(self, name: str, entry: list, position: str | None = None,
+                   after: str | None = None, is_tag: bool = False) -> None:
+        """ADD COLUMN: meta update; a DEFAULT backfills existing rows by a
+        one-time copy-on-write rewrite (the reference stores the default in
+        region metadata and applies it to pre-alter SSTs at read — same
+        observable result; the rewrite keeps read-side plans branch-free).
+        At scale the rewrite is per-bucket and only for defaulted adds."""
+        import shutil
+
+        meta = self.meta(name)
+        cols = [list(c) for c in (meta.columns or [])]
+        if any(c[0] == entry[0] for c in cols):
+            return  # IF NOT EXISTS semantics handled by caller; idempotent
+        if meta.sorted_columns:
+            cols.append(list(entry))
+            cols.sort(key=lambda c: c[0])
+        elif position == "first":
+            cols.insert(0, list(entry))
+        elif after is not None:
+            idx = next(i for i, c in enumerate(cols) if c[0] == after)
+            cols.insert(idx + 1, list(entry))
+        else:
+            cols.append(list(entry))
+        kv = {"columns": cols}
+        if is_tag:
+            kv["tags"] = meta.tags + [entry[0]]
+        self._update_meta(name, **kv)
+        default = entry[3] if len(entry) > 3 else None
+        data_path = os.path.join(self._table_path(name), "data")
+        if default is not None and self._has_data(data_path):
+            df = self.spark.read.option("mergeSchema", "true").parquet(data_path)
+            df = df.withColumn(entry[0], F.expr(default).cast(entry[1]))
+            tmp = data_path + ".alter"
+            df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+            shutil.rmtree(data_path)
+            os.rename(tmp, data_path)
+
+    @staticmethod
+    def _resolve_col(meta: TableMeta, col: str) -> str:
+        """Resolve a column reference case-insensitively (the reference's
+        parser lowercases unquoted identifiers)."""
+        names = [c[0] for c in (meta.columns or [])]
+        if col in names:
+            return col
+        for n in names:
+            if n.lower() == col.lower():
+                return n
+        raise ValueError(f"column {col!r} not found in {meta.name}")
+
+    def drop_column(self, name: str, col: str) -> None:
+        meta = self.meta(name)
+        col = self._resolve_col(meta, col)
+        if col == meta.time_index or col in meta.tags:
+            raise ValueError(f"cannot drop key column {col!r}")
+        cols = [list(c) for c in (meta.columns or []) if c[0] != col]
+        self._update_meta(name, columns=cols)
+
+    def modify_column(self, name: str, col: str, spark_type: str, decl_type: str) -> None:
+        """Change a column's type. Existing files are rewritten with the cast
+        applied (per-file schemas must agree for later appends to merge); at
+        scale this is a per-bucket rewrite like compaction."""
+        import shutil
+
+        meta = self.meta(name)
+        col = self._resolve_col(meta, col)
+        cols = [list(c) for c in (meta.columns or [])]
+        for c in cols:
+            if c[0] == col:
+                c[1] = spark_type
+                if len(c) > 2:
+                    c[2] = decl_type
+        self._update_meta(name, columns=cols)
+        data_path = os.path.join(self._table_path(name), "data")
+        if self._has_data(data_path):
+            df = self.spark.read.option("mergeSchema", "true").parquet(data_path)
+            if col in df.columns:
+                # try_cast: unconvertible values become NULL, matching the
+                # reference's lossy column type change (change_col_type.sql)
+                df = df.withColumn(col, F.col(col).try_cast(spark_type))
+                tmp = data_path + ".alter"
+                df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+                shutil.rmtree(data_path)
+                os.rename(tmp, data_path)
+
+    def set_default(self, name: str, col: str, default: str | None) -> None:
+        meta = self.meta(name)
+        col = self._resolve_col(meta, col)
+        cols = [list(c) for c in (meta.columns or [])]
+        for c in cols:
+            if c[0] == col:
+                while len(c) < 5:
+                    c.append(None if len(c) != 4 else False)
+                c[3] = default
+        self._update_meta(name, columns=cols)
+
+    def rename_table(self, old: str, new: str) -> None:
+        import shutil
+
+        if os.path.exists(self._table_path(new)):
+            raise ValueError(f"table {new} already exists")
+        shutil.move(self._table_path(old), self._table_path(new))
+        self._update_meta(new, name=new)
 
     def delete(self, name: str, predicate) -> int:
         """DELETE FROM t WHERE predicate — copy-on-write rewrite.

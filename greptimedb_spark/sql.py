@@ -98,6 +98,10 @@ def _rewrite_colon_cast(text: str) -> str:
         val, typ = m.group(1), m.group(2)
         if re.fullmatch(r"'(?:nan|NAN|NaN)'", val) and typ.lower() in ("double", "float64"):
             val = "'NaN'"  # Spark double parsing accepts only this spelling
+        if re.fullmatch(r"\d{10,}", val) and typ.lower().startswith("timestamp"):
+            # epoch-integer::timestamp means epoch MILLISECONDS in the
+            # reference dialect; Spark's bigint→timestamp cast is seconds
+            return f"timestamp_millis({val})"
         return f"CAST({val} AS {_map_type(typ)})"
 
     return _COLON_CAST_RE.sub(repl, text)
@@ -176,7 +180,11 @@ class GreptimeSQL:
     # -- DDL/DML ----------------------------------------------------------
 
     _INSERT_RE = re.compile(
-        r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?\"?(\w+)\"?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.*)$",
+        r"^\s*(?:INSERT|REPLACE)\s+INTO\s+(?:TABLE\s+)?\"?(\w+)\"?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _INSERT_SELECT_RE = re.compile(
+        r"^\s*(?:INSERT|REPLACE)\s+INTO\s+(?:TABLE\s+)?\"?(\w+)\"?\s*(?:\(([^)]*)\))?\s*(SELECT\s.*)$",
         re.IGNORECASE | re.DOTALL,
     )
     _DROP_RE = re.compile(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?\"?(\w+)\"?\s*$", re.IGNORECASE)
@@ -188,7 +196,6 @@ class GreptimeSQL:
     def _ddl(self, text: str):
         if self.catalog is None:
             return None
-        text = text.replace('`', '')
         from greptimedb_spark.catalog import TableMeta
 
         # PARTITION ON COLUMNS (...) (...) — the reference's range-sharding
@@ -200,6 +207,10 @@ class GreptimeSQL:
             text,
             flags=re.IGNORECASE | re.DOTALL,
         )
+        # CREATE keeps its quotes (they decide identifier case); the parser
+        # lowercases unquoted names like the reference's does
+        text_q = text
+        text = text.replace('`', '')
         if not self._INSERT_RE.match(text.strip().rstrip(";")):
             # ANSI double-quoted identifiers → bare (NOT in INSERT, where
             # double quotes are string literals in the reference dialect)
@@ -207,14 +218,15 @@ class GreptimeSQL:
         # CREATE parsed by paren-depth (trailing ENGINE=/WITH() clauses make
         # a single greedy regex mis-capture the column list)
         cm0 = re.match(
-            r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\(",
-            text.strip().rstrip(";"),
+            r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\"[^\"]+\"|`[^`]+`|\w+)\s*\(",
+            text_q.strip().rstrip(";"),
             re.IGNORECASE,
         )
         m = cm0
         if cm0 is not None:
-            body = text.strip().rstrip(";")
+            body = text_q.strip().rstrip(";")
             name = cm0.group(1)
+            name = name[1:-1] if name[0] in "\"`" else name.lower()
             cols_text, tail = _balanced_paren(body[cm0.end() - 1 :])
             wm = re.search(r"WITH\s*\(", tail, re.IGNORECASE)
             with_text = _balanced_paren(tail[wm.end() - 1 :])[0] if wm else None
@@ -226,74 +238,78 @@ class GreptimeSQL:
                     continue
                 pk_inline = re.match(r"PRIMARY\s+KEY\s*\(([^)]*)\)", item, re.IGNORECASE)
                 if pk_inline:
-                    tags.extend(c.strip().strip('"`') for c in pk_inline.group(1).split(","))
+                    tags.extend(
+                        _ident_case(c.strip()) for c in pk_inline.group(1).split(",")
+                    )
                     continue
-                ti_inline = re.match(r"TIME\s+INDEX\s*\(\s*\"?`?(\w+)`?\"?\s*\)", item, re.IGNORECASE)
+                ti_inline = re.match(
+                    r"TIME\s+INDEX\s*\(\s*(\"[^\"]+\"|`[^`]+`|\w+)\s*\)", item, re.IGNORECASE
+                )
                 if ti_inline:
-                    time_index = ti_inline.group(1)
+                    time_index = _ident_case(ti_inline.group(1))
                     continue
                 if re.match(r"(FULLTEXT|INVERTED|SKIPPING)\s+INDEX", item, re.IGNORECASE):
                     continue  # index clauses: Parquet stats/bloom serve these
-                cm = re.match(r"(\w+)\s+([\w()]+)(.*)", item, re.DOTALL)
-                col, typ, rest = cm.group(1), cm.group(2), cm.group(3) or ""
-                cols.append((col, _map_type(typ)))
-                self._ts_units = getattr(self, "_ts_units", {})
-                self._ts_units.setdefault(name, {})[col] = _ts_unit(typ)
-                if re.search(r"TIME\s+INDEX", rest, re.IGNORECASE):
-                    time_index = col
-                if re.search(r"PRIMARY\s+KEY", rest, re.IGNORECASE):
-                    tags.append(col)
+                entry, is_ti, is_pk = _parse_col_def(item)
+                if entry is None:
+                    continue
+                cols.append(entry)
+                if is_ti:
+                    time_index = entry[0]
+                if is_pk:
+                    tags.append(entry[0])
             opts = {}
             if with_text:
                 for kv in with_text.split(","):
                     if "=" in kv:
                         k, v = kv.split("=", 1)
                         opts[k.strip().strip("'\"")] = v.strip().strip("'\"")
+            is_metric = bool(re.search(r"ENGINE\s*=\s*metric", tail, re.IGNORECASE))
+            if is_metric:
+                cols = sorted(cols, key=lambda c: c[0])
             meta = TableMeta(
                 name=name,
                 time_index=time_index or cols[0][0],
                 tags=[t for t in tags if t != time_index],
                 merge_mode=opts.get("merge_mode", "last_row"),
                 append_mode=opts.get("append_mode", "false").lower() == "true",
-                ttl=opts.get("ttl"),
+                ttl=opts.get("ttl") or None,
                 columns=[list(c) for c in cols],
+                sorted_columns=is_metric,
             )
             self.catalog.create_table(meta, if_not_exists="IF NOT EXISTS" in text.upper())
-            self._schemas = getattr(self, "_schemas", {})
-            self._schemas[name] = cols
+            self.catalog.read(name).createOrReplaceTempView(name)
             return self.spark.createDataFrame([], "result string")
         m = self._INSERT_RE.match(text.strip().rstrip(";"))
         if m:
             name, col_list, values_text = m.groups()
-            known = getattr(self, "_schemas", {})
-            if name not in known:
-                # recover the declared schema from the catalog meta (table
-                # created by an earlier session)
-                try:
-                    meta_cols = self.catalog.meta(name).columns
-                except FileNotFoundError:
-                    meta_cols = None
-                if not meta_cols:
-                    raise ValueError(
-                        f"table {name!r} does not exist (known: {sorted(known)})"
-                    )
-                known = getattr(self, "_schemas", {})
-                known[name] = [tuple(c) for c in meta_cols]
-                self._schemas = known
-            full_cols = self._schemas[name]
+            name = self._resolve_table(name)
+            full_cols = self._col_entries(name)
             cols = full_cols
             if col_list:
                 order = [c.strip().strip('"`') for c in col_list.split(",")]
-                cols = [next(c for c in full_cols if c[0] == o) for o in order]
+                cols = [
+                    next(
+                        c for c in full_cols
+                        if c[0] == o or c[0].lower() == o.lower()
+                    )
+                    for o in order
+                ]
             # evaluate the VALUES rows with Spark itself (handles literals,
             # strings, nulls, ISO timestamps the same way the reference does);
             # integer literals for timestamp columns are epoch values in the
             # column's declared precision (timestamp(0)=s .. timestamp(9)=ns)
             values_text = values_text.strip().rstrip(",")  # trailing comma (commented-out tuple)
+            values_text = re.sub(r",\s*\)", ")", values_text)  # trailing comma inside a tuple
+            # `DEFAULT` keyword in a VALUES tuple → NULL here, then re-filled
+            # with the column's declared default below (approximation: an
+            # explicit NULL into a defaulted column also takes the default)
+            has_default_kw = re.search(r"\bDEFAULT\b", values_text, re.IGNORECASE)
+            if has_default_kw:
+                values_text = re.sub(r"\bDEFAULT\b", "NULL", values_text, flags=re.IGNORECASE)
             raw = self.spark.sql(f"SELECT * FROM VALUES {values_text}").toDF(
                 *[f"col{i + 1}" for i in range(len(cols))]
             )
-            units = getattr(self, "_ts_units", {}).get(name, {})
             int_to_ts = {
                 "s": "timestamp_seconds({v})",
                 "ms": "timestamp_millis({v})",
@@ -301,38 +317,104 @@ class GreptimeSQL:
                 "ns": "timestamp_micros(CAST({v} / 1000 AS BIGINT))",
             }
             exprs = []
-            for i, (c, t) in enumerate(cols):
+            for i, entry in enumerate(cols):
+                c, t = entry[0], entry[1]
                 v = f"col{i + 1}"
                 if t == "timestamp":
                     if dict(raw.dtypes)[v] in ("bigint", "int", "smallint", "tinyint"):
-                        tpl = int_to_ts[units.get(c, "ms")]
-                        exprs.append(tpl.format(v=f"CAST({v} AS BIGINT)") + f" AS {c}")
+                        tpl = int_to_ts[_ts_unit(entry[2] if len(entry) > 2 else "timestamp")]
+                        e = tpl.format(v=f"CAST({v} AS BIGINT)")
                     else:
-                        exprs.append(f"CAST(CAST({v} AS STRING) AS TIMESTAMP) AS {c}")
+                        e = f"CAST(CAST({v} AS STRING) AS TIMESTAMP)"
+                    d = _default_sql(entry)
+                    if has_default_kw and d:
+                        e = f"COALESCE({e}, {d})"
+                    exprs.append(f"{e} AS {c}")
                 else:
-                    exprs.append(f"CAST({v} AS {t}) AS {c}")
+                    d = _default_sql(entry)
+                    if has_default_kw and d:
+                        exprs.append(f"COALESCE(CAST({v} AS {t}), {d}) AS {c}")
+                    else:
+                        exprs.append(f"CAST({v} AS {t}) AS {c}")
             df = raw.selectExpr(*exprs)
-            listed = {c for c, _t in cols}
-            if listed != {c for c, _t in full_cols}:
-                # column-list INSERT: null-fill the unlisted columns and emit
-                # in declared order so every parquet file shares one schema
-                df = df.select(
-                    *[
-                        F.col(c) if c in listed else F.lit(None).cast(t).alias(c)
-                        for c, t in full_cols
-                    ]
-                )
+            listed = {e[0] for e in cols}
+            if listed != {e[0] for e in full_cols}:
+                # column-list INSERT: unlisted columns take their declared
+                # DEFAULT (or NULL); emit in declared order so every parquet
+                # file shares one schema
+                fill = []
+                for entry in full_cols:
+                    c, t = entry[0], entry[1]
+                    if c in listed:
+                        fill.append(F.col(c))
+                    else:
+                        d = _default_sql(entry)
+                        fill.append(
+                            (F.expr(d).cast(t) if d else F.lit(None).cast(t)).alias(c)
+                        )
+                df = df.select(*fill)
             self.catalog.insert(name, df)
+            self.catalog.read(name).createOrReplaceTempView(name)
+            return self.spark.createDataFrame([], "result string")
+        m = self._INSERT_SELECT_RE.match(text.strip().rstrip(";"))
+        if m:
+            name, col_list, select_text = m.groups()
+            name = self._resolve_table(name)
+            full_cols = self._col_entries(name)
+            cols = full_cols
+            if col_list:
+                order = [c.strip().strip('"`') for c in col_list.split(",")]
+                cols = [
+                    next(c for c in full_cols if c[0] == o or c[0].lower() == o.lower())
+                    for o in order
+                ]
+            src = self.sql(select_text)
+            # positional mapping: select output column i → listed column i;
+            # numeric sources into timestamp columns are epochs in the
+            # column's declared precision (same rule as VALUES literals)
+            int_to_ts = {
+                "s": "timestamp_seconds({v})",
+                "ms": "timestamp_millis({v})",
+                "us": "timestamp_micros({v})",
+                "ns": "timestamp_micros(CAST({v} / 1000 AS BIGINT))",
+            }
+            sel = []
+            src_types = dict(src.dtypes)
+            for i in range(len(cols)):
+                entry = cols[i]
+                scol = src.columns[i]
+                if entry[1] == "timestamp" and src_types[scol] in (
+                    "bigint", "int", "smallint", "tinyint", "double", "float",
+                ):
+                    tpl = int_to_ts[_ts_unit(entry[2] if len(entry) > 2 else "timestamp")]
+                    sel.append(
+                        F.expr(tpl.format(v=f"CAST(`{scol}` AS BIGINT)")).alias(entry[0])
+                    )
+                else:
+                    sel.append(F.col(scol).cast(entry[1]).alias(entry[0]))
+            picked = src.select(*sel)
+            listed = {e[0] for e in cols}
+            fill = []
+            for entry in full_cols:
+                c, t = entry[0], entry[1]
+                if c in listed:
+                    fill.append(F.col(c))
+                else:
+                    d = _default_sql(entry)
+                    fill.append((F.expr(d).cast(t) if d else F.lit(None).cast(t)).alias(c))
+            self.catalog.insert(name, picked.select(*fill))
             self.catalog.read(name).createOrReplaceTempView(name)
             return self.spark.createDataFrame([], "result string")
         m = self._DROP_RE.match(text.strip().rstrip(";"))
         if m:
-            self.catalog.drop_table(m.group(1))
-            self.spark.catalog.dropTempView(m.group(1))
+            name = self._resolve_table(m.group(1))
+            self.catalog.drop_table(name)
+            self.spark.catalog.dropTempView(name)
             return self.spark.createDataFrame([], "result string")
         m = self._DELETE_RE.match(text.strip().rstrip(";"))
         if m:
             name, pred = m.groups()
+            name = self._resolve_table(name)
             meta = self.catalog.meta(name)
             pred = pred.strip() if pred else "true"
             try:
@@ -340,20 +422,312 @@ class GreptimeSQL:
             except Exception:
                 # `ts = 0`-style integer comparisons against the timestamp
                 # column: rewrite the time index to its declared integer unit
-                unit = getattr(self, "_ts_units", {}).get(name, {}).get(
-                    meta.time_index, "ms"
-                )
                 conv = {
                     "s": "unix_seconds({c})",
                     "ms": "unix_millis({c})",
                     "us": "unix_micros({c})",
                     "ns": "unix_micros({c}) * 1000",
-                }[unit].format(c=meta.time_index)
+                }[self._unit_of(name, meta.time_index)].format(c=meta.time_index)
                 pred2 = re.sub(rf"\b{meta.time_index}\b", f"({conv})", pred)
                 self.catalog.delete(name, pred2)
             self.catalog.read(name).createOrReplaceTempView(name)
             return self.spark.createDataFrame([], "result string")
+        out = self._ddl_extended(text, text_q)
+        if out is not None:
+            return out
         return None
+
+    # -- extended DDL surface: ALTER / TRUNCATE / DESC / SHOW / VIEW / ADMIN --
+
+    _TRUNCATE_RE = re.compile(
+        r"^\s*TRUNCATE\s+(?:TABLE\s+)?\"?(\w+)\"?\s*$", re.IGNORECASE
+    )
+    _ALTER_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+(\"[^\"]+\"|\w+)\s+(.*)$", re.IGNORECASE | re.DOTALL
+    )
+    _DESC_RE = re.compile(r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?\"?(\w+)\"?\s*$", re.IGNORECASE)
+    _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+(?:FULL\s+)?TABLES\s*(?:LIKE\s+'([^']*)')?\s*$", re.IGNORECASE)
+    _SHOW_DB_RE = re.compile(r"^\s*SHOW\s+DATABASES\s*$", re.IGNORECASE)
+    _CREATE_VIEW_RE = re.compile(
+        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DROP_VIEW_RE = re.compile(r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE)
+    _SHOW_VIEWS_RE = re.compile(r"^\s*SHOW\s+VIEWS\s*$", re.IGNORECASE)
+    _ADMIN_RE = re.compile(r"^\s*ADMIN\s+(\w+)\s*\(\s*'(\w+)'\s*\)\s*$", re.IGNORECASE)
+
+    def _resolve_table(self, name: str) -> str:
+        """Resolve a table reference: exact, then case-insensitive (unquoted
+        identifiers are lowercased by the reference's parser)."""
+        try:
+            self.catalog.meta(name)
+            return name
+        except FileNotFoundError:
+            for t in self.catalog.list_tables():
+                if t.lower() == name.lower():
+                    return t
+            raise
+
+    def _col_entries(self, name: str) -> list:
+        """Declared column entries [name, spark_type, decl, default, not_null]
+        from the catalog meta."""
+        try:
+            meta_cols = self.catalog.meta(self._resolve_table(name)).columns
+        except FileNotFoundError:
+            meta_cols = None
+        if not meta_cols:
+            raise ValueError(f"table {name!r} does not exist")
+        return [tuple(c) for c in meta_cols]
+
+    def _unit_of(self, name: str, col: str) -> str:
+        for entry in self._col_entries(name):
+            if entry[0] == col and len(entry) > 2:
+                return _ts_unit(entry[2])
+        return "ms"
+
+    def _empty_ok(self):
+        return self.spark.createDataFrame([], "result string")
+
+    def _ddl_extended(self, text: str, text_q: str | None = None):
+        stmt = text.strip().rstrip(";")
+        # ALTER parses from the quote-preserved text: quoting decides
+        # identifier case ("IdC" and idc are distinct columns)
+        stmt_q = (text_q or text).replace("`", '"').strip().rstrip(";")
+        m = self._TRUNCATE_RE.match(stmt)
+        if m:
+            name = self._resolve_table(m.group(1))
+            self.catalog.meta(name)  # raises if missing (expected error)
+            self.catalog.delete(name, "true")
+            self.catalog.read(name).createOrReplaceTempView(name)
+            return self._empty_ok()
+        m = self._DESC_RE.match(stmt)
+        if m:
+            return self._describe(self._resolve_table(m.group(1)))
+        m = self._ALTER_RE.match(stmt_q)
+        if m:
+            return self._alter(
+                self._resolve_table(_ident_case(m.group(1))), m.group(2).strip()
+            )
+        m = self._SHOW_TABLES_RE.match(stmt)
+        if m:
+            full = bool(re.match(r"^\s*SHOW\s+FULL\s", stmt, re.IGNORECASE))
+            kinds = {n: "BASE TABLE" for n in self.catalog.list_tables()}
+            kinds["numbers"] = "LOCAL TEMPORARY"  # reference built-in table
+            for v in getattr(self, "_views", {}):
+                kinds[v] = "VIEW"
+            names = sorted(kinds)
+            if m.group(1):
+                pat = "^" + m.group(1).replace("%", ".*").replace("_", ".") + "$"
+                names = [n for n in names if re.match(pat, n)]
+            if full:
+                return self.spark.createDataFrame(
+                    [(n, kinds[n]) for n in names], "Tables string, Table_type string"
+                )
+            return self.spark.createDataFrame([(n,) for n in names], "Tables string")
+        if self._SHOW_DB_RE.match(stmt):
+            return self.spark.createDataFrame(
+                [("greptime_private",), ("information_schema",), ("public",)],
+                "Database string",
+            )
+        m = re.match(
+            r"^\s*SHOW\s+(CHARACTER\s+SET|CHARSET|COLLATION)\s*(?:LIKE\s+'([^']*)')?\s*"
+            r"(?:WHERE\s+.*)?$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            what, like = m.group(1).upper(), m.group(2)
+            if what == "COLLATION":
+                rows = [("utf8_bin", "utf8", 1, "Yes", "Yes", 1)]
+                schema = ("`Collation` string, `Charset` string, `Id` bigint, "
+                          "`Default` string, `Compiled` string, `Sortlen` bigint")
+                key = 0
+            else:
+                rows = [("utf8", "UTF-8 Unicode", "utf8_bin", 4)]
+                schema = ("`Charset` string, `Description` string, "
+                          "`Default collation` string, `Maxlen` bigint")
+                key = 0
+            if like is not None:
+                pat = "^" + re.escape(like).replace("%", ".*").replace("_", ".") + "$"
+                rows = [r for r in rows if re.match(pat, r[key])]
+            if re.search(r"WHERE", stmt, re.IGNORECASE):
+                wm = re.search(r"WHERE\s+(.*)$", stmt, re.IGNORECASE | re.DOTALL)
+                df = self.spark.createDataFrame(rows, schema)
+                try:
+                    return df.filter(F.expr(wm.group(1)))
+                except Exception:
+                    return df
+            return self.spark.createDataFrame(rows, schema)
+        if self._SHOW_VIEWS_RE.match(stmt):
+            views = sorted(getattr(self, "_views", {}))
+            return self.spark.createDataFrame([(v,) for v in views], "Views string")
+        cm = re.match(r"^\s*SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+(\w+)\s*$", stmt, re.IGNORECASE)
+        if cm and cm.group(1) in getattr(self, "_views", {}):
+            # the reference's SHOW COLUMNS covers tables only; views list empty
+            return self.spark.createDataFrame([], "Field string")
+        m = self._CREATE_VIEW_RE.match(stmt)
+        if m:
+            name, query = m.groups()
+            replace = re.match(r"^\s*CREATE\s+OR\s+REPLACE", stmt, re.IGNORECASE)
+            self._views = getattr(self, "_views", {})
+            if name in self._views and not replace and "IF NOT EXISTS" not in stmt.upper():
+                raise ValueError(f"view {name} already exists")
+            df = self.sql(query)
+            df.createOrReplaceTempView(name)
+            self._views[name] = query
+            return self._empty_ok()
+        m = self._DROP_VIEW_RE.match(stmt)
+        if m:
+            name = m.group(1)
+            self._views = getattr(self, "_views", {})
+            if name not in self._views:
+                if "IF EXISTS" in stmt.upper():
+                    return self._empty_ok()
+                raise ValueError(f"view {name} does not exist")
+            del self._views[name]
+            self.spark.catalog.dropTempView(name)
+            return self._empty_ok()
+        m = self._ADMIN_RE.match(stmt)
+        if m:
+            fn, target = m.group(1).lower(), m.group(2)
+            if fn in ("flush_table", "compact_table"):
+                self.catalog.meta(target)  # raises if missing
+                if fn == "compact_table":
+                    self.catalog.compact(target)
+                    self.catalog.read(target).createOrReplaceTempView(target)
+                return self.spark.createDataFrame([(0,)], "result bigint")
+            raise ValueError(f"unsupported ADMIN function {fn}")
+        return None
+
+    def _describe(self, name: str):
+        meta = self.catalog.meta(name)
+        rows = []
+        for entry in self._col_entries(name):
+            c = entry[0]
+            decl = entry[2] if len(entry) > 2 else entry[1]
+            default = entry[3] if len(entry) > 3 else None
+            not_null = bool(entry[4]) if len(entry) > 4 else False
+            is_ti = c == meta.time_index
+            rows.append((
+                c,
+                _gt_display_type(decl),
+                "PRI" if (is_ti or c in meta.tags) else "",
+                "NO" if (is_ti or not_null) else "YES",
+                _render_default(default),
+                "TIMESTAMP" if is_ti else ("TAG" if c in meta.tags else "FIELD"),
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "`Column` string, `Type` string, `Key` string, `Null` string, "
+            "`Default` string, `Semantic Type` string",
+        )
+
+    def _alter(self, name: str, action: str):
+        self.catalog.meta(name)  # raises if missing
+        am = re.match(r"ADD\s+COLUMNS?\s+(.*)$", action, re.IGNORECASE | re.DOTALL)
+        if am:
+            # two-phase: validate every clause, then apply — a failing clause
+            # must leave the table unchanged (reference ALTER is atomic)
+            parsed = []
+            for clause in _split_columns(am.group(1)):
+                clause = clause.strip()
+                clause = re.sub(r"^ADD\s+COLUMNS?\s+", "", clause, flags=re.IGNORECASE)
+                if_not_exists = bool(re.match(r"^IF\s+NOT\s+EXISTS\s+", clause, re.IGNORECASE))
+                clause = re.sub(r"^IF\s+NOT\s+EXISTS\s+", "", clause, flags=re.IGNORECASE)
+                pos = after = None
+                pm = re.search(r"\s+(FIRST)\s*$", clause, re.IGNORECASE)
+                if pm:
+                    pos = "first"
+                    clause = clause[: pm.start()]
+                pm = re.search(r"\s+AFTER\s+(\"[^\"]+\"|\w+)\s*$", clause, re.IGNORECASE)
+                if pm:
+                    after = _ident_case(pm.group(1))
+                    clause = clause[: pm.start()]
+                entry, _is_ti, is_pk = _parse_col_def(clause.strip())
+                if entry is None:
+                    raise ValueError(f"cannot parse column definition {clause!r}")
+                parsed.append((entry, if_not_exists, pos, after, is_pk))
+            existing = {e[0] for e in self._col_entries(name)}
+            pending = set()
+            for entry, if_not_exists, _pos, _after, _pk in parsed:
+                if entry[0] in existing or entry[0] in pending:
+                    if not if_not_exists:
+                        raise ValueError(f"column {entry[0]} already exists")
+                else:
+                    pending.add(entry[0])
+            for entry, if_not_exists, pos, after, is_pk in parsed:
+                if entry[0] in existing:
+                    continue
+                self.catalog.add_column(name, list(entry), position=pos, after=after, is_tag=is_pk)
+                existing.add(entry[0])
+            self.catalog.read(name).createOrReplaceTempView(name)
+            return self._empty_ok()
+        dm = re.match(r"DROP\s+COLUMN\s+(\"[^\"]+\"|\w+)\s*$", action, re.IGNORECASE)
+        if dm:
+            self.catalog.drop_column(name, _ident_case(dm.group(1)))
+            self.catalog.read(name).createOrReplaceTempView(name)
+            return self._empty_ok()
+        rm = re.match(r"RENAME\s+(?:TO\s+)?(\"[^\"]+\"|'[^']+'|[\w👋]+)\s*$", action, re.IGNORECASE)
+        if rm:
+            new = rm.group(1)
+            new = new[1:-1] if new[0] in "\"'" else new.lower()
+            self.catalog.rename_table(name, new)
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+            self.catalog.read(new).createOrReplaceTempView(new)
+            return self._empty_ok()
+        if re.match(r"MODIFY\s+COLUMN\s+", action, re.IGNORECASE):
+            for clause in _split_columns(action):
+                clause = re.sub(r"^\s*MODIFY\s+COLUMN\s+", "", clause.strip(), flags=re.IGNORECASE)
+                sd = re.match(
+                    r"(\"[^\"]+\"|\w+)\s+SET\s+DEFAULT\s+('(?:[^']*)'|[-+]?\d+(?:\.\d+)?|\w+(?:\([^)]*\))?)\s*$",
+                    clause, re.IGNORECASE,
+                )
+                if sd:
+                    self.catalog.set_default(name, _ident_case(sd.group(1)), sd.group(2))
+                    continue
+                dd = re.match(r"(\"[^\"]+\"|\w+)\s+DROP\s+DEFAULT\s*$", clause, re.IGNORECASE)
+                if dd:
+                    self.catalog.set_default(name, _ident_case(dd.group(1)), None)
+                    continue
+                if re.match(r"(\"[^\"]+\"|\w+)\s+(SET|UNSET)\s+", clause, re.IGNORECASE):
+                    continue  # index toggles: Parquet stats serve these
+                tm = re.match(r"(\"[^\"]+\"|\w+)\s+([\w()]+)\s*(?:NULL|NOT\s+NULL)?\s*$", clause, re.IGNORECASE)
+                if tm:
+                    col, typ = _ident_case(tm.group(1)), tm.group(2)
+                    self.catalog.modify_column(name, col, _map_type(typ), typ)
+                    continue
+                raise ValueError(f"unsupported MODIFY COLUMN clause {clause!r}")
+            self.catalog.read(name).createOrReplaceTempView(name)
+            return self._empty_ok()
+        sm = re.match(r"SET\s+'?([^'=\s]+)'?\s*=\s*(?:'([^']*)'|NULL)\s*$", action, re.IGNORECASE)
+        if sm:
+            key, val = sm.group(1), sm.group(2)
+            if key == "ttl":
+                self.catalog._update_meta(name, ttl=val or None)
+            elif key == "append_mode":
+                self.catalog._update_meta(name, append_mode=(val or "").lower() == "true")
+                self.catalog.read(name).createOrReplaceTempView(name)
+            elif key == "merge_mode":
+                self.catalog._update_meta(name, merge_mode=val or "last_row")
+                self.catalog.read(name).createOrReplaceTempView(name)
+            # other storage options (compaction.*, sst_format) are physical-
+            # layout hints with no Spark analog: accepted and ignored
+            return self._empty_ok()
+        um = re.match(r"UNSET\s+'?([^'\s]+)'?\s*$", action, re.IGNORECASE)
+        if um:
+            key = um.group(1)
+            if key == "ttl":
+                self.catalog._update_meta(name, ttl=None)
+            elif key == "append_mode":
+                self.catalog._update_meta(name, append_mode=False)
+                self.catalog.read(name).createOrReplaceTempView(name)
+            elif key == "merge_mode":
+                self.catalog._update_meta(name, merge_mode="last_row")
+                self.catalog.read(name).createOrReplaceTempView(name)
+            return self._empty_ok()
+        raise ValueError(f"unsupported ALTER TABLE action: {action[:60]}")
 
     _SET_TZ_RE = re.compile(r"^\s*SET\s+time_zone\s*=\s*'([^']*)'\s*$", re.IGNORECASE)
 
@@ -364,6 +738,16 @@ class GreptimeSQL:
         if m:
             self.tz_offset_ms = _tz_offset_ms(m.group(1))
             return self.spark.createDataFrame([], "result string")
+        if self.catalog is not None and re.search(r"\bnumbers\b", text, re.IGNORECASE):
+            # the reference's built-in `numbers` table serves 0..limit rows,
+            # where limit is the query's pushed-down LIMIT (default 100) —
+            # src/table/src/table/numbers.rs:119. Re-register per statement.
+            lm = re.search(r"\bLIMIT\s+(\d+)", text, re.IGNORECASE)
+            k = int(lm.group(1)) if lm else 100
+            self.spark.range(k).select(
+                F.col("id").cast("int").alias("number")
+            ).createOrReplaceTempView("numbers")
+        text = re.sub(r"\bpublic\.(\w)", r"\1", text)  # single default schema
         ddl = self._ddl(text)
         if ddl is not None:
             return ddl
@@ -449,6 +833,99 @@ def _tz_offset_ms(tz: str) -> int:
 
     off = dt.datetime(1970, 1, 1, tzinfo=ZoneInfo(tz)).utcoffset()
     return int(off.total_seconds() * 1000)
+
+
+def _default_sql(entry) -> str | None:
+    """SQL expression for a column's declared DEFAULT, honouring the
+    timestamp column's integer-epoch unit."""
+    d = entry[3] if len(entry) > 3 else None
+    if d is None:
+        return None
+    t = entry[1]
+    if t == "timestamp" and re.fullmatch(r"[-+]?\d+", d.strip()):
+        unit = _ts_unit(entry[2] if len(entry) > 2 else "timestamp")
+        return {
+            "s": f"timestamp_seconds({d})",
+            "ms": f"timestamp_millis({d})",
+            "us": f"timestamp_micros({d})",
+            "ns": f"timestamp_micros(CAST({d} / 1000 AS BIGINT))",
+        }[unit]
+    return f"CAST({d} AS {t})"
+
+
+def _ident_case(tok: str) -> str:
+    """Quoted identifier → literal; unquoted → lowercase (reference parser)."""
+    tok = tok.strip()
+    if tok and tok[0] in "\"`":
+        return tok[1:-1]
+    return tok.lower()
+
+
+def _parse_col_def(item: str):
+    """Parse one column definition from CREATE/ALTER: returns
+    ((name, spark_type, decl_type, default_sql|None, not_null), is_time_index,
+    is_primary_key), or (None, False, False) for non-column items.
+
+    Unquoted column names are LOWERCASED (the reference's parser does this
+    for all unquoted identifiers); quoted/backticked names keep their case."""
+    cm = re.match(r"(\"[^\"]+\"|`[^`]+`|[\w.]+)\s+([\w]+(?:\([^)]*\))?)(.*)", item, re.DOTALL)
+    if not cm:
+        return None, False, False
+    col, typ, rest = cm.group(1), cm.group(2), cm.group(3) or ""
+    if col[0] in "\"`":
+        col = col[1:-1]
+    else:
+        col = col.lower()
+    dm = re.search(
+        r"\bDEFAULT\s+('(?:[^']*)'|[-+]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|\w+(?:\([^)]*\))?)",
+        rest, re.IGNORECASE,
+    )
+    default = dm.group(1) if dm else None
+    not_null = bool(re.search(r"\bNOT\s+NULL\b", rest, re.IGNORECASE))
+    is_ti = bool(re.search(r"TIME\s+INDEX", rest, re.IGNORECASE))
+    is_pk = bool(re.search(r"PRIMARY\s+KEY", rest, re.IGNORECASE))
+    return (col, _map_type(typ), typ.lower(), default, not_null), is_ti, is_pk
+
+
+_GT_TYPE_DISPLAY = {
+    "tinyint": "Int8", "int8": "Int8", "smallint": "Int16", "int16": "Int16",
+    "int": "Int32", "int32": "Int32", "integer": "Int32",
+    "bigint": "Int64", "int64": "Int64",
+    "uint8": "UInt8", "uint16": "UInt16", "uint32": "UInt32", "uint64": "UInt64",
+    "float": "Float32", "float32": "Float32",
+    "double": "Float64", "float64": "Float64",
+    "string": "String", "varchar": "String", "text": "String", "char": "String",
+    "binary": "Binary", "varbinary": "Binary",
+    "boolean": "Boolean", "bool": "Boolean",
+    "date": "Date", "datetime": "TimestampMicrosecond", "json": "Json",
+}
+
+
+def _gt_display_type(decl: str) -> str:
+    """Greptime's DESCRIBE type names (reference ConcreteDataType display,
+    src/datatypes/src/data_type.rs)."""
+    t = decl.strip().lower()
+    m = re.match(r"timestamp(?:\((\d)\))?", t)
+    if m:
+        unit = {None: "Millisecond", "0": "Second", "3": "Millisecond",
+                "6": "Microsecond", "9": "Nanosecond"}.get(m.group(1), "Millisecond")
+        return f"Timestamp{unit}"
+    m = re.match(r"decimal\((\d+)\s*,\s*(\d+)\)", t)
+    if m:
+        return f"Decimal({m.group(1)}, {m.group(2)})"
+    m = re.match(r"vector\((\d+)\)", t)
+    if m:
+        return f"Vector({m.group(1)})"
+    return _GT_TYPE_DISPLAY.get(t, t.capitalize())
+
+
+def _render_default(default: str | None) -> str:
+    if default is None:
+        return ""
+    d = default.strip()
+    if d.startswith("'") and d.endswith("'"):
+        return d[1:-1]
+    return d
 
 
 def _balanced_paren(s: str) -> tuple[str, str]:

@@ -21,6 +21,9 @@ _SKIP_PATTERNS = [
     r"TO\s+NOW",      # nondeterministic origin
     r"\bgcd\b",       # DataFusion-only scalar in calculate.sql
     r"median\s*\([^)]*\)\s*::",  # DataFusion int-median returns int (no interp)
+    # approximate-sketch ESTIMATES differ by engine (Spark HLL vs DataFusion
+    # HLL) once the input exceeds the exact range — values can't match
+    r"APPROX_DISTINCT\(a\).*FROM\s+large_test",
 ]
 
 
@@ -98,6 +101,8 @@ def _parse_result_file(path: str):
 def _norm_cell(v):
     if v is None or v == "":
         return None
+    if isinstance(v, bool):
+        return "true" if v else "false"  # arrow prints booleans lowercase
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
     s = str(v)
@@ -316,7 +321,65 @@ _CONFORMANCE_CASES = [
     ("promql/histogram_multi_partition", 1),
     ("promql/tsid_binary_join_regression", 9),
     ("promql/tsid_histogram_quantile_regression", 4),
+    # DDL surface: ALTER / DELETE / TRUNCATE / DESC / SHOW / VIEW / INSERT
+    # (reference src/sql/src/statements/statement.rs; schema evolution is
+    # core to the auto-alter ingest model, SURVEY §1.3)
+    ("alter/add_col", 9),
+    ("alter/add_col_chain", 1),
+    ("alter/add_col_default", 5),
+    ("alter/add_incorrect_col", 1),
+    ("alter/alter_auto_flush_interval", 1),
+    ("alter/alter_format", 16),
+    ("alter/alter_table_alter_column_drop_default", 3),
+    ("alter/alter_table_alter_column_set_default", 1),
+    ("alter/alter_table_first_after", 16),
+    ("alter/alter_table_options", 5),
+    ("alter/change_col_skipping_options", 7),
+    ("alter/change_col_type", 5),
+    ("alter/change_col_type_inverted_index", 2),
+    ("alter/change_col_type_not_null", 3),
+    ("alter/change_col_type_skipping_index", 2),
+    ("alter/drop_add_col", 4),
+    ("alter/drop_col", 1),
+    ("alter/drop_col_not_null", 2),
+    ("alter/drop_col_not_null_next", 2),
+    ("alter/partition_and_alter", 2),
+    ("alter/prefilter_last_row_null", 5),
+    ("alter/rename_table", 5),
+    ("delete/delete", 9),
+    ("delete/delete_non_null", 2),
+    ("describe/describe_table", 4),
+    ("view/columns", 1),
+    ("view/create", 7),
+    ("view/view", 3),
+    ("drop/drop_table", 1),
+    ("show/show_charset", 8),
+    ("show/show_collation", 5),
+    ("insert/append_mode", 3),
+    ("insert/big_insert", 2),
+    ("insert/insert", 2),
+    ("insert/insert_default", 3),
+    ("insert/insert_different_order", 2),
+    ("insert/insert_invalid", 1),
+    ("insert/insert_select", 1),
+    ("insert/merge_mode", 6),
+    ("insert/special_value", 1),
+    ("create/create", 8),
+    ("create/create_row_group_size", 2),
+    ("create/upper_case_table_name", 4),
+    ("ttl/basic", 4),
 ]
+# DDL files NOT in the battery, with reasons:
+# - alter/alter_table, alter/alter_table_default, alter/alter_append_mode:
+#   pin greptime's lazy-cast internals ("wired behavior due to underlying
+#   column data is unchanged") — the Spark design rewrites on ALTER instead
+# - alter/alter_metric_table, create/create_metric_table, ttl/metric_*:
+#   physical-table internals (__tsid/__table_id columns, `numbers` in SHOW)
+# - alter/alter_database, create/create_database*: multi-database ops — the
+#   Spark design is single-schema (SURVEY §2.1)
+# - truncate/truncate: TRUNCATE ... FILE RANGE is SST-file-granular
+# - show/show_create*, show/show_index, show/show_region,
+#   show/show_process_list, ttl/show_ttl: engine-internal presentation
 
 # promql files NOT in the battery, with reasons (29/31 run verbatim):
 # - promql/encode_substrait: goldens are substrait/plan dumps — engine-
