@@ -36,6 +36,16 @@ from pyspark.sql import functions as F
 SEQ_COL = "__seq"
 BUCKET_COL = "__time_bucket"
 
+
+def _phys_name(name: str) -> str:
+    """Parquet-safe physical column name: declared names may carry characters
+    parquet rejects (flow sinks inherit DataFusion-style auto names like
+    ``sum(tbl.number)``). The declared name lives in the table meta; the
+    mapping is applied at write and reversed at read."""
+    import re
+
+    return re.sub(r"[ ,;{}()=.\n\t]", "_", name)
+
 _META_FILE = "_greptime_meta.json"
 
 
@@ -115,6 +125,11 @@ class Catalog:
         meta = self.meta(name)
         batch_no = meta.batch_no + 1
         self._update_meta(name, batch_no=batch_no)
+        if meta.columns:
+            for entry in meta.columns:
+                p = _phys_name(entry[0])
+                if p != entry[0] and entry[0] in df.columns:
+                    df = df.withColumnRenamed(entry[0], p)
         out = (
             df.withColumn(
                 SEQ_COL,
@@ -140,16 +155,27 @@ class Catalog:
 
     # -- read path -----------------------------------------------------------
 
-    def read(self, name: str, raw: bool = False, at: str | None = None) -> DataFrame:
+    def read(self, name: str, raw: bool = False, at: str | None = None,
+             min_batch: int | None = None) -> DataFrame:
         """Return the table as the reference's merged logical view.
 
         ``raw=True`` skips dedup/TTL (the reference's append-mode scan).
+        ``min_batch`` keeps only rows ingested at or after that batch number —
+        the flow-engine watermark (flows only see data inserted after
+        ``CREATE FLOW``, reference src/flow/src/batching_mode/task.rs).
         """
         meta = self.meta(name)
         data_path = os.path.join(self._table_path(name), "data")
         if not self._has_data(data_path):
             return self._empty_df(meta)
         df = self.spark.read.option("mergeSchema", "true").parquet(data_path)
+        if min_batch is not None:
+            df = df.filter(F.col(SEQ_COL) >= min_batch * (1 << 33))
+        if meta.columns:
+            for entry in meta.columns:
+                p = _phys_name(entry[0])
+                if p != entry[0] and p in df.columns:
+                    df = df.withColumnRenamed(p, entry[0])
         # columns added by ALTER that no file carries yet must exist BEFORE
         # the merge (they may be tags the dedup groups on)
         if meta.columns and all(len(c) >= 2 for c in meta.columns):
@@ -175,7 +201,8 @@ class Catalog:
         for entry in meta.columns:
             cname, styp = entry[0], entry[1]
             if cname in df.columns:
-                out.append(F.col(cname).cast(styp).alias(cname))
+                safe = cname.replace("`", "``")
+                out.append(F.col(f"`{safe}`").cast(styp).alias(cname))
             else:
                 out.append(F.lit(None).cast(styp).alias(cname))
         return df.select(*out)

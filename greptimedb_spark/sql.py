@@ -455,6 +455,22 @@ class GreptimeSQL:
     _DROP_VIEW_RE = re.compile(r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE)
     _SHOW_VIEWS_RE = re.compile(r"^\s*SHOW\s+VIEWS\s*$", re.IGNORECASE)
     _ADMIN_RE = re.compile(r"^\s*ADMIN\s+(\w+)\s*\(\s*'(\w+)'\s*\)\s*$", re.IGNORECASE)
+    _CREATE_FLOW_RE = re.compile(
+        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FLOW\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+SINK\s+TO\s+(\w+)\s*"
+        r"(?:EVAL\s+INTERVAL\s+'[^']*'\s*)?(?:EXPIRE\s+AFTER\s+('[^']*'|[\w\s]+?)\s+)?"
+        r"(?:WITH\s*\(([^)]*)\)\s*)?"
+        r"(?:COMMENT\s+'[^']*'\s*)?AS\s+(.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DROP_FLOW_RE = re.compile(
+        r"^\s*DROP\s+FLOW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE
+    )
+    _SHOW_FLOWS_RE = re.compile(
+        r"^\s*SHOW\s+FLOWS(?:\s+LIKE\s+'([^']*)')?\s*$", re.IGNORECASE
+    )
+    _SHOW_CREATE_FLOW_RE = re.compile(
+        r"^\s*SHOW\s+CREATE\s+FLOW\s+(\w+)\s*$", re.IGNORECASE
+    )
 
     def _resolve_table(self, name: str) -> str:
         """Resolve a table reference: exact, then case-insensitive (unquoted
@@ -590,13 +606,203 @@ class GreptimeSQL:
         if m:
             fn, target = m.group(1).lower(), m.group(2)
             if fn in ("flush_table", "compact_table"):
-                self.catalog.meta(target)  # raises if missing
+                self.catalog.meta(self._resolve_table(target))  # raises if missing
                 if fn == "compact_table":
-                    self.catalog.compact(target)
-                    self.catalog.read(target).createOrReplaceTempView(target)
+                    t = self._resolve_table(target)
+                    self.catalog.compact(t)
+                    self.catalog.read(t).createOrReplaceTempView(t)
                 return self.spark.createDataFrame([(0,)], "result bigint")
+            if fn == "flush_flow":
+                n = self._flush_flow(target)
+                return self.spark.createDataFrame([(n,)], "result bigint")
             raise ValueError(f"unsupported ADMIN function {fn}")
+        m = self._CREATE_FLOW_RE.match(stmt)
+        if m:
+            return self._create_flow(*m.groups(), stmt=stmt)
+        m = self._DROP_FLOW_RE.match(stmt)
+        if m:
+            flows = getattr(self, "_flows", {})
+            if m.group(1) not in flows:
+                if "IF EXISTS" in stmt.upper():
+                    return self._empty_ok()
+                raise ValueError(f"flow {m.group(1)} does not exist")
+            del flows[m.group(1)]
+            return self._empty_ok()
+        m = self._SHOW_FLOWS_RE.match(stmt)
+        if m:
+            flows = sorted(getattr(self, "_flows", {}))
+            if m.group(1):
+                pat = "^" + re.escape(m.group(1)).replace("%", ".*").replace("_", ".") + "$"
+                flows = [f for f in flows if re.match(pat, f)]
+            return self.spark.createDataFrame([(f,) for f in flows], "Flows string")
+        m = self._SHOW_CREATE_FLOW_RE.match(stmt)
+        if m:
+            flows = getattr(self, "_flows", {})
+            if m.group(1) not in flows:
+                raise ValueError(f"flow {m.group(1)} does not exist")
+            return self.spark.createDataFrame(
+                [(m.group(1), flows[m.group(1)]["definition"])],
+                "Flow string, `Create Flow` string",
+            )
         return None
+
+    # -- flows: CREATE FLOW f SINK TO out AS SELECT ... ----------------------
+    # (reference src/sql/src/statements/create.rs CreateFlow; batching-mode
+    # execution src/flow/src/batching_mode/task.rs re-evaluates dirty windows.
+    # Here a flush is a full recompute into the sink — identical output for
+    # the conformance corpus; the streaming/flow.py engine is the incremental
+    # Structured-Streaming path for production pipelines.)
+
+    _SPARK_TO_DECL = {
+        "tinyint": "int8", "smallint": "int16", "int": "int32", "bigint": "int64",
+        "float": "float32", "double": "float64", "string": "string",
+        "boolean": "boolean", "date": "date", "timestamp": "timestamp(3)",
+        "binary": "binary",
+    }
+
+    def _flow_df(self, select_text: str):
+        """Evaluate a flow query; rename auto-aliased aggregate columns the
+        way DataFusion does (`sum(number)` → `sum(tbl.number)`) so golden
+        queries that SELECT the quoted generated name resolve."""
+        df = self.sql(select_text)
+        fm = re.search(r"\bFROM\s+(\w+)", select_text, re.IGNORECASE)
+        tbl = fm.group(1) if fm else None
+        renames = {}
+        for c in df.columns:
+            nm = re.fullmatch(r"(\w+)\((\w+)\)", c)
+            if nm and tbl and nm.group(2) not in ("1", "*"):
+                renames[c] = f"{nm.group(1)}({tbl}.{nm.group(2)})"
+            elif c == "count(1)":
+                renames[c] = "count(*)"
+        for old, new in renames.items():
+            df = df.withColumnRenamed(old, new)
+        return df
+
+    _FLOW_OPTIONS = ("defer_on_missing_source", "experimental_enable_incremental_read")
+
+    def _create_flow(self, name: str, sink: str, expire, with_opts, select_text: str,
+                     stmt: str = ""):
+        from greptimedb_spark.catalog import TableMeta
+
+        opts = []
+        if with_opts:
+            for km in re.finditer(r"(\w+)\s*=\s*\[?'?([\w.]+)'?\]?", with_opts):
+                if km.group(1) not in self._FLOW_OPTIONS:
+                    raise ValueError(
+                        f"unknown flow option '{km.group(1)}', supported options: "
+                        + ", ".join(self._FLOW_OPTIONS)
+                    )
+                opts.append((km.group(1), km.group(2)))
+        self._flows = getattr(self, "_flows", {})
+        up = stmt.upper()
+        or_replace = bool(re.search(r"\bOR\s+REPLACE\b", up))
+        if_not_exists = "IF NOT EXISTS" in up
+        if or_replace and if_not_exists:
+            raise ValueError(
+                "Unsupported operation Create flow with both `IF NOT EXISTS` and `OR REPLACE`"
+            )
+        if name in self._flows:
+            if if_not_exists:
+                return self._empty_ok()
+            if not or_replace:
+                raise ValueError(f"Flow already exists: greptime.{name}")
+        # flows only see data ingested AFTER creation (reference
+        # src/flow/src/batching_mode/task.rs tracks dirty windows from the
+        # flow's start): record each source table's current batch counter
+        sources = {
+            t: self.catalog.meta(t).batch_no
+            for t in self.catalog.list_tables()
+            if re.search(rf"\b{re.escape(t)}\b", select_text, re.IGNORECASE)
+            and t != sink
+        }
+        try:
+            self.catalog.meta(sink)
+            sink_exists = True
+        except Exception:
+            sink_exists = False
+        if not sink_exists:
+            df = self._flow_df(select_text)
+            ts_cols = [c for c, t in df.dtypes if t.startswith("timestamp")]
+            entries = [
+                [c, t, self._SPARK_TO_DECL.get(t, t), None, False] for c, t in df.dtypes
+            ]
+            time_index = ts_cols[0] if ts_cols else "update_at"
+            if not ts_cols:
+                entries.append(["update_at", "timestamp", "timestamp(3)", None, False])
+            meta = TableMeta(
+                name=sink,
+                time_index=time_index,
+                tags=[],
+                append_mode=True,  # flush truncates + rewrites; no merge needed
+                columns=entries,
+            )
+            self.catalog.create_table(meta, if_not_exists=True)
+            self.catalog.read(sink).createOrReplaceTempView(sink)
+        self._flows[name] = {
+            "sink": sink,
+            "select": select_text,
+            "expire": expire,
+            "sources": sources,
+            "auto_sink": not sink_exists,
+            "definition": _render_flow_def(name, sink, expire, select_text, opts),
+        }
+        return self._empty_ok()
+
+    def _flush_flow(self, name: str) -> int:
+        flows = getattr(self, "_flows", {})
+        if name not in flows:
+            raise ValueError(f"flow {name} does not exist")
+        fl = flows[name]
+        sources = fl.get("sources", {})
+        # evaluate with each source restricted to post-creation ingests
+        for t, wm in sources.items():
+            self.catalog.read(t, min_batch=wm + 1).createOrReplaceTempView(t)
+        try:
+            df = self._flow_df(fl["select"])
+            sink_cols = self._col_entries(fl["sink"])
+            sink_names = [e[0] for e in sink_cols]
+            # map flow output onto the declared sink schema positionally
+            # (reference inserts flow output by position: time_window lands in
+            # the sink's time-index column whatever it is named)
+            if sink_names and df.columns != sink_names[: len(df.columns)]:
+                for i, c in enumerate(df.columns):
+                    if i < len(sink_names) and c != sink_names[i]:
+                        df = df.withColumnRenamed(c, sink_names[i])
+            produced_cols = set(df.columns)
+            if "update_at" in sink_names and "update_at" not in df.columns:
+                df = df.withColumn("update_at", F.current_timestamp())
+            # sink columns the flow doesn't produce take their declared
+            # DEFAULT (e.g. ts TIMESTAMP DEFAULT CURRENT_TIMESTAMP), else NULL
+            for entry in sink_cols:
+                if entry[0] not in df.columns:
+                    d = _default_sql(entry)
+                    df = df.withColumn(
+                        entry[0],
+                        F.expr(d) if d else F.lit(None).cast(entry[1]),
+                    )
+            if fl.get("auto_sink"):
+                # we own the sink: the recompute IS its complete state
+                self.catalog.delete(fl["sink"], "true")
+            # pre-existing sinks are UPSERTED into (reference inserts flow
+            # output; the sink's own PK+time-index merge dedups) — earlier
+            # flush results must survive a CREATE OR REPLACE watermark reset
+            self.catalog.insert(fl["sink"], df)
+            sink_ti = self.catalog.meta(fl["sink"]).time_index
+            if not fl.get("auto_sink") and sink_ti not in produced_cols:
+                # the sink timestamp is flush-generated (DEFAULT
+                # CURRENT_TIMESTAMP), so re-emitting old rows would duplicate
+                # them under new timestamps: process each ingested batch
+                # exactly once by advancing the per-source watermark
+                # (batching-mode dirty windows, task.rs). Flows that produce
+                # the time index recompute their windows in full instead —
+                # the sink's (tags, ts) merge dedups the rewrite.
+                fl["sources"] = {t: self.catalog.meta(t).batch_no for t in sources}
+        finally:
+            for t in sources:
+                self.catalog.read(t).createOrReplaceTempView(t)
+        out = self.catalog.read(fl["sink"])
+        out.createOrReplaceTempView(fl["sink"])
+        return out.count()
 
     def _describe(self, name: str):
         meta = self.catalog.meta(name)
@@ -738,6 +944,36 @@ class GreptimeSQL:
         if m:
             self.tz_offset_ms = _tz_offset_ms(m.group(1))
             return self.spark.createDataFrame([], "result string")
+        if re.search(r"\bdate_bin\s*\(|\btrunc\s*\([^()]*,", text, re.IGNORECASE):
+            if not getattr(self, "_fns_done", False):
+                self._fns_done = True
+                # DataFusion date_bin(interval, ts, origin): origin-aligned
+                # tumbling bucket. Pure-SQL temporary function (stays inside
+                # codegen; the interval width in ms is derived via origin+i).
+                self.spark.sql(
+                    "CREATE OR REPLACE TEMPORARY FUNCTION gt_date_bin("
+                    "i INTERVAL DAY TO SECOND, t TIMESTAMP, o TIMESTAMP) "
+                    "RETURNS TIMESTAMP RETURN timestamp_millis(unix_millis(o) "
+                    "+ CAST(FLOOR((unix_millis(t) - unix_millis(o)) "
+                    "/ (unix_millis(o + i) - unix_millis(o))) AS BIGINT) "
+                    "* (unix_millis(o + i) - unix_millis(o)))"
+                )
+                # DataFusion numeric trunc(x, d): truncate toward zero at
+                # 10^-d (d may be negative)
+                self.spark.sql(
+                    "CREATE OR REPLACE TEMPORARY FUNCTION gt_trunc("
+                    "x DOUBLE, d INT) RETURNS DOUBLE RETURN "
+                    "CAST(CAST(x * POW(10, d) AS BIGINT) AS DOUBLE) / POW(10, d)"
+                )
+            text = re.sub(r"\bdate_bin\s*\(", "gt_date_bin(", text, flags=re.IGNORECASE)
+            text = _fix_date_bin_args(text)
+            text = re.sub(
+                r"\btrunc\s*\(([^()]*,[^()]*)\)", r"gt_trunc(\1)", text, flags=re.IGNORECASE
+            )
+        # DataFusion tolerates a trailing comma before FROM
+        text = re.sub(r",(\s*)FROM\b", r"\1FROM", text)
+        # MySQL-style single-quoted aliases → backticked identifiers
+        text = re.sub(r"(\bAS\s+)'([^']+)'", r"\1`\2`", text, flags=re.IGNORECASE)
         if self.catalog is not None and re.search(r"\bnumbers\b", text, re.IGNORECASE):
             # the reference's built-in `numbers` table serves 0..limit rows,
             # where limit is the query's pushed-down LIMIT (default 100) —
@@ -748,6 +984,27 @@ class GreptimeSQL:
                 F.col("id").cast("int").alias("number")
             ).createOrReplaceTempView("numbers")
         text = re.sub(r"\bpublic\.(\w)", r"\1", text)  # single default schema
+        if re.search(r"\bINFORMATION_SCHEMA\s*\.\s*FLOWS\b", text, re.IGNORECASE):
+            # information_schema.flows (reference
+            # src/catalog/src/system_schema/information_schema/flows.rs)
+            rows = [
+                (n, i, 0, "greptime", fl.get("definition", ""), None,
+                 fl.get("expire"), None, fl["sink"], None, None,
+                 ",".join(f"greptime.public.{t}" for t in sorted(fl.get("sources", {}))))
+                for i, (n, fl) in enumerate(sorted(getattr(self, "_flows", {}).items()))
+            ]
+            self.spark.createDataFrame(
+                rows,
+                "flow_name string, flow_id int, state_size bigint, "
+                "table_catalog string, flow_definition string, comment string, "
+                "expire_after string, source_table_ids string, "
+                "sink_table_name string, flownode_ids string, options string, "
+                "source_table_names string",
+            ).createOrReplaceTempView("__information_schema_flows")
+            text = re.sub(
+                r"\bINFORMATION_SCHEMA\s*\.\s*FLOWS\b",
+                "__information_schema_flows", text, flags=re.IGNORECASE,
+            )
         ddl = self._ddl(text)
         if ddl is not None:
             return ddl
@@ -799,8 +1056,12 @@ class GreptimeSQL:
             return out.withColumnRenamed("value", value_alias) if value_alias != "value" else out
         text = _rewrite_atat(text)
         text = _rewrite_aliases(text)
+        text = _floats_to_double(text)
         if not re.match(r"^\s*INSERT", text, re.IGNORECASE):
             text = re.sub(r'"(\w+)"', r"\1", text)  # ANSI quoted identifiers
+            # identifiers with generated-name characters ("sum(t.x)") →
+            # backticks so Spark treats them as one column reference
+            text = re.sub(r'"([^"]+)"', r"`\1`", text)
         if re.search(r"\bALIGN\s+['(]", text, re.IGNORECASE):
             from greptimedb_spark.range_query import parse_range_sql, range_sql
 
@@ -851,6 +1112,97 @@ def _default_sql(entry) -> str | None:
             "ns": f"timestamp_micros(CAST({d} / 1000 AS BIGINT))",
         }[unit]
     return f"CAST({d} AS {t})"
+
+
+_FLOW_KEYWORDS = (
+    "select from where group by having order limit as and or not in is null "
+    "between like case when then else end join on inner left right full outer "
+    "cross union all distinct interval cast desc asc"
+).split()
+
+
+def _render_flow_def(name: str, sink: str, expire, select_text: str, opts=()) -> str:
+    """Re-render a flow definition the way the reference's AST Display does
+    (src/sql/src/statements/create.rs `impl Display for CreateFlow`):
+    always `IF NOT EXISTS`, schema-qualified sink, single-spaced SELECT with
+    upper-cased keywords."""
+    # undo engine-internal rewrites so the definition shows the user's SQL
+    select_text = re.sub(
+        r",\s*TIMESTAMP '1970-01-01 00:00:00'\)", ")", select_text
+    )
+    select_text = re.sub(r"\bgt_date_bin\s*\(", "date_bin(", select_text)
+    select_text = re.sub(r"\bgt_trunc\s*\(", "trunc(", select_text)
+    parts = []
+    for i, seg in enumerate(re.split(r"('(?:[^']*)')", select_text)):
+        if i % 2 == 1:
+            parts.append(seg)
+        else:
+            seg = re.sub(r"\s+", " ", seg)
+            seg = re.sub(
+                r"\b(" + "|".join(_FLOW_KEYWORDS) + r")\b",
+                lambda m: m.group(1).upper(),
+                seg,
+                flags=re.IGNORECASE,
+            )
+            parts.append(seg)
+    lines = [f"CREATE FLOW IF NOT EXISTS {name}", f"SINK TO public.{sink}"]
+    if expire:
+        lines.append(f"EXPIRE AFTER {expire}")
+    if opts:
+        lines.append("WITH (" + ", ".join(f"{k} = '{v}'" for k, v in opts) + ")")
+    lines.append("AS " + "".join(parts).strip())
+    return "\n".join(lines)
+
+
+def _floats_to_double(text: str) -> str:
+    """Decimal literals are DOUBLE in the reference dialect (DataFusion
+    Float64); Spark parses `30.0` as DECIMAL(3,1), whose division truncates.
+    Rewrite float literals outside string literals to double casts."""
+    out = []
+    for i, seg in enumerate(re.split(r"('(?:[^']*)')", text)):
+        if i % 2 == 1:  # quoted string — untouched
+            out.append(seg)
+        else:
+            out.append(
+                re.sub(
+                    r"(?<![\w.])(\d+\.\d+(?:[eE][+-]?\d+)?)(?![\w.])",
+                    r"CAST(\1 AS DOUBLE)",
+                    seg,
+                )
+            )
+    return "".join(out)
+
+
+def _fix_date_bin_args(text: str) -> str:
+    """DataFusion's 2-arg date_bin(i, t) defaults origin to epoch; the SQL
+    UDF needs all 3 arguments — append it when missing."""
+    out = []
+    i = 0
+    while True:
+        m = re.search(r"gt_date_bin\s*\(", text[i:])
+        if not m:
+            out.append(text[i:])
+            break
+        start = i + m.start()
+        open_paren = i + m.end() - 1
+        inner, rest = _balanced_paren(text[open_paren:])
+        depth = 0
+        commas = 0
+        for ch in inner:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                commas += 1
+        out.append(text[i:start])
+        if commas == 1:
+            out.append(f"gt_date_bin({inner}, TIMESTAMP '1970-01-01 00:00:00')")
+        else:
+            out.append(f"gt_date_bin({inner})")
+        text = rest
+        i = 0
+    return "".join(out)
 
 
 def _ident_case(tok: str) -> str:

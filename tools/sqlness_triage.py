@@ -22,7 +22,10 @@ SHOW_FAIL = os.environ.get("SHOW_FAIL", "0") == "1"
 
 def main():
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
-    from test_sqlness import _parse_result_file, _norm_cell, _apply_replaces, _SKIP_PATTERNS
+    from test_sqlness import (
+        _parse_result_file, _norm_cell, _apply_replaces, _SKIP_PATTERNS,
+        _expand_multiline_rows,
+    )
     import re
 
     from pyspark.sql import SparkSession
@@ -64,7 +67,11 @@ def main():
                 continue
             if expected is None:
                 continue
+            if any("\\n" in pat for pat, _rep in replaces):
+                skipped += 1
+                continue
             cell_key = lambda x: (x is None, str(type(x)), str(x))
+            rows = _expand_multiline_rows(rows)
             if replaces:
                 rows = [[_apply_replaces(c, replaces) for c in row] for row in rows]
             got = [sorted((_norm_cell(c) for c in row), key=cell_key) for row in rows]
