@@ -46,6 +46,14 @@ def _phys_name(name: str) -> str:
 
     return re.sub(r"[ ,;{}()=.\n\t]", "_", name)
 
+
+def _ttl_interval(ttl: str) -> str:
+    """Normalize a reference TTL ('5s', '1 hour', '90m') to a Spark INTERVAL
+    expression (Spark doesn't parse compact unit suffixes like '5s')."""
+    from greptimedb_spark.range_query import parse_duration_ms
+
+    return f"INTERVAL {parse_duration_ms(ttl)} MILLISECOND"
+
 _META_FILE = "_greptime_meta.json"
 
 
@@ -64,6 +72,10 @@ class TableMeta:
     # not_null] per column (short legacy entries [name, spark_type] accepted).
     columns: list | None = None
     batch_no: int = 0  # ingest batch counter (strict write ordering)
+    # unique per table INSTANCE (reference table id): DROP + CREATE under the
+    # same name yields a new id, so flows bound to the old instance see no
+    # data from the new one (sqlness flow/flow_rebuild)
+    table_id: str = ""
     # metric-engine logical tables keep columns name-sorted (reference
     # metric engine schema ordering; sqlness alter/alter_table.sql t1/t2)
     sorted_columns: bool = False
@@ -93,6 +105,10 @@ class Catalog:
             if if_not_exists:
                 return
             raise ValueError(f"table {meta.name} already exists")
+        if not meta.table_id:
+            import uuid
+
+            meta.table_id = uuid.uuid4().hex
         os.makedirs(path, exist_ok=True)
         with open(meta_path, "w") as f:
             f.write(meta.to_json())
@@ -186,9 +202,23 @@ class Catalog:
             df = df.drop(SEQ_COL, BUCKET_COL)
         else:
             df = merge_view(df, meta)
-            if meta.ttl:
-                now = F.expr(f"TIMESTAMP '{at}'") if at else F.current_timestamp()
-                df = df.filter(F.col(meta.time_index) > now - F.expr(f"INTERVAL {meta.ttl}"))
+            # TTL expires rows at FLUSH/COMPACT time, not query time (the
+            # reference applies TTL during memtable flush and compaction —
+            # rows past their TTL stay queryable until then; sqlness
+            # flow/flow_advance_ttl pins this). flush_table() does the
+            # physical delete. The `at` override keeps a deterministic
+            # read-time filter for tests.
+            if (meta.ttl or "").lower() == "instant":
+                # ttl='instant' stores nothing queryable (reference
+                # options.rs) — rows only reach flows, which read with a
+                # min_batch watermark and DO see them.
+                if min_batch is None:
+                    df = df.filter(F.lit(False))
+            elif meta.ttl and at is not None:
+                df = df.filter(
+                    F.col(meta.time_index)
+                    > F.expr(f"TIMESTAMP '{at}'") - F.expr(_ttl_interval(meta.ttl))
+                )
         return self._project_declared(df, meta)
 
     def _project_declared(self, df: DataFrame, meta: TableMeta) -> DataFrame:
@@ -352,7 +382,18 @@ class Catalog:
         tmp = data_path + ".delete"
         keep.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
         shutil.rmtree(data_path)
-        os.rename(tmp, data_path)
+        if self._has_data(tmp):
+            os.rename(tmp, data_path)
+            return 0
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not meta.columns:
+            # everything deleted and no declared schema on file — record the
+            # observed schema so subsequent reads serve an empty frame
+            drop = {SEQ_COL, BUCKET_COL}
+            self._update_meta(
+                name,
+                columns=[[c, t] for c, t in df.dtypes if c not in drop],
+            )
         return 0
 
     def read_series(self, name: str, raw: bool = False) -> DataFrame:
@@ -366,14 +407,41 @@ class Catalog:
             *meta.tags, meta.time_index
         )
 
+    def flush_table(self, name: str) -> None:
+        """Memtable-flush analog: TTL expiry happens HERE, not at read time
+        (reference applies TTL on flush/compaction; ttl='instant' tables drop
+        everything they have on flush — data only flows on to flows).
+        At scale this deletes whole time-bucket partitions (partition-pruned
+        drop), plus one boundary-bucket rewrite."""
+        meta = self.meta(name)
+        if not meta.ttl:
+            return
+        data_path = os.path.join(self._table_path(name), "data")
+        if not self._has_data(data_path):
+            return
+        if meta.ttl.lower() == "instant":
+            import shutil
+
+            shutil.rmtree(data_path)
+            return
+        self.delete(
+            name,
+            F.col(_phys_name(meta.time_index))
+            < F.current_timestamp() - F.expr(_ttl_interval(meta.ttl)),
+        )
+
     def compact(self, name: str) -> None:
-        """Rewrite the table as its dedup view (TWCS-compaction analog).
+        """Rewrite the table as its dedup view (TWCS-compaction analog);
+        applies TTL expiry like the reference's compaction does.
 
         At scale this runs per time-bucket so only recently-written partitions
         rewrite; here we rewrite the whole (small) table.
         """
+        self.flush_table(name)
         meta = self.meta(name)
         data_path = os.path.join(self._table_path(name), "data")
+        if not self._has_data(data_path):
+            return
         df = self.spark.read.parquet(data_path)
         merged = merge_view(df, meta, keep_seq=True).withColumn(
             BUCKET_COL, F.date_trunc(meta.partition_granularity, F.col(meta.time_index))

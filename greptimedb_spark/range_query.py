@@ -55,10 +55,18 @@ def parse_duration_ms(text) -> int:
     for w, u in words.items():
         t = re.sub(rf"\s*{w}s?\b", u, t)
     t = t.replace("interval", "").replace(" ", "").replace("'", "").replace('"', "")
+    if re.search(r"\d\s*(months?|mons?)\b", t):
+        # Calendar months are variable-length (reference uses
+        # IntervalMonthDayNano); a fixed-ms grid would be silently wrong.
+        raise ValueError(f"calendar month intervals unsupported here: {text!r}")
     total = 0.0
-    for num, unit in re.findall(r"([0-9]*\.?[0-9]+)(ns|us|ms|s|m|h|d|w|y)", t):
-        total += float(num) * _UNITS_MS[unit]
-    if total == 0:
+    pos = 0
+    for m in re.finditer(r"([0-9]*\.?[0-9]+)(ns|us|ms|s|m|h|d|w|y)", t):
+        if m.start() != pos:
+            raise ValueError(f"cannot parse duration: {text!r}")
+        pos = m.end()
+        total += float(m.group(1)) * _UNITS_MS[m.group(2)]
+    if total == 0 or pos != len(t):
         raise ValueError(f"cannot parse duration: {text!r}")
     return int(total)
 

@@ -32,7 +32,13 @@ _ALIASES = {
     "arrow_cast": "cast",
     "approx_distinct": "approx_count_distinct",
     "approx_median": "median",
-    "mod": "pmod",
+    # mergeable HLL sketch triple (reference aggrs/approximate/hll.rs) →
+    # Spark's native DataSketches functions
+    "hll": "hll_sketch_agg",
+    "hll_merge": "hll_union_agg",
+    "hll_count": "hll_sketch_estimate",
+    # NOTE: no mod→pmod alias — DataFusion mod(-7,3) = -1 (sign of the
+    # dividend), which matches Spark's native mod(), not pmod().
 }
 
 _ATAT_RE = re.compile(r"(\w+)\s*@@\s*'([^']*)'")
@@ -71,6 +77,41 @@ def _strip_line_comments(text: str) -> str:
     return "\n".join(out)
 
 
+_SQ_STRING_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _map_outside_strings(text: str, fn) -> str:
+    """Apply ``fn`` to the segments of ``text`` outside single-quoted SQL
+    string literals (which pass through untouched)."""
+    out, pos = [], 0
+    for m in _SQ_STRING_RE.finditer(text):
+        out.append(fn(text[pos:m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(fn(text[pos:]))
+    return "".join(out)
+
+
+_ORDERED_VAL_RE = re.compile(
+    r"\b(first_value|last_value)\s*\(\s*([^()]+?)\s+ORDER\s+BY\s+([^()]+?)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_ordered_value(text: str) -> str:
+    """DataFusion's within-aggregate ordering `last_value(x ORDER BY y)` →
+    Spark `max_by(x, y)` (and first_value → min_by; DESC flips)."""
+
+    def repl(m: re.Match) -> str:
+        fn, val, order = m.group(1).lower(), m.group(2).strip(), m.group(3).strip()
+        desc = bool(re.search(r"\bDESC\b", order, re.IGNORECASE))
+        order = re.sub(r"\s+(ASC|DESC)\b", "", order, flags=re.IGNORECASE).strip()
+        last = (fn == "last_value") != desc
+        return f"{'max_by' if last else 'min_by'}({val}, {order})"
+
+    return _ORDERED_VAL_RE.sub(repl, text)
+
+
 def _rewrite_atat(text: str) -> str:
     def repl(m: re.Match) -> str:
         col, term = m.group(1), re.escape(m.group(2))
@@ -96,6 +137,12 @@ def _rewrite_colon_cast(text: str) -> str:
 
     def repl(m: re.Match) -> str:
         val, typ = m.group(1), m.group(2)
+        if typ.upper() == "INTERVAL" and re.fullmatch(r"'[^']*'", val):
+            # '10s'::INTERVAL — duration string to a day-time interval
+            # (comma-free form so TQL EVAL arg splitting stays intact)
+            from greptimedb_spark.range_query import parse_duration_ms
+
+            return f"INTERVAL '{parse_duration_ms(val)}' MILLISECOND"
         if re.fullmatch(r"'(?:nan|NAN|NaN)'", val) and typ.lower() in ("double", "float64"):
             val = "'NaN'"  # Spark double parsing accepts only this spelling
         if re.fullmatch(r"\d{10,}", val) and typ.lower().startswith("timestamp"):
@@ -107,11 +154,49 @@ def _rewrite_colon_cast(text: str) -> str:
     return _COLON_CAST_RE.sub(repl, text)
 
 
+def _split_top_level_tuples(text: str) -> list[str]:
+    """Split "(a, 'x'), (b, 'y')" into its top-level parenthesized tuples."""
+    out, depth, cur, instr = [], 0, "", None
+    for ch in text:
+        if instr:
+            cur += ch
+            if ch == instr:
+                instr = None
+            continue
+        if ch in ("'", '"'):
+            instr = ch
+            cur += ch
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        cur += ch
+        if depth == 0 and ch == ")":
+            out.append(cur.strip().lstrip(","). strip())
+            cur = ""
+    return [t for t in out if t]
+
+
 def _parse_time_arg(arg: str) -> int:
-    """TQL time bound: epoch seconds or ISO string → epoch ms."""
+    """TQL time bound: epoch seconds, ISO string, or now()±interval → epoch ms."""
     a = arg.strip().strip("'\"")
     if re.fullmatch(r"-?\d+(\.\d+)?", a):
         return int(float(a) * 1000)
+    m = re.fullmatch(
+        r"now\s*\(\s*\)\s*(?:([-+])\s*INTERVAL\s*'(\d+)'\s*MILLISECOND)?\s*",
+        a, re.IGNORECASE,
+    )
+    if m:
+        import time as _time
+
+        # whole-second now(): the reference's TQL grid timestamps carry no
+        # sub-second fraction (sqlness REPLACE patterns assume it)
+        ms = int(_time.time()) * 1000
+        if m.group(1):
+            delta = int(m.group(2))
+            ms = ms - delta if m.group(1) == "-" else ms + delta
+        return ms
     import datetime as dt
 
     d = dt.datetime.fromisoformat(a.replace("T", " ").replace("Z", ""))
@@ -127,6 +212,7 @@ _TYPE_MAP = {
     "string": "string", "varchar": "string", "text": "string", "char": "string",
     "binary": "binary", "varbinary": "binary", "boolean": "boolean", "bool": "boolean",
     "date": "date", "datetime": "timestamp",
+    "json": "string",  # reference JSONB column ↔ canonical JSON text
 }
 
 
@@ -173,6 +259,11 @@ class GreptimeSQL:
         self.promql_tables = promql_tables or {}
         self.lookback_ms = lookback_ms
         self.catalog = catalog
+        from greptimedb_spark.functions import json_fns
+        from greptimedb_spark.functions.sketch import register_udd
+
+        register_udd(spark)
+        json_fns.register(spark)
 
     def register_metric(self, name: str, table) -> None:
         self.promql_tables[name] = table
@@ -307,9 +398,17 @@ class GreptimeSQL:
             has_default_kw = re.search(r"\bDEFAULT\b", values_text, re.IGNORECASE)
             if has_default_kw:
                 values_text = re.sub(r"\bDEFAULT\b", "NULL", values_text, flags=re.IGNORECASE)
-            raw = self.spark.sql(f"SELECT * FROM VALUES {values_text}").toDF(
-                *[f"col{i + 1}" for i in range(len(cols))]
-            )
+            try:
+                raw = self.spark.sql(f"SELECT * FROM VALUES {values_text}")
+            except Exception:
+                # VALUES requires foldable expressions; tuples calling UDFs
+                # (e.g. parse_json(...)) re-express as UNION ALL SELECTs
+                selects = [
+                    "SELECT " + t.strip()[1:-1]
+                    for t in _split_top_level_tuples(values_text)
+                ]
+                raw = self.spark.sql(" UNION ALL ".join(selects))
+            raw = raw.toDF(*[f"col{i + 1}" for i in range(len(cols))])
             int_to_ts = {
                 "s": "timestamp_seconds({v})",
                 "ms": "timestamp_millis({v})",
@@ -391,7 +490,8 @@ class GreptimeSQL:
                         F.expr(tpl.format(v=f"CAST(`{scol}` AS BIGINT)")).alias(entry[0])
                     )
                 else:
-                    sel.append(F.col(scol).cast(entry[1]).alias(entry[0]))
+                    safe = scol.replace("`", "``")
+                    sel.append(F.col(f"`{safe}`").cast(entry[1]).alias(entry[0]))
             picked = src.select(*sel)
             listed = {e[0] for e in cols}
             fill = []
@@ -606,11 +706,13 @@ class GreptimeSQL:
         if m:
             fn, target = m.group(1).lower(), m.group(2)
             if fn in ("flush_table", "compact_table"):
-                self.catalog.meta(self._resolve_table(target))  # raises if missing
+                t = self._resolve_table(target)
+                self.catalog.meta(t)  # raises if missing
                 if fn == "compact_table":
-                    t = self._resolve_table(target)
                     self.catalog.compact(t)
-                    self.catalog.read(t).createOrReplaceTempView(t)
+                else:
+                    self.catalog.flush_table(t)
+                self.catalog.read(t).createOrReplaceTempView(t)
                 return self.spark.createDataFrame([(0,)], "result bigint")
             if fn == "flush_flow":
                 n = self._flush_flow(target)
@@ -678,7 +780,8 @@ class GreptimeSQL:
             df = df.withColumnRenamed(old, new)
         return df
 
-    _FLOW_OPTIONS = ("defer_on_missing_source", "experimental_enable_incremental_read")
+    _FLOW_OPTIONS = ("defer_on_missing_source", "experimental_enable_incremental_read",
+                     "flow_type")
 
     def _create_flow(self, name: str, sink: str, expire, with_opts, select_text: str,
                      stmt: str = ""):
@@ -715,35 +818,133 @@ class GreptimeSQL:
             if re.search(rf"\b{re.escape(t)}\b", select_text, re.IGNORECASE)
             and t != sink
         }
+        # pending flows (reference determine_flow_type, operator ddl.rs:796):
+        # a FROM/JOIN table that exists nowhere → error unless
+        # defer_on_missing_source=true, in which case a pending batching flow
+        opt_map = dict(opts)
+        from_tables = {
+            g.lower()
+            for tup in re.findall(
+                r"\b(?:FROM|JOIN)\s+(?:\"([^\"]+)\"|(\w+))", select_text, re.IGNORECASE
+            )
+            for g in tup if g
+        }
+        known = {t.lower() for t in self.catalog.list_tables()}
+        known |= {v.lower() for v in getattr(self, "_views", {})}
+        known |= {c[0].lower() for c in re.findall(
+            r"\b(\w+)\s+AS\s*\(", select_text, re.IGNORECASE)}  # CTE names
+        missing = [
+            t for t in from_tables
+            if t not in known and not self.spark.catalog.tableExists(t)
+        ]
+        pending = False
+        if missing:
+            if opt_map.get("defer_on_missing_source") != "true":
+                raise ValueError(
+                    f"missing source tables for flow '{name}'; use WITH "
+                    "(defer_on_missing_source = true) to create a pending flow"
+                )
+            pending = True
         try:
             self.catalog.meta(sink)
             sink_exists = True
         except Exception:
             sink_exists = False
+        if not sink_exists and pending:
+            sink_exists = True  # defer sink auto-create until sources exist
         if not sink_exists:
+            # Auto-create the sink the way the reference does
+            # (src/flow/src/adapter/table_source.rs sink auto-create): GROUP
+            # BY / DISTINCT output columns become the PRIMARY KEY tags, the
+            # first timestamp output is the time index (else a constant
+            # __ts_placeholder), aggregates are fields. Every flush then
+            # plain-INSERTs its recompute and the sink's own (tags, time)
+            # last-row merge IS the upsert.
             df = self._flow_df(select_text)
             ts_cols = [c for c, t in df.dtypes if t.startswith("timestamp")]
             entries = [
                 [c, t, self._SPARK_TO_DECL.get(t, t), None, False] for c, t in df.dtypes
             ]
-            time_index = ts_cols[0] if ts_cols else "update_at"
+            time_index = ts_cols[0] if ts_cols else "__ts_placeholder"
+            gb = re.search(
+                r"\bGROUP\s+BY\s+(.*?)(?:\bHAVING\b|\bORDER\b|\bLIMIT\b|$)",
+                select_text, re.IGNORECASE | re.DOTALL,
+            )
+            if gb:
+                key_cols = [
+                    c for c, _t in df.dtypes
+                    if re.search(rf"\b{re.escape(c)}\b", gb.group(1), re.IGNORECASE)
+                ]
+            elif re.search(r"\bSELECT\s+DISTINCT\b", select_text, re.IGNORECASE):
+                key_cols = [c for c, _ in df.dtypes]
+            else:
+                key_cols = []
+            tags = [c for c in key_cols if c != time_index]
             if not ts_cols:
+                entries.append(
+                    ["__ts_placeholder", "timestamp", "timestamp(3)", "0", False])
                 entries.append(["update_at", "timestamp", "timestamp(3)", None, False])
             meta = TableMeta(
                 name=sink,
                 time_index=time_index,
-                tags=[],
-                append_mode=True,  # flush truncates + rewrites; no merge needed
+                tags=tags,
+                append_mode=False,
                 columns=entries,
             )
             self.catalog.create_table(meta, if_not_exists=True)
             self.catalog.read(sink).createOrReplaceTempView(sink)
+        # batching vs streaming mode (reference determine_flow_type,
+        # src/operator/src/statement/ddl.rs:796): pending → batching;
+        # instant-ttl source → streaming (nothing is stored, consume the
+        # stream); TQL → batching; aggregation/DISTINCT → batching (windowed
+        # recompute); plain filter/projection flows → streaming
+        has_instant = any(
+            (self.catalog.meta(t).ttl or "").lower() == "instant" for t in sources
+        )
+        is_aggr = bool(re.search(
+            r"\b(GROUP\s+BY|DISTINCT)\b|\b(sum|count|avg|min|max|stddev\w*|"
+            r"var\w*|percentile\w*|approx\w*|first_value|last_value|hll|"
+            r"uddsketch\w*)\s*\(",
+            select_text, re.IGNORECASE,
+        ))
+        is_tql = bool(re.match(r"\s*TQL\b", select_text, re.IGNORECASE))
+        if "flow_type" in opt_map:
+            flow_type = opt_map["flow_type"]
+        elif pending:
+            flow_type = "batching"
+        elif has_instant:
+            flow_type = "streaming"
+        elif is_tql or is_aggr:
+            flow_type = "batching"
+        else:
+            flow_type = "streaming"
+        # Source binding (reference flow_rebuild semantics): a flow is bound
+        # to each source's table INSTANCE (table id) — recreating the table
+        # under the same name detaches it. Batching flows re-evaluate over
+        # ALL of the source's data at every flush (wm=0); streaming flows
+        # consume each ingested batch exactly once (wm starts at the current
+        # batch counter and advances per flush).
+        # "seen" records each source's batch counter at creation / last
+        # flush: a flush with NO new batches is a no-op (nothing is dirty),
+        # and a flush WITH new batches recomputes dirty windows over ALL
+        # data — pre-creation rows included (flow_flush vs flow_rebuild pin
+        # both sides of this; reference batching_mode/task.rs dirty windows).
+        bound = {
+            t: {
+                "id": self.catalog.meta(t).table_id,
+                "wm": 0 if flow_type == "batching" else self.catalog.meta(t).batch_no,
+                "seen": self.catalog.meta(t).batch_no,
+            }
+            for t in sources
+        }
         self._flows[name] = {
             "sink": sink,
             "select": select_text,
             "expire": expire,
-            "sources": sources,
+            "sources": bound,
             "auto_sink": not sink_exists,
+            "opts": opts,
+            "flow_type": flow_type,
             "definition": _render_flow_def(name, sink, expire, select_text, opts),
         }
         return self._empty_ok()
@@ -754,25 +955,47 @@ class GreptimeSQL:
             raise ValueError(f"flow {name} does not exist")
         fl = flows[name]
         sources = fl.get("sources", {})
-        # evaluate with each source restricted to post-creation ingests
-        for t, wm in sources.items():
-            self.catalog.read(t, min_batch=wm + 1).createOrReplaceTempView(t)
+        # stale binding check: a source dropped or re-created under the same
+        # name has a different table id — the flow sees nothing from it, so
+        # the flush is a no-op and the sink keeps its state (flow_rebuild)
+        for t, b in sources.items():
+            try:
+                cur = self.catalog.meta(t)
+            except Exception:
+                cur = None
+            if cur is None or cur.table_id != b["id"]:
+                out = self.catalog.read(fl["sink"])
+                out.createOrReplaceTempView(fl["sink"])
+                return out.count()
+        is_tql = bool(re.match(r"\s*TQL\b", fl["select"], re.IGNORECASE))
+        if sources and not is_tql and all(
+            self.catalog.meta(t).batch_no == b.get("seen", -1)
+            for t, b in sources.items()
+        ):
+            # nothing new since the last flush — no dirty windows, no-op
+            out = self.catalog.read(fl["sink"])
+            out.createOrReplaceTempView(fl["sink"])
+            return out.count()
+        for t, b in sources.items():
+            self.catalog.read(t, min_batch=b["wm"] + 1).createOrReplaceTempView(t)
         try:
             df = self._flow_df(fl["select"])
             sink_cols = self._col_entries(fl["sink"])
             sink_names = [e[0] for e in sink_cols]
-            # map flow output onto the declared sink schema positionally
-            # (reference inserts flow output by position: time_window lands in
-            # the sink's time-index column whatever it is named)
-            if sink_names and df.columns != sink_names[: len(df.columns)]:
-                for i, c in enumerate(df.columns):
-                    if i < len(sink_names) and c != sink_names[i]:
-                        df = df.withColumnRenamed(c, sink_names[i])
-            produced_cols = set(df.columns)
+            # map flow output onto the declared sink schema BY NAME when all
+            # output names exist in the sink (a flow may produce a column
+            # subset, e.g. (time_window, update_at, bb)); else positionally
+            # (auto-generated names like `sum(t.number)` land by position)
+            sink_set = {n.lower() for n in sink_names}
+            if sink_names and not all(c.lower() in sink_set for c in df.columns):
+                if df.columns != sink_names[: len(df.columns)]:
+                    for i, c in enumerate(df.columns):
+                        if i < len(sink_names) and c != sink_names[i]:
+                            df = df.withColumnRenamed(c, sink_names[i])
             if "update_at" in sink_names and "update_at" not in df.columns:
                 df = df.withColumn("update_at", F.current_timestamp())
             # sink columns the flow doesn't produce take their declared
-            # DEFAULT (e.g. ts TIMESTAMP DEFAULT CURRENT_TIMESTAMP), else NULL
+            # DEFAULT (e.g. __ts_placeholder TIMESTAMP DEFAULT 0), else NULL
             for entry in sink_cols:
                 if entry[0] not in df.columns:
                     d = _default_sql(entry)
@@ -780,23 +1003,17 @@ class GreptimeSQL:
                         entry[0],
                         F.expr(d) if d else F.lit(None).cast(entry[1]),
                     )
-            if fl.get("auto_sink"):
-                # we own the sink: the recompute IS its complete state
-                self.catalog.delete(fl["sink"], "true")
-            # pre-existing sinks are UPSERTED into (reference inserts flow
-            # output; the sink's own PK+time-index merge dedups) — earlier
-            # flush results must survive a CREATE OR REPLACE watermark reset
+            # Plain INSERT is the whole story: the sink's (tags, time-index)
+            # last-row merge upserts recomputed groups, and results computed
+            # from source rows that have since been TTL-flushed survive
+            # (reference batching-mode dirty-window recompute, task.rs:147).
             self.catalog.insert(fl["sink"], df)
-            sink_ti = self.catalog.meta(fl["sink"]).time_index
-            if not fl.get("auto_sink") and sink_ti not in produced_cols:
-                # the sink timestamp is flush-generated (DEFAULT
-                # CURRENT_TIMESTAMP), so re-emitting old rows would duplicate
-                # them under new timestamps: process each ingested batch
-                # exactly once by advancing the per-source watermark
-                # (batching-mode dirty windows, task.rs). Flows that produce
-                # the time index recompute their windows in full instead —
-                # the sink's (tags, ts) merge dedups the rewrite.
-                fl["sources"] = {t: self.catalog.meta(t).batch_no for t in sources}
+            for t, b in sources.items():
+                b["seen"] = self.catalog.meta(t).batch_no
+                if fl.get("flow_type") == "streaming":
+                    # streaming mode consumes each ingested batch exactly
+                    # once (the stand-in for per-write incremental eval)
+                    b["wm"] = b["seen"]
         finally:
             for t in sources:
                 self.catalog.read(t).createOrReplaceTempView(t)
@@ -944,6 +1161,28 @@ class GreptimeSQL:
         if m:
             self.tz_offset_ms = _tz_offset_ms(m.group(1))
             return self.spark.createDataFrame([], "result string")
+        # multi-database surface flattened onto the single default schema:
+        # CREATE DATABASE registers a name; `db.tbl` / `db."tbl"` references
+        # lose the prefix (the physical layout is one catalog directory)
+        m = re.match(
+            r"\s*(CREATE|DROP)\s+DATABASE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?(\w+)\s*;?\s*$",
+            text, re.IGNORECASE,
+        )
+        if m:
+            dbs = self._databases = getattr(self, "_databases", set())
+            if m.group(1).upper() == "CREATE":
+                dbs.add(m.group(2).lower())
+            else:
+                dbs.discard(m.group(2).lower())
+            return self._empty_ok()
+        if re.match(r"\s*USE\s+\w+\s*;?\s*$", text, re.IGNORECASE):
+            return self._empty_ok()  # single default schema
+        for d in getattr(self, "_databases", set()):
+            text = _map_outside_strings(
+                text,
+                lambda seg: re.sub(rf"\b{re.escape(d)}\s*\.\s*", "", seg,
+                                   flags=re.IGNORECASE),
+            )
         if re.search(r"\bdate_bin\s*\(|\btrunc\s*\([^()]*,", text, re.IGNORECASE):
             if not getattr(self, "_fns_done", False):
                 self._fns_done = True
@@ -987,9 +1226,16 @@ class GreptimeSQL:
         if re.search(r"\bINFORMATION_SCHEMA\s*\.\s*FLOWS\b", text, re.IGNORECASE):
             # information_schema.flows (reference
             # src/catalog/src/system_schema/information_schema/flows.rs)
+            import json as _json
+
             rows = [
                 (n, i, 0, "greptime", fl.get("definition", ""), None,
-                 fl.get("expire"), None, fl["sink"], None, None,
+                 fl.get("expire"), "[]", fl["sink"], "{}",
+                 _json.dumps(
+                     dict(fl.get("opts") or [])
+                     | {"flow_type": fl.get("flow_type", "batching")},
+                     separators=(",", ":"),
+                 ),
                  ",".join(f"greptime.public.{t}" for t in sorted(fl.get("sources", {}))))
                 for i, (n, fl) in enumerate(sorted(getattr(self, "_flows", {}).items()))
             ]
@@ -1056,12 +1302,17 @@ class GreptimeSQL:
             return out.withColumnRenamed("value", value_alias) if value_alias != "value" else out
         text = _rewrite_atat(text)
         text = _rewrite_aliases(text)
+        text = _map_outside_strings(text, _rewrite_ordered_value)
         text = _floats_to_double(text)
         if not re.match(r"^\s*INSERT", text, re.IGNORECASE):
-            text = re.sub(r'"(\w+)"', r"\1", text)  # ANSI quoted identifiers
-            # identifiers with generated-name characters ("sum(t.x)") →
-            # backticks so Spark treats them as one column reference
-            text = re.sub(r'"([^"]+)"', r"`\1`", text)
+            # ANSI quoted identifiers; generated-name identifiers
+            # ("sum(t.x)") → backticks. Applied OUTSIDE single-quoted string
+            # literals only (a LIKE '%"k":"v"%' pattern must keep its quotes).
+            def _idquotes(seg: str) -> str:
+                seg = re.sub(r'"(\w+)"', r"\1", seg)
+                return re.sub(r'"([^"]+)"', r"`\1`", seg)
+
+            text = _map_outside_strings(text, _idquotes)
         if re.search(r"\bALIGN\s+['(]", text, re.IGNORECASE):
             from greptimedb_spark.range_query import parse_range_sql, range_sql
 

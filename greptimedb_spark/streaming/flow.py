@@ -82,7 +82,13 @@ class FlowEngine:
             .schema(flow.source_schema)
             .option("path", flow.source_path)
         )
-        return reader.load()
+        df = reader.load()
+        # Structured Streaming watermarks require TIMESTAMP (with timezone);
+        # parquet sources may surface TIMESTAMP_NTZ — normalize up front.
+        for f_ in df.schema.fields:
+            if f_.dataType.typeName() == "timestamp_ntz":
+                df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
+        return df
 
     def flush_flow(self, name: str) -> None:
         """One blocking availableNow micro-batch (reference ADMIN FLUSH_FLOW,

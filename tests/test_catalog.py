@@ -75,8 +75,11 @@ def test_ttl(cat, spark):
     meta = TableMeta(name="ttl_t", time_index="ts", tags=["sensor_id"], ttl="1 HOUR")
     cat.create_table(meta)
     cat.insert(meta.name, spark.createDataFrame(_mk_rows()[0], SCHEMA))
-    assert cat.read(meta.name).count() == 0  # 2024 data long expired
+    # TTL expires at flush/compaction, not at read (reference semantics)
+    assert cat.read(meta.name).count() == 3
     assert cat.read(meta.name, at="2024-01-01 00:30:00").count() == 3
+    cat.flush_table(meta.name)
+    assert cat.read(meta.name).count() == 0  # 2024 data long expired
 
 
 def test_read_series_ordering(cat, spark):
