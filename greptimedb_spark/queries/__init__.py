@@ -47,6 +47,14 @@ def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # newer testdata stores TIMESTAMP(MICROS, isAdjustedToUTC=false) which a
+    # plain session surfaces as TIMESTAMP_NTZ — unusable with unix_micros/
+    # windows; normalize to TIMESTAMP (session tz is UTC either way)
+    for f_ in df.schema.fields:
+        if f_.dataType.typeName() == "timestamp_ntz":
+            # pin UTC so the NTZ wall-clock → instant cast is a no-op shift
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
     return df
 
 

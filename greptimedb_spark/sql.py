@@ -259,11 +259,13 @@ class GreptimeSQL:
         self.promql_tables = promql_tables or {}
         self.lookback_ms = lookback_ms
         self.catalog = catalog
+        from greptimedb_spark.functions import ip as ip_fns
         from greptimedb_spark.functions import json_fns
         from greptimedb_spark.functions.sketch import register_udd
 
         register_udd(spark)
         json_fns.register(spark)
+        ip_fns.register(spark)
 
     def register_metric(self, name: str, table) -> None:
         self.promql_tables[name] = table
@@ -1303,6 +1305,10 @@ class GreptimeSQL:
         text = _rewrite_atat(text)
         text = _rewrite_aliases(text)
         text = _map_outside_strings(text, _rewrite_ordered_value)
+        for f4 in ("ipv4_to_cidr", "ipv6_to_cidr"):
+            if re.search(rf"\b{f4}\s*\(", text, re.IGNORECASE):
+                text = _dispatch_arity(
+                    text, f4, {1: f"{f4}_auto", 2: f"{f4}2"})
         text = _floats_to_double(text)
         if not re.match(r"^\s*INSERT", text, re.IGNORECASE):
             # ANSI quoted identifiers; generated-name identifiers
@@ -1421,6 +1427,34 @@ def _floats_to_double(text: str) -> str:
                     seg,
                 )
             )
+    return "".join(out)
+
+
+def _dispatch_arity(text: str, fname: str, names: dict) -> str:
+    """Rewrite fname(args…) to names[argcount](args…) — Spark UDF
+    registration has no overloading, the reference's UDFs do."""
+    out = []
+    i = 0
+    while True:
+        m = re.search(rf"\b{fname}\s*\(", text[i:], re.IGNORECASE)
+        if not m:
+            out.append(text[i:])
+            break
+        start = i + m.start()
+        open_paren = i + m.end() - 1
+        inner, rest = _balanced_paren(text[open_paren:])
+        depth = commas = 0
+        for ch in inner:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                commas += 1
+        out.append(text[i:start])
+        out.append(f"{names.get(commas + 1, fname)}({inner})")
+        text = rest
+        i = 0
     return "".join(out)
 
 
