@@ -85,6 +85,62 @@ def json_encode_path(lat, lng, ts) -> Column:
     )
 
 
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_py(lat: float, lon: float, precision: int) -> str:
+    """Standard geohash base32 encoding (public algorithm; reference
+    geo/geohash.rs delegates to the geohash crate)."""
+    if precision < 1 or precision > 12:
+        raise ValueError(f"geohash precision {precision} out of range [1,12]")
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits = []
+    even = True
+    while len(bits) < precision * 5:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits.append(1)
+                lon_lo = mid
+            else:
+                bits.append(0)
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits.append(1)
+                lat_lo = mid
+            else:
+                bits.append(0)
+                lat_hi = mid
+        even = not even
+    out = []
+    for i in range(precision):
+        v = 0
+        for b in bits[i * 5:i * 5 + 5]:
+            v = v * 2 + b
+        out.append(_B32[v])
+    return "".join(out)
+
+
+def register(spark) -> None:
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("string", PandasUDFType.SCALAR)
+    def _geohash(lat, lon, prec):
+        out = []
+        for la, lo, p in zip(lat, lon, prec):
+            if None in (la, lo, p):
+                out.append(None)
+            else:
+                out.append(_geohash_py(float(la), float(lo), int(p)))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("geohash", _geohash)
+
+
 def _h3_stub(*_args, **_kwargs):
     raise NotImplementedError(
         "H3 cell functions need the 'h3' package (not in this container); "

@@ -159,12 +159,16 @@ def register(spark) -> None:
         v4 = addr.ipv4_mapped
         return f"::ffff:{v4}" if v4 is not None else str(addr)
 
+    def _v6_str(addr):
+        # Rust Ipv6Addr Display renders v4-mapped addresses as ::ffff:a.b.c.d
+        v4 = addr.ipv4_mapped
+        return f"::ffff:{v4}" if v4 is not None else str(addr)
+
     def v6_cidr(s, mask=None):
         addr = _complete_ipv6(s)
         p = int(mask) if mask is not None else _auto_v6_prefix(addr)
-        m = ((1 << 128) - 1) >> p << p if p == 0 else (
-            ((1 << 128) - 1) ^ ((1 << (128 - p)) - 1))
-        return f"{ipaddress.IPv6Address(int(addr) & m)}/{p}"
+        m = 0 if p == 0 else ((1 << 128) - 1) ^ ((1 << (128 - p)) - 1)
+        return f"{_v6_str(ipaddress.IPv6Address(int(addr) & m))}/{p}"
 
     def v6_in_range(s, cidr):
         if cidr is None:

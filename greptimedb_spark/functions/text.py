@@ -195,5 +195,71 @@ def fingerprint(col) -> Column:
     return F.md5(norm)
 
 
+def _char_class(c: str) -> str:
+    """Reference matches_term.rs classify_char: ASCII word / Han /
+    unicode word / other."""
+    o = ord(c)
+    if c.isascii() and c.isalnum():
+        return "ascii"
+    # Script=Han principal blocks (CJK unified + exts + compat ideographs)
+    if (0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF
+            or 0xF900 <= o <= 0xFAFF or 0x20000 <= o <= 0x2A6DF
+            or 0x2A700 <= o <= 0x2EBEF or 0x3005 == o or 0x3007 == o):
+        return "han"
+    if c.isalnum():
+        return "uni"
+    return "other"
+
+
+def term_matches(text: str, term: str) -> bool:
+    """Python mirror of the reference's MatchesTermFinder::find
+    (src/common/function/src/scalars/matches_term.rs:305): exact substring
+    with word-boundary rules per term kind — ASCII terms reject adjacent
+    ASCII word chars, unicode-word terms reject any word/Han neighbor,
+    Han-containing terms match as contiguous substrings."""
+    if term == "":
+        return text == ""
+    classes = [_char_class(c) for c in term]
+    kind = ("han" if "han" in classes
+            else "uni" if "uni" in classes else "ascii")
+    starts_other = classes[0] == "other"
+    ends_other = classes[-1] == "other"
+
+    def boundary_ok(nb):
+        if nb is None:
+            return True
+        c = _char_class(nb)
+        if kind == "ascii":
+            return c != "ascii"
+        if kind == "uni":
+            return c == "other"
+        return True
+
+    pos = 0
+    while True:
+        i = text.find(term, pos)
+        if i < 0:
+            return False
+        prev = text[i - 1] if i > 0 else None
+        if starts_other or boundary_ok(prev):
+            if kind == "han":
+                return True
+            j = i + len(term)
+            nxt = text[j] if j < len(text) else None
+            if ends_other or boundary_ok(nxt):
+                return True
+        pos = i + 1
+
+
 def register(spark) -> None:
-    spark.udf.register  # no Python UDFs needed; SQL callers use expressions
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("boolean", PandasUDFType.SCALAR)
+    def _matches_term(text, term):
+        return pd.Series(
+            [None if t is None or q is None else term_matches(t, q)
+             for t, q in zip(text, term)],
+            dtype=object)
+
+    spark.udf.register("matches_term", _matches_term)

@@ -29,9 +29,23 @@ from pyspark.sql import functions as F
 _ALIASES = {
     # greptime/datafusion name → spark name (same arity)
     "to_unixtime": "unix_timestamp",
-    "arrow_cast": "cast",
     "approx_distinct": "approx_count_distinct",
     "approx_median": "median",
+    "inet_ntoa": "ipv4_num_to_string",  # reference ip/ipv4.rs:53 alias
+    "inet_aton": "ipv4_string_to_num",
+    # MySQL-compat aliases (reference function_alias battery): std/variance
+    # are POPULATION forms there
+    "std": "stddev_pop",
+    "variance": "var_pop",
+    "ucase": "upper",
+    "lcase": "lower",
+    "mid": "substr",
+    "initcap": "gt_initcap",
+    "replace": "gt_replace",
+    "strpos": "instr",          # strpos(s, sub) ≡ instr(s, sub)
+    "string_to_array": "gt_string_to_array",
+    "format": "format_number",  # MySQL FORMAT(n, d)
+    "unnest": "explode",
     # mergeable HLL sketch triple (reference aggrs/approximate/hll.rs) →
     # Spark's native DataSketches functions
     "hll": "hll_sketch_agg",
@@ -41,7 +55,10 @@ _ALIASES = {
     # dividend), which matches Spark's native mod(), not pmod().
 }
 
-_ATAT_RE = re.compile(r"(\w+)\s*@@\s*'([^']*)'")
+_ATAT_RE = re.compile(
+    r"((?:'[^']*')|(?:`[^`]+`)|(?:\"[^\"]+\")|[\w.]+)\s*@@\s*"
+    r"((?:'[^']*')|(?:`[^`]+`)|(?:\"[^\"]+\")|[\w.]+)"
+)
 _TQL_RE = re.compile(
     r"^\s*TQL\s+EVAL\s*\(\s*([^,]+)\s*,\s*([^,]+)\s*,\s*([^,)]+)\s*"
     r"(?:,\s*([^)]+)\s*)?\)\s*,?\s*(.*)$",
@@ -80,6 +97,20 @@ def _strip_line_comments(text: str) -> str:
 _SQ_STRING_RE = re.compile(r"'(?:[^']|'')*'")
 
 
+def _rawify_strings(text: str) -> str:
+    """DataFusion single-quoted literals are RAW (no backslash escapes:
+    '\\d' is backslash-d, '\\t' is backslash-t). Spark processes escape
+    sequences — double every backslash inside literals so both engines see
+    the same characters."""
+    out, pos = [], 0
+    for m in _SQ_STRING_RE.finditer(text):
+        out.append(text[pos:m.start()])
+        out.append(m.group(0).replace("\\", "\\\\"))
+        pos = m.end()
+    out.append(text[pos:])
+    return "".join(out)
+
+
 def _map_outside_strings(text: str, fn) -> str:
     """Apply ``fn`` to the segments of ``text`` outside single-quoted SQL
     string literals (which pass through untouched)."""
@@ -112,10 +143,80 @@ def _rewrite_ordered_value(text: str) -> str:
     return _ORDERED_VAL_RE.sub(repl, text)
 
 
+_IVAL_UNITS = {
+    "year": ("MONTH", 12), "month": ("MONTH", 1), "week": ("DAY", 7),
+    "day": ("DAY", 1), "hour": ("HOUR", 1), "minute": ("MINUTE", 1),
+    "second": ("SECOND", 1),
+}
+
+
+def _rewrite_date_addsub(text: str) -> str:
+    """DataFusion date_add/date_sub(expr, INTERVAL '…' | '…') with mixed
+    year-month + day-time parts → chained native interval arithmetic (Spark
+    can't mix the two field classes in one literal; chained '+' preserves
+    the date-in → date-out typing the goldens pin)."""
+    while True:
+        m = re.search(r"\bdate_(add|sub)\s*\(", text, re.IGNORECASE)
+        if not m:
+            return text
+        sign = "+" if m.group(1).lower() == "add" else "-"
+        inner, rest = _balanced_paren(text[m.end() - 1:])
+        depth = 0
+        split = -1
+        for i, ch in enumerate(inner):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                split = i
+        base, arg = inner[:split], inner[split + 1:].strip()
+        lm = re.fullmatch(r"(?:INTERVAL\s+)?'([^']*)'", arg, re.IGNORECASE)
+        if not lm:
+            return text  # column/complex arg — leave for Spark
+        totals: dict = {}
+        for num, unit in re.findall(
+                r"([-+]?\d+)\s*(year|month|week|day|hour|minute|second)s?",
+                lm.group(1), re.IGNORECASE):
+            tgt, mult = _IVAL_UNITS[unit.lower()]
+            totals[tgt] = totals.get(tgt, 0) + int(num) * mult
+        terms = "".join(
+            f" {sign} INTERVAL '{v}' {u}" for u, v in totals.items() if v
+        )
+        text = text[: m.start()] + f"({base}{terms})" + rest
+
+
+def _rewrite_arrow_cast(text: str) -> str:
+    """DataFusion arrow_cast(expr, 'Type') → CAST(expr AS mapped-type)."""
+    while True:
+        m = re.search(r"\barrow_cast\s*\(", text, re.IGNORECASE)
+        if not m:
+            return text
+        inner, rest = _balanced_paren(text[m.end() - 1:])
+        depth = 0
+        split = -1
+        for i, ch in enumerate(inner):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                split = i  # last top-level comma
+        expr, typ = inner[:split], inner[split + 1:].strip().strip("'\"")
+        text = (
+            text[: m.start()]
+            + f"CAST({expr} AS {_map_type(typ)})"
+            + rest
+        )
+
+
 def _rewrite_atat(text: str) -> str:
+    """`a @@ b` infix → matches_term(a, b) (reference sql parser lowers @@
+    the same way; matches_term is SQL-registered with the full boundary
+    semantics from functions/text.py)."""
+
     def repl(m: re.Match) -> str:
-        col, term = m.group(1), re.escape(m.group(2))
-        return f"{col} RLIKE '(^|[^a-zA-Z0-9_]){term}($|[^a-zA-Z0-9_])'"
+        return f"matches_term({m.group(1)}, {m.group(2)})"
 
     return _ATAT_RE.sub(repl, text)
 
@@ -126,32 +227,62 @@ def _rewrite_aliases(text: str) -> str:
     return text
 
 
-_COLON_CAST_RE = re.compile(
-    r"('(?:[^']*)'|\b\w+(?:\([^()]*\))?)\s*::\s*(\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+_COLON_CAST_CODE_RE = re.compile(
+    r"(\b\w+(?:\([^()']*\))?)\s*::\s*(\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
 )
+_COLON_CAST_TYPE_RE = re.compile(r"\s*::\s*(\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)")
+
+
+def _render_colon_cast(val: str, typ: str) -> str:
+    if typ.upper() == "INTERVAL" and re.fullmatch(r"'[^']*'", val):
+        # '10s'::INTERVAL — duration string to a day-time interval
+        # (comma-free form so TQL EVAL arg splitting stays intact)
+        from greptimedb_spark.range_query import parse_duration_ms
+
+        return f"INTERVAL '{parse_duration_ms(val)}' MILLISECOND"
+    if re.fullmatch(r"'(?:nan|NAN|NaN)'", val) and typ.lower() in ("double", "float64"):
+        val = "'NaN'"  # Spark double parsing accepts only this spelling
+    if re.fullmatch(r"\d{10,}", val) and typ.lower().startswith("timestamp"):
+        # epoch-integer::timestamp means epoch MILLISECONDS in the
+        # reference dialect; Spark's bigint→timestamp cast is seconds
+        return f"timestamp_millis({val})"
+    tl = typ.lower()
+    trunc = {
+        "timestamp_s": "SECOND", "timestampsecond": "SECOND",
+        "timestamp_ms": "MILLISECOND", "timestampmillisecond": "MILLISECOND",
+    }.get(tl)
+    if trunc:
+        # precision-typed casts TRUNCATE the fractional part (arrow cast)
+        return f"date_trunc('{trunc}', CAST({val} AS TIMESTAMP))"
+    return f"CAST({val} AS {_map_type(typ)})"
 
 
 def _rewrite_colon_cast(text: str) -> str:
-    """DataFusion `expr::TYPE` cast → CAST(expr AS TYPE). Handles literal and
-    simple-identifier/call operands (the forms the sqlness corpus uses)."""
-
-    def repl(m: re.Match) -> str:
-        val, typ = m.group(1), m.group(2)
-        if typ.upper() == "INTERVAL" and re.fullmatch(r"'[^']*'", val):
-            # '10s'::INTERVAL — duration string to a day-time interval
-            # (comma-free form so TQL EVAL arg splitting stays intact)
-            from greptimedb_spark.range_query import parse_duration_ms
-
-            return f"INTERVAL '{parse_duration_ms(val)}' MILLISECOND"
-        if re.fullmatch(r"'(?:nan|NAN|NaN)'", val) and typ.lower() in ("double", "float64"):
-            val = "'NaN'"  # Spark double parsing accepts only this spelling
-        if re.fullmatch(r"\d{10,}", val) and typ.lower().startswith("timestamp"):
-            # epoch-integer::timestamp means epoch MILLISECONDS in the
-            # reference dialect; Spark's bigint→timestamp cast is seconds
-            return f"timestamp_millis({val})"
-        return f"CAST({val} AS {_map_type(typ)})"
-
-    return _COLON_CAST_RE.sub(repl, text)
+    """DataFusion `expr::TYPE` cast → CAST(expr AS TYPE). String-literal
+    aware: a quoted operand is rewritten only when `::` directly follows its
+    closing quote, and `::` sequences INSIDE literals (IPv6 addresses!) are
+    never touched — a naive regex can pair the gap between two real literals
+    into a phantom string and corrupt the statement."""
+    out = []
+    pos = 0
+    while True:
+        m = _SQ_STRING_RE.search(text, pos)
+        if not m:
+            out.append(_COLON_CAST_CODE_RE.sub(
+                lambda c: _render_colon_cast(c.group(1), c.group(2)),
+                text[pos:]))
+            break
+        out.append(_COLON_CAST_CODE_RE.sub(
+            lambda c: _render_colon_cast(c.group(1), c.group(2)),
+            text[pos:m.start()]))
+        tm = _COLON_CAST_TYPE_RE.match(text, m.end())
+        if tm:
+            out.append(_render_colon_cast(m.group(0), tm.group(1)))
+            pos = tm.end()
+        else:
+            out.append(m.group(0))
+            pos = m.end()
+    return "".join(out)
 
 
 def _split_top_level_tuples(text: str) -> list[str]:
@@ -213,6 +344,11 @@ _TYPE_MAP = {
     "binary": "binary", "varbinary": "binary", "boolean": "boolean", "bool": "boolean",
     "date": "date", "datetime": "timestamp",
     "json": "string",  # reference JSONB column ↔ canonical JSON text
+    # arrow cast shorthands (TimestampSecond etc. appear via ::casts)
+    "timestamp_s": "timestamp", "timestamp_ms": "timestamp",
+    "timestamp_us": "timestamp", "timestamp_ns": "timestamp",
+    "timestampsecond": "timestamp", "timestampmillisecond": "timestamp",
+    "timestampmicrosecond": "timestamp", "timestampnanosecond": "timestamp",
 }
 
 
@@ -259,13 +395,23 @@ class GreptimeSQL:
         self.promql_tables = promql_tables or {}
         self.lookback_ms = lookback_ms
         self.catalog = catalog
+        from greptimedb_spark.functions import dialect as dialect_fns
         from greptimedb_spark.functions import ip as ip_fns
         from greptimedb_spark.functions import json_fns
         from greptimedb_spark.functions.sketch import register_udd
 
+        from greptimedb_spark.functions import register_all
+
+        from greptimedb_spark.functions import anomaly as anomaly_fns
+        from greptimedb_spark.functions import geo as geo_fns
+
         register_udd(spark)
+        geo_fns.register(spark)
         json_fns.register(spark)
         ip_fns.register(spark)
+        dialect_fns.register(spark)
+        anomaly_fns.register(spark)
+        register_all(spark)  # text (matches_term) + vector packages
 
     def register_metric(self, name: str, table) -> None:
         self.promql_tables[name] = table
@@ -431,6 +577,9 @@ class GreptimeSQL:
                     if has_default_kw and d:
                         e = f"COALESCE({e}, {d})"
                     exprs.append(f"{e} AS {c}")
+                elif t.startswith("array") and dict(raw.dtypes)[v] == "string":
+                    # vector literals ('[1.0, 2.0]') into VECTOR(n) columns
+                    exprs.append(f"from_json({v}, '{t}') AS {c}")
                 else:
                     d = _default_sql(entry)
                     if has_default_kw and d:
@@ -1158,6 +1307,7 @@ class GreptimeSQL:
 
     def sql(self, text: str, time_index: str = "ts") -> DataFrame:
         text = _strip_line_comments(text)
+        text = _rawify_strings(text)
         text = _rewrite_colon_cast(text)
         m = self._SET_TZ_RE.match(text.strip().rstrip(";"))
         if m:
@@ -1303,12 +1453,71 @@ class GreptimeSQL:
             )
             return out.withColumnRenamed("value", value_alias) if value_alias != "value" else out
         text = _rewrite_atat(text)
+        text = _map_outside_strings(text, _rewrite_arrow_cast)
         text = _rewrite_aliases(text)
         text = _map_outside_strings(text, _rewrite_ordered_value)
         for f4 in ("ipv4_to_cidr", "ipv6_to_cidr"):
             if re.search(rf"\b{f4}\s*\(", text, re.IGNORECASE):
                 text = _dispatch_arity(
                     text, f4, {1: f"{f4}_auto", 2: f"{f4}2"})
+        # DataFusion/Postgres string-function semantics (dialect.py)
+        if re.search(r"\b(substring|substr)\s*\(", text, re.IGNORECASE):
+            for sname in ("substring", "substr"):
+                text = _dispatch_arity(
+                    text, sname, {2: "gt_substr2", 3: "gt_substr"})
+        for tname in ("ltrim", "rtrim", "btrim"):
+            if re.search(rf"\b{tname}\s*\(\s*[^)]*,", text, re.IGNORECASE):
+                text = _dispatch_arity(text, tname, {2: f"gt_{tname}"})
+        if re.search(r"\bconcat\s*\(", text, re.IGNORECASE):
+            # DataFusion concat skips NULL arguments → concat_ws('', …)
+            text = _map_outside_strings(
+                text,
+                lambda seg: re.sub(
+                    r"\bconcat\s*\(", "concat_ws('',", seg, flags=re.IGNORECASE),
+            )
+        if re.search(r"\bdate_format\b", text, re.IGNORECASE) and "%" in text:
+            # chrono %-specifier formats → strftime shim
+            text = re.sub(r"\bdate_format\s*\(", "gt_strftime(", text,
+                          flags=re.IGNORECASE)
+        if re.search(r"\bregexp_replace\s*\(", text, re.IGNORECASE):
+            # DataFusion 3-arg regexp_replace replaces the FIRST match only
+            text = _dispatch_arity(
+                text, "regexp_replace", {3: "gt_regexp_replace"})
+        if re.search(r"\bdate_(add|sub)\s*\(", text, re.IGNORECASE):
+            text = _rewrite_date_addsub(text)
+        if re.search(r"\banomaly_score_", text, re.IGNORECASE):
+            text = _rewrite_anomaly(text)
+        if re.search(r"\bcount_hash\s*\(", text, re.IGNORECASE):
+            # count of distinct hashed tuples (reference count_hash.rs) —
+            # stays JVM-side as count(DISTINCT xxhash64(...))
+            text = _wrap_call(
+                text, "count_hash", "count(DISTINCT xxhash64(", "))")
+        if re.search(r"\bINSERT\s*\(", text, re.IGNORECASE):
+            # MySQL string INSERT(str,pos,len,new) — never INSERT INTO
+            text = re.sub(r"\bINSERT\s*\(", "gt_mysql_insert(", text,
+                          flags=re.IGNORECASE)
+        if re.search(r"\bFIELD\s*\(", text, re.IGNORECASE):
+            # MySQL FIELD(v, a, b, …) → 1-based index of v, 0 when absent
+            def _field(seg_inner):
+                depth = 0
+                split = -1
+                for i, ch in enumerate(seg_inner):
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                    elif ch == "," and depth == 0:
+                        split = i
+                        break
+                v, rest_args = seg_inner[:split], seg_inner[split + 1:]
+                return f"coalesce(array_position(array({rest_args}), {v}), 0)"
+
+            while True:
+                fm = re.search(r"\bFIELD\s*\(", text, re.IGNORECASE)
+                if not fm:
+                    break
+                inner, rest = _balanced_paren(text[fm.end() - 1:])
+                text = text[: fm.start()] + _field(inner) + rest
         text = _floats_to_double(text)
         if not re.match(r"^\s*INSERT", text, re.IGNORECASE):
             # ANSI quoted identifiers; generated-name identifiers
@@ -1427,6 +1636,61 @@ def _floats_to_double(text: str) -> str:
                     seg,
                 )
             )
+    return "".join(out)
+
+
+def _rewrite_anomaly(text: str) -> str:
+    """anomaly_score_{zscore,mad,iqr}(args) OVER (w) → window algebra
+    (functions/anomaly.py) reusing the caller's frame spec verbatim."""
+    from greptimedb_spark.functions.anomaly import iqr_sql, mad_sql, zscore_sql
+
+    while True:
+        m = re.search(
+            r"\banomaly_score_(zscore|mad|iqr)\s*\(", text, re.IGNORECASE)
+        if not m:
+            return text
+        fn = m.group(1).lower()
+        inner, rest = _balanced_paren(text[m.end() - 1:])
+        om = re.match(r"\s*OVER\s*\(", rest, re.IGNORECASE)
+        if not om:
+            return text
+        win, rest2 = _balanced_paren(rest[om.end() - 1:])
+        win = " ".join(win.split())
+        if fn == "zscore":
+            repl = zscore_sql(inner.strip(), win)
+        elif fn == "mad":
+            repl = mad_sql(inner.strip(), win)
+        else:
+            depth = 0
+            split = -1
+            for i, ch in enumerate(inner):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    split = i
+            repl = iqr_sql(
+                inner[:split].strip(), inner[split + 1:].strip(), win)
+        text = text[: m.start()] + repl + rest2
+
+
+def _wrap_call(text: str, fname: str, opener: str, closer: str) -> str:
+    """Rewrite every fname(args…) to opener + args + closer."""
+    out = []
+    i = 0
+    while True:
+        m = re.search(rf"\b{fname}\s*\(", text[i:], re.IGNORECASE)
+        if not m:
+            out.append(text[i:])
+            break
+        start = i + m.start()
+        open_paren = i + m.end() - 1
+        inner, rest = _balanced_paren(text[open_paren:])
+        out.append(text[i:start])
+        out.append(f"{opener}{inner}{closer}")
+        text = rest
+        i = 0
     return "".join(out)
 
 
