@@ -100,6 +100,10 @@ class PromQLEngine:
         if isinstance(node, VectorSelector):
             if node.range_ms is not None:
                 raise ValueError("raw range vector needs a function (e.g. rate)")
+            if node.at_ms is not None:
+                return self._broadcast_at(
+                    node, node, ctx,
+                    lambda n, c: self._instant_selector(n, c))
             return self._instant_selector(node, ctx)
         if isinstance(node, Unary):
             inner = self._eval(node.expr, ctx)
@@ -536,8 +540,36 @@ class PromQLEngine:
         "year": F.year,
     }
 
+    def _resolve_at(self, at, ctx: _Ctx) -> int:
+        if at == "start":
+            return ctx.start
+        if at == "end":
+            return ctx.end
+        return int(at)
+
+    def _broadcast_at(self, node, holder, ctx: _Ctx, eval_fn):
+        """`@`-modifier evaluation: run the expression once at the pinned
+        timestamp, then broadcast that value to every grid step (Prometheus
+        @ semantics — the step grid no longer affects the selector)."""
+        at = self._resolve_at(holder.at_ms, ctx)
+        saved, holder.at_ms = holder.at_ms, None
+        try:
+            res = eval_fn(node, _Ctx(at, at, max(ctx.step, 1), ctx.lookback))
+        finally:
+            holder.at_ms = saved
+        df = self._grid(ctx).crossJoin(res.df.drop("__t"))
+        return VectorResult(
+            df.select("__t", *res.labels, "value"), res.labels, res.is_scalar)
+
     def _call(self, node: Call, ctx: _Ctx):
         fn = node.func
+        at_holder = next(
+            (a for a in node.args
+             if isinstance(a, (VectorSelector, Subquery)) and a.at_ms is not None),
+            None,
+        )
+        if at_holder is not None:
+            return self._broadcast_at(node, at_holder, ctx, self._call)
         if fn in self._RANGE_FNS:
             if fn == "quantile_over_time":
                 q = self._eval(node.args[0], ctx)

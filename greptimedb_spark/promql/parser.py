@@ -42,6 +42,9 @@ class VectorSelector:
     matchers: list[LabelMatcher] = field(default_factory=list)
     range_ms: int | None = None  # set → range vector
     offset_ms: int = 0
+    # `@` modifier: epoch ms, or the strings "start"/"end" (resolved
+    # against the query range at eval time)
+    at_ms: object = None
 
 
 @dataclass
@@ -52,6 +55,7 @@ class Subquery:
     range_ms: int
     step_ms: int | None = None  # None → default eval interval
     offset_ms: int = 0
+    at_ms: object = None  # `@` modifier (see VectorSelector)
 
 
 @dataclass
@@ -277,6 +281,29 @@ class Parser:
                 if not isinstance(e, (VectorSelector, Subquery)):
                     raise ValueError("offset on non-selector")
                 e.offset_ms = -off if neg else off
+            elif t.kind == "AT":
+                # Prometheus `@` modifier: epoch seconds (float ok) or the
+                # start()/end() forms (promql docs: "@ modifier")
+                self.next()
+                if not isinstance(e, (VectorSelector, Subquery)):
+                    raise ValueError("@ modifier on non-selector")
+                nt = self.peek()
+                neg = False
+                if nt is not None and nt.text == "-":
+                    self.next()
+                    neg = True
+                    nt = self.peek()
+                if nt is not None and nt.kind == "NUMBER":
+                    self.next()
+                    v = float(nt.text) * 1000
+                    e.at_ms = int(-v if neg else v)
+                elif nt is not None and nt.kind == "IDENT" and nt.text in ("start", "end"):
+                    self.next()
+                    self.expect("LPAREN")
+                    self.expect("RPAREN")
+                    e.at_ms = nt.text
+                else:
+                    raise ValueError("@ modifier needs a timestamp or start()/end()")
             else:
                 break
         return e

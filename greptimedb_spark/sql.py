@@ -127,11 +127,16 @@ _ORDERED_VAL_RE = re.compile(
     r"\b(first_value|last_value)\s*\(\s*([^()]+?)\s+ORDER\s+BY\s+([^()]+?)\s*\)",
     re.IGNORECASE,
 )
+_ORDERED_AGG_RE = re.compile(
+    r"\b(min|max|sum|avg|count)\s*\(\s*([^()]+?)\s+ORDER\s+BY\s+[^()]+?\s*\)",
+    re.IGNORECASE,
+)
 
 
 def _rewrite_ordered_value(text: str) -> str:
     """DataFusion's within-aggregate ordering `last_value(x ORDER BY y)` →
-    Spark `max_by(x, y)` (and first_value → min_by; DESC flips)."""
+    Spark `max_by(x, y)` (and first_value → min_by; DESC flips). For
+    order-insensitive aggregates the ORDER BY clause is a no-op — drop it."""
 
     def repl(m: re.Match) -> str:
         fn, val, order = m.group(1).lower(), m.group(2).strip(), m.group(3).strip()
@@ -140,7 +145,8 @@ def _rewrite_ordered_value(text: str) -> str:
         last = (fn == "last_value") != desc
         return f"{'max_by' if last else 'min_by'}({val}, {order})"
 
-    return _ORDERED_VAL_RE.sub(repl, text)
+    text = _ORDERED_VAL_RE.sub(repl, text)
+    return _ORDERED_AGG_RE.sub(lambda m: f"{m.group(1)}({m.group(2).strip()})", text)
 
 
 _IVAL_UNITS = {
@@ -1528,6 +1534,30 @@ class GreptimeSQL:
                 return re.sub(r'"([^"]+)"', r"`\1`", seg)
 
             text = _map_outside_strings(text, _idquotes)
+        if re.search(r"\bALIGN\s+['(]", text, re.IGNORECASE) and re.search(
+                r"\bFROM\s*\(", text, re.IGNORECASE):
+            # RANGE composition (reference range/nest.sql): materialize every
+            # FROM (subquery) — itself possibly a RANGE query — as a temp
+            # view, then evaluate the rewritten statement normally
+            while True:
+                fm = re.search(r"\bFROM\s*\(", text, re.IGNORECASE)
+                if not fm:
+                    break
+                inner, rest = _balanced_paren(text[fm.end() - 1:])
+                # `FROM (…) alias` — the alias becomes the view name so
+                # alias-qualified columns keep resolving
+                am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", rest)
+                kw = {"align", "where", "group", "order", "limit", "by",
+                      "fill", "to", "union", "on", "join", "left", "right",
+                      "inner", "cross", "having"}
+                if am and am.group(1).lower() not in kw:
+                    vname = am.group(1)
+                    rest = rest[am.end():]
+                else:
+                    self._subq_no = getattr(self, "_subq_no", 0) + 1
+                    vname = f"__range_sub_{self._subq_no}"
+                self.sql(inner).createOrReplaceTempView(vname)
+                text = text[: fm.start()] + f"FROM {vname}" + rest
         if re.search(r"\bALIGN\s+['(]", text, re.IGNORECASE):
             from greptimedb_spark.range_query import parse_range_sql, range_sql
 

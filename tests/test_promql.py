@@ -330,3 +330,35 @@ def test_agg_without(engine):
     df = engine.evaluate("sum without (instance) (http_requests_total)", 300_000, 300_000, 60_000)
     rows = df.collect()
     assert len(rows) == 1 and rows[0].job == "api" and rows[0].value == 260.0
+
+
+def test_at_modifier_pins_evaluation_time(engine):
+    # `@ 240` pins the selector to t=240s regardless of the grid
+    pinned = engine.evaluate(
+        'http_requests_total{instance="i1"} @ 240', 60_000, 300_000, 60_000)
+    rows = pinned.collect()
+    assert len(rows) == 5  # one per grid step
+    assert len({r.value for r in rows}) == 1  # same pinned value everywhere
+    ref = engine.evaluate(
+        'http_requests_total{instance="i1"}', 240_000, 240_000, 60_000).collect()
+    assert rows[0].value == ref[0].value
+
+
+def test_at_modifier_start_end(engine):
+    s = engine.evaluate(
+        'http_requests_total{instance="i1"} @ start()', 120_000, 300_000, 60_000)
+    e = engine.evaluate(
+        'http_requests_total{instance="i1"} @ end()', 120_000, 300_000, 60_000)
+    sv = {r.value for r in s.collect()}
+    ev = {r.value for r in e.collect()}
+    assert len(sv) == 1 and len(ev) == 1 and sv != ev
+
+
+def test_at_modifier_with_range_function(engine):
+    # rate over a pinned range window: constant across the grid
+    df = engine.evaluate(
+        'rate(http_requests_total{instance="i1"}[2m] @ 300)',
+        60_000, 300_000, 60_000)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert len({r.value for r in rows}) == 1

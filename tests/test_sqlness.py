@@ -27,6 +27,8 @@ _SKIP_PATTERNS = [
     r"APPROX_DISTINCT\(a\).*FROM\s+large_test",
     # golden table is destroyed by its own `REPLACE [\s\-]+` directive
     r"^\s*select\s+current_time\(\)",
+    # physical plan dumps are engine-specific text
+    r"^\s*EXPLAIN\b",
 ]
 
 
