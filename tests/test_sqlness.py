@@ -514,6 +514,80 @@ _CONFORMANCE_CASES = [
     ("function/vector/vector_index", 29),
     ("function/vector/vector_index_explain", 3),
     ("function/vector/vector_index_join", 6),
+    # broad dialect coverage: types (float/NaN/decimal/string/timestamp),
+    # select pruning, joins, casts, ttl, information_schema, tql extras
+    ("aggregate/bool_agg", 12),
+    ("aggregate/hll", 3),
+    ("aggregate/min_max", 11),
+    ("aggregate/string_agg", 7),
+    ("aggregate/sum", 6),
+    ("basic", 11),
+    ("cast/boolean_cast", 11),
+    ("cast/string_to_integer", 10),
+    ("expr/atat", 17),
+    ("filter/cast_preimage", 2),
+    ("filter/constant_comparisons", 16),
+    ("function/admin/build_index_table_restart", 1),
+    ("information_schema/region_info", 1),
+    ("information_schema/ssts", 2),
+    ("join/join_edge_cases", 3),
+    ("join/join_large_tables", 2),
+    ("join/join_lateral", 1),
+    ("join/join_mixed_types", 1),
+    ("join/join_ordering", 2),
+    ("join/join_performance_patterns", 3),
+    ("join/join_pushdown", 2),
+    ("join/join_self_patterns", 2),
+    ("join/join_window_functions", 1),
+    ("join/left_join_patterns", 4),
+    ("join/rdf_having_filter_regression", 1),
+    ("join/right_join_patterns", 4),
+    ("keywords/keywords_expressions", 2),
+    ("mysql", 5),
+    ("order/order_by_exceptions", 3),
+    ("order/order_variable_size_payload", 14),
+    ("overflow/integer_overflow", 6),
+    ("parser/parser", 2),
+    ("range/nest", 3),
+    ("select/flush_append_only", 4),
+    ("select/like", 1),
+    ("select/projection_names", 5),
+    ("select/prune", 15),
+    ("select/prune_field", 6),
+    ("select/prune_pk", 6),
+    ("select/skipping_index", 3),
+    ("select/tql_filter", 3),
+    ("select/union_all", 1),
+    ("subquery/neumann", 2),
+    ("subquery/test_neumann", 1),
+    ("system/set_unsupported", 1),
+    ("system/starrocks_compatibility", 2),
+    ("timestamp/timestamp", 3),
+    ("tql/operator", 1),
+    ("ttl/alter_table_ttl", 9),
+    ("ttl/ttl_instant", 20),
+    ("types/decimal/decimal_small_precision_behavior", 8),
+    ("types/decimal/decimal_table", 7),
+    ("types/float/infinity", 44),
+    ("types/float/infinity_nan", 15),
+    ("types/float/nan", 32),
+    ("types/float/nan_aggregates", 8),
+    ("types/float/nan_arithmetic", 44),
+    ("types/float/nan_arithmetic_extended", 38),
+    ("types/float/nan_cast", 12),
+    ("types/float/nan_cast_extended", 21),
+    ("types/float/nan_join", 10),
+    ("types/float/nan_ordering", 16),
+    ("types/float/nan_window", 8),
+    ("types/null/null_handling", 14),
+    ("types/string/big_strings", 8),
+    ("types/string/bigstring", 1),
+    ("types/string/unicode", 6),
+    ("types/string/unicode_extended", 7),
+    ("types/timestamp/timestamp_join", 1),
+    ("types/timestamp/timestamp_limits", 1),
+    ("types/timestamp/timestamp_tz", 1),
+    ("window/latest_per_series", 4),
 ]
 # flow files NOT in the battery (every checkable statement skips): flow_view
 # (flows over CREATE VIEW sources), flow_status (SHOW FLOWS table format),
