@@ -110,6 +110,10 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Dat
     window/groupBy shuffles share the `id` key so Spark plans ONE exchange.
     Short docs (< k tokens) contribute their whole text as a single shingle,
     matching shingles()."""
+    # A small file count must not serialize the whole pipeline: everything
+    # downstream (window, signature agg, band joins) inherits this stage's
+    # partitioning. At cluster scale the source has plenty of splits and
+    # this is a no-op.
     toks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(
