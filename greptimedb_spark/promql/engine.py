@@ -35,6 +35,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from greptimedb_spark.functions import native_histogram as nh
 from greptimedb_spark.promql.parser import (
     Aggregate, BinaryOp, Call, LabelMatcher, NumberLiteral, StringLiteral,
     Subquery, Unary, VectorMatching, VectorSelector, parse_promql,
@@ -83,6 +84,14 @@ class PromQLEngine:
         res = self._eval(ast, ctx)
         if isinstance(res, (int, float)):
             res = self._scalar_to_vector(float(res), ctx)
+        if nh.is_native_histogram_type(res.df.schema["value"].dataType):
+            # histogram-valued result: render the reference's promql_string
+            # form (native_histogram.rs:380) instead of a double cast
+            return res.df.select(
+                F.timestamp_millis(F.col("__t")).alias("ts"),
+                *res.labels,
+                nh.histogram_promql_string(F.col("value")).alias("value"),
+            )
         out = res.df.select(
             F.timestamp_millis(F.col("__t")).alias("ts"),
             *res.labels,
@@ -178,10 +187,14 @@ class PromQLEngine:
         ts_ms = (F.unix_micros(F.col(mt.time_index)) / 1000).cast("long")
         if sel.offset_ms:
             ts_ms = ts_ms + F.lit(sel.offset_ms)
+        # native-histogram value columns stay as structs; scalars cast double
+        val = (F.col(value_col)
+               if nh.is_native_histogram_type(df.schema[value_col].dataType)
+               else F.col(value_col).cast("double"))
         base = df.select(
             ts_ms.alias("__x"),
             *[F.col(t).cast("string").alias(t) for t in mt.tags],
-            F.col(value_col).cast("double").alias("value"),
+            val.alias("value"),
         )
         return base, list(mt.tags)
 
@@ -249,6 +262,9 @@ class PromQLEngine:
 
     def _range_fn(self, fn: str, sel, ctx: _Ctx, extra=None) -> VectorResult:
         base, tags, rng = self._range_samples(sel, ctx)
+
+        if nh.is_native_histogram_type(base.schema["value"].dataType):
+            return self._range_fn_hist(fn, base, tags, rng, ctx)
 
         needs_series_pass = fn in (
             "rate", "increase", "idelta", "irate", "changes", "resets"
@@ -463,6 +479,169 @@ class PromQLEngine:
             return F.when((n >= 2) & (denom != 0), intercept + slope * F.lit(float(extra)))
         raise ValueError(f"unhandled range fn {fn}")
 
+    # -- native-histogram paths ------------------------------------------------
+
+    _HIST_RANGE_FNS = {
+        "rate", "increase", "delta", "sum_over_time", "avg_over_time",
+        "last_over_time", "count_over_time", "present_over_time",
+    }
+
+    def _range_fn_hist(self, fn: str, base: DataFrame, tags: list[str],
+                       rng: int, ctx: _Ctx) -> VectorResult:
+        """Range functions over native-histogram series.
+
+        Histogram folding (sparse-bucket add/sub + reset detection,
+        reference src/promql/src/functions/extrapolate_rate.rs native paths +
+        native_histogram.rs:262-556) is per-window imperative work, so this is
+        the documented Pandas-UDF escape hatch: the explode/group shape is
+        identical to the scalar path (bounded fan-out rng/step, one shuffle),
+        only the per-group fold runs in Arrow-batched Python.  count/present
+        reduce to plain codegen'd aggregates and never leave the JVM."""
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        if fn in ("count_over_time", "present_over_time"):
+            ex = self._explode_steps(base, rng, ctx)
+            val = (F.count(F.lit(1)).cast("double") if fn == "count_over_time"
+                   else F.lit(1.0))
+            out = ex.groupBy("__t", *tags).agg(val.alias("value"))
+            return VectorResult(out, tags)
+        if fn not in self._HIST_RANGE_FNS:
+            # reference drops native-histogram inputs for non-applicable
+            # range functions (planner.rs native_histogram_drop_udf)
+            empty = self.spark.createDataFrame(
+                [],
+                StructType([StructField("__t", LongType())]
+                           + [StructField(t, StringType()) for t in tags]
+                           + [StructField("value", nh.NATIVE_HISTOGRAM_SCHEMA)]),
+            )
+            return VectorResult(empty, tags)
+
+        ex = self._explode_steps(base, rng, ctx)
+        out_schema = StructType(
+            [StructField("__t", LongType())]
+            + [StructField(t, StringType()) for t in tags]
+            + [StructField("value", nh.NATIVE_HISTOGRAM_SCHEMA)]
+        )
+        rng_ms = rng
+        tag_names = list(tags)
+
+        def fold(pdf):
+            import pandas as pd
+
+            NativeHistogram = nh.NativeHistogram
+            pdf = pdf.sort_values("__x")
+            hs = [(int(x), NativeHistogram.from_struct(v))
+                  for x, v in zip(pdf["__x"], pdf["value"])]
+            hs = [(x, h) for x, h in hs if h is not None]
+            head = {"__t": pdf["__t"].iloc[0],
+                    **{t: pdf[t].iloc[0] for t in tag_names}}
+            empty = pd.DataFrame(columns=["__t", *tag_names, "value"])
+
+            def emit(h):
+                if h is None:
+                    return empty
+                return pd.DataFrame([{**head, "value": h.to_struct()}])
+
+            if fn == "last_over_time":
+                return emit(hs[-1][1]) if hs else empty
+            if fn in ("sum_over_time", "avg_over_time"):
+                acc = None
+                for _, h in hs:
+                    acc = h if acc is None else (acc.add(h) if acc else None)
+                    if acc is None:
+                        return empty
+                if fn == "avg_over_time" and acc is not None:
+                    acc = acc.scale(1.0 / len(hs))
+                return emit(acc)
+            # rate / increase / delta (extrapolate_rate.rs:244-281; histogram
+            # variant has no zero-crossing cap — counts are non-negative)
+            if len(hs) < 2:
+                return empty
+            first_x, first_h = hs[0]
+            last_x, last_h = hs[-1]
+            result = last_h.sub(first_h)
+            if result is None:
+                return empty
+            if fn in ("rate", "increase"):
+                corr = None
+                prev = first_h
+                for _, h in hs[1:]:
+                    if h.detect_reset(prev):
+                        corr = prev if corr is None else corr.add(prev)
+                        if corr is None:
+                            return empty
+                    prev = h
+                if corr is not None:
+                    result = result.add(corr)
+                    if result is None:
+                        return empty
+            t = int(pdf["__t"].iloc[0])
+            range_start, range_end = t - rng_ms, t
+            sampled = float(last_x - first_x)
+            if sampled <= 0:
+                return empty
+            avg_int = sampled / (len(hs) - 1)
+            dur_start = float(first_x - range_start)
+            dur_end = float(range_end - last_x)
+            thresh = avg_int * 1.1
+            ext = (sampled
+                   + (dur_start if dur_start < thresh else avg_int / 2)
+                   + (dur_end if dur_end < thresh else avg_int / 2))
+            factor = ext / sampled
+            if fn == "rate":
+                factor = factor / (rng_ms / 1000.0)
+            out_h = result.scale(factor)
+            out_h.reset_hint = nh.HINT_GAUGE
+            return emit(out_h)
+
+        out = ex.groupBy("__t", *tags).applyInPandas(fold, schema=out_schema)
+        return VectorResult(out, tags)
+
+    def _aggregate_hist(self, op: str, inner: VectorResult, keep: list[str],
+                        ctx: _Ctx) -> VectorResult:
+        """sum/avg/count across native-histogram series (planner.rs wires the
+        same aggregate surface; add = native_histogram.rs:307)."""
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        if op == "count":
+            out = inner.df.filter(F.col("value").isNotNull()).groupBy(
+                "__t", *keep
+            ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+            return VectorResult(out, keep)
+        if op not in ("sum", "avg"):
+            raise ValueError(f"aggregation {op} not supported over native histograms")
+        out_schema = StructType(
+            [StructField("__t", LongType())]
+            + [StructField(t, StringType()) for t in keep]
+            + [StructField("value", nh.NATIVE_HISTOGRAM_SCHEMA)]
+        )
+        keep_names = list(keep)
+        is_avg = op == "avg"
+
+        def fold(pdf):
+            import pandas as pd
+
+            hs = [nh.NativeHistogram.from_struct(v) for v in pdf["value"]]
+            hs = [h for h in hs if h is not None]
+            empty = pd.DataFrame(columns=["__t", *keep_names, "value"])
+            if not hs:
+                return empty
+            acc = hs[0]
+            for h in hs[1:]:
+                acc = acc.add(h)
+                if acc is None:
+                    return empty
+            if is_avg:
+                acc = acc.scale(1.0 / len(hs))
+            head = {"__t": pdf["__t"].iloc[0],
+                    **{t: pdf[t].iloc[0] for t in keep_names}}
+            return pd.DataFrame([{**head, "value": acc.to_struct()}])
+
+        out = inner.df.filter(F.col("value").isNotNull()).groupBy(
+            "__t", *keep
+        ).applyInPandas(fold, schema=out_schema)
+        return VectorResult(out, keep)
+
     # -- aggregation operators ----------------------------------------------------
 
     def _aggregate(self, node: Aggregate, ctx: _Ctx) -> VectorResult:
@@ -476,6 +655,8 @@ class PromQLEngine:
         else:
             keep = []
         op = node.op
+        if nh.is_native_histogram_type(inner.df.schema["value"].dataType):
+            return self._aggregate_hist(op, inner, keep, ctx)
         if op in ("topk", "bottomk"):
             k = int(self._eval(node.param, ctx))
             # ties broken by tag columns in the SAME direction as the value
@@ -727,7 +908,45 @@ class PromQLEngine:
             return self._eval(node.args[0], ctx)  # ordering applied at output
         if fn == "histogram_quantile":
             q = self._eval(node.args[0], ctx)
-            return self._histogram_quantile(float(q), self._eval(node.args[1], ctx))
+            v = self._eval(node.args[1], ctx)
+            if nh.is_native_histogram_type(v.df.schema["value"].dataType):
+                # native path (planner.rs:4042): per-row sparse-bucket
+                # interpolation, no le-fold needed
+                out = v.df.withColumn(
+                    "value", nh.histogram_quantile_native(F.col("value"), float(q))
+                )
+                return VectorResult(out, v.labels)
+            return self._histogram_quantile(float(q), v)
+        if fn in ("histogram_count", "histogram_sum", "histogram_avg",
+                  "histogram_stddev", "histogram_stdvar"):
+            v = self._eval(node.args[0], ctx)
+            if not nh.is_native_histogram_type(v.df.schema["value"].dataType):
+                # classic float samples are not native histograms → empty
+                # (planner.rs:3057 wires these only for histogram columns)
+                empty = v.df.filter(F.lit(False)).withColumn(
+                    "value", F.lit(None).cast("double"))
+                return VectorResult(empty.select("__t", *v.labels, "value"), v.labels)
+            udf = {
+                "histogram_count": nh.histogram_count,
+                "histogram_sum": nh.histogram_sum,
+                "histogram_avg": nh.histogram_avg,
+                "histogram_stddev": nh.histogram_stddev,
+                "histogram_stdvar": nh.histogram_stdvar,
+            }[fn]
+            out = v.df.withColumn("value", udf(F.col("value")))
+            return VectorResult(out, v.labels)
+        if fn == "histogram_fraction":
+            lower = float(self._eval(node.args[0], ctx))
+            upper = float(self._eval(node.args[1], ctx))
+            v = self._eval(node.args[2], ctx)
+            if not nh.is_native_histogram_type(v.df.schema["value"].dataType):
+                empty = v.df.filter(F.lit(False)).withColumn(
+                    "value", F.lit(None).cast("double"))
+                return VectorResult(empty.select("__t", *v.labels, "value"), v.labels)
+            out = v.df.withColumn(
+                "value", nh.histogram_fraction_native(F.col("value"), lower, upper)
+            )
+            return VectorResult(out, v.labels)
         raise ValueError(f"unsupported function {fn}")
 
     def _histogram_quantile(self, q: float, v: VectorResult) -> VectorResult:

@@ -54,6 +54,7 @@ def main():
         checked = skipped = failed = 0
         fail_msgs = []
         for stmt, expected, replaces in _parse_result_file(f"{REF}/{case}.result"):
+            replaces = [r for r in replaces if r[0] != "__SLEEP__"]
             if any(re.search(p, stmt, re.IGNORECASE) for p in _SKIP_PATTERNS) or expected == "error":
                 skipped += 1
                 continue
@@ -70,12 +71,28 @@ def main():
             if any("\\n" in pat for pat, _rep in replaces):
                 skipped += 1
                 continue
-            cell_key = lambda x: (x is None, str(type(x)), str(x))
+            exp_header, exp_rows = expected
             rows = _expand_multiline_rows(rows)
             if replaces:
-                rows = [[_apply_replaces(c, replaces) for c in row] for row in rows]
-            got = [sorted((_norm_cell(c) for c in row), key=cell_key) for row in rows]
-            want = [sorted((_norm_cell(c) for c in row), key=cell_key) for row in expected]
+                got_cells = [[_apply_replaces(c, replaces) for c in row] for row in rows]
+            else:
+                got_cells = rows
+            eng_cols = {c.lower(): j for j, c in enumerate(df.columns)}
+            idx = [eng_cols.get(h.lower()) for h in exp_header]
+            positional = (
+                exp_header
+                and len(exp_header) == len(df.columns)
+                and all(j is not None for j in idx)
+                and len(set(idx)) == len(idx)
+                and not any("\n" in str(c) for row in got_cells for c in row)
+            )
+            if positional:
+                got = [[_norm_cell(row[j]) for j in idx] for row in got_cells]
+                want = [[_norm_cell(c) for c in row] for row in exp_rows]
+            else:
+                cell_key = lambda x: (x is None, str(type(x)), str(x))
+                got = [sorted((_norm_cell(c) for c in row), key=cell_key) for row in got_cells]
+                want = [sorted((_norm_cell(c) for c in row), key=cell_key) for row in exp_rows]
             key = lambda r: tuple((x is None, str(x)) for x in r)
             if sorted(got, key=key) == sorted(want, key=key):
                 checked += 1
