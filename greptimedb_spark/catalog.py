@@ -79,6 +79,16 @@ class TableMeta:
     # metric-engine logical tables keep columns name-sorted (reference
     # metric engine schema ordering; sqlness alter/alter_table.sql t1/t2)
     sorted_columns: bool = False
+    # table-level COMMENT (reference COMMENT ON TABLE / CREATE ... COMMENT)
+    comment: str | None = None
+    # raw `PARTITION ON COLUMNS (...) (...)` clause kept for SHOW CREATE
+    # rendering (physical placement maps to Parquet buckets here)
+    partition_sql: str | None = None
+    # WITH(...) options verbatim (SHOW CREATE re-renders them)
+    with_opts: dict | None = None
+    # logical schema name at CREATE time (single physical schema; the name
+    # is surfaced through information_schema)
+    schema_name: str = "public"
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2)
@@ -477,17 +487,19 @@ def merge_view(df: DataFrame, meta: TableMeta, keep_seq: bool = False) -> DataFr
     """
     keys = [*meta.tags, meta.time_index]
     non_keys = [c for c in df.columns if c not in keys and c not in (SEQ_COL, BUCKET_COL)]
+    # quoted column refs: declared names may contain dots ("service.name")
+    key_cols = [F.col(f"`{k}`") for k in keys]
     if meta.merge_mode == "last_non_null":
         # max_by(col, seq) among non-null values of col == last non-null write.
         aggs = [
-            F.expr(f"max_by({c}, CASE WHEN {c} IS NOT NULL THEN {SEQ_COL} END) AS {c}")
+            F.expr(f"max_by(`{c}`, CASE WHEN `{c}` IS NOT NULL THEN {SEQ_COL} END) AS `{c}`")
             for c in non_keys
         ]
         if keep_seq:
             aggs.append(F.max(SEQ_COL).alias(SEQ_COL))
-        return df.groupBy(*keys).agg(*aggs)
+        return df.groupBy(*key_cols).agg(*aggs)
     # last_row
-    w = Window.partitionBy(*keys).orderBy(F.col(SEQ_COL).desc())
+    w = Window.partitionBy(*key_cols).orderBy(F.col(SEQ_COL).desc())
     out = (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -129,6 +129,22 @@ def register(spark) -> None:
         "RETURNS STRING RETURN CASE WHEN p IS NULL THEN NULL "
         "ELSE substring(s, greatest(p, 1)) END"
     )
+    # DataFusion to_unixtime: accepts ISO-8601 with 'Z'/offset suffixes,
+    # bare dates, surrounding whitespace, and numeric epoch passthrough
+    # (reference datafusion to_unixtime; select/dummy.sql goldens)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gt_to_unixtime(x STRING) "
+        "RETURNS BIGINT RETURN CASE "
+        "WHEN try_cast(trim(x) AS DOUBLE) IS NOT NULL "
+        "THEN CAST(try_cast(trim(x) AS DOUBLE) AS BIGINT) "
+        "ELSE unix_seconds(coalesce("
+        "try_to_timestamp(trim(x)), "
+        "try_to_timestamp(trim(x), \"yyyy-MM-dd'T'HH:mm:ssXXX\"), "
+        "try_to_timestamp(trim(x), \"yyyy-MM-dd'T'HH:mm:ssX\"), "
+        "try_to_timestamp(trim(x), 'yyyy-MM-dd HH:mm:ssZ'), "
+        "try_to_timestamp(trim(x), 'yyyy-MM-dd HH:mm:ssXXX'), "
+        "try_to_timestamp(trim(x), 'yyyy-MM-dd'))) END"
+    )
     # clamp family (reference scalars/math/clamp.rs) — pure min/max algebra
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION clamp(x DOUBLE, lo DOUBLE, "

@@ -183,7 +183,11 @@ def _apply_filter(v, op, lit):
 
 
 def _dumps(v) -> str:
-    return _json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+    """jsonb canonical text: compact, keys sorted, unicode kept raw except
+    the JS-unsafe line separators (reference jsonb rendering,
+    types/json/json.result twitter goldens)."""
+    s = _json.dumps(v, separators=(",", ":"), ensure_ascii=False, sort_keys=True)
+    return s.replace("\u2028", "\\u2028").replace("\u2029", "\\u2029")
 
 
 def register(spark) -> None:
@@ -244,7 +248,10 @@ def register(spark) -> None:
                 return _dumps(v) if isinstance(v, (dict, list)) else None
             if kind == "any":
                 # generic json_get: value as castable text (strings bare,
-                # scalars in JSON spelling, containers as compact JSON)
+                # scalars in JSON spelling, containers as compact JSON);
+                # a JSON null leaf is SQL NULL (json2.result variant_null)
+                if v is None:
+                    return None
                 if isinstance(v, str):
                     return v
                 return _dumps(v)

@@ -61,28 +61,61 @@ class _Parser:
         return out
 
     def expr(self) -> Column:
-        node = self.term()
-        while self.peek() in ("OR", "||") or (
-            self.peek() is not None and self.peek() not in (")", "AND", "&&")
-        ):
+        """Adjacency list with must/must_not semantics (matches.rs): bare
+        terms are optional alternatives (implicit OR), `+x` must match, `-x`
+        must not match — a doc matches when (any optional, or none exist)
+        AND every must AND no must_not."""
+        opts, musts, nots = [], [], []
+        while self.peek() is not None and self.peek() != ")":
             if self.peek() in ("OR", "||"):
                 self.next()
-            node = node | self.term()
-        return node
+                continue
+            kind, node = self.term()
+            {"opt": opts, "must": musts, "not": nots}[kind].append(node)
+        out = None
+        for n in opts:
+            out = n if out is None else out | n
+        if out is None:
+            out = _contains_ci(self.col, "")  # vacuous TRUE
+        for n in musts:
+            out = out & n
+        for n in nots:
+            out = out & ~n
+        return out
 
-    def term(self) -> Column:
-        node = self.factor()
+    def term(self):
+        """AND-chain: later `-x` inside an explicit AND is plain negation
+        (`over AND -(a)` ≡ over AND NOT a); the chain's kind comes from its
+        first factor."""
+        kind, node = self.signed_factor()
         while self.peek() in ("AND", "&&"):
             self.next()
-            node = node & self.factor()
-        return node
+            if kind == "not":
+                # a leading negative becomes plain negation once it's part
+                # of an explicit AND chain ('-a AND -b' ≡ NOT a AND NOT b)
+                node, kind = ~node, "opt"
+            k2, n2 = self.signed_factor()
+            node = node & (~n2 if k2 == "not" else n2)
+        return kind, node
 
-    def factor(self) -> Column:
+    def signed_factor(self):
         t = self.peek()
-        if t in ("NOT", "!"):
+        if t in ("NOT", "!", "-"):
             self.next()
-            return ~self.factor()
-        return self.atom()
+            k, n = self.signed_factor()
+            # double negation flips back to a positive must
+            return ("must" if k == "not" else "not"), n
+        if t == "+":
+            self.next()
+            return "must", self.atom()
+        if t is not None and len(t) > 1 and t.startswith("+"):
+            self.next()
+            return "must", _contains_ci(self.col, t[1:])
+        if t is not None and len(t) > 1 and t.startswith("-") \
+                and not t.startswith('"'):
+            self.next()
+            return "not", _contains_ci(self.col, t[1:])
+        return "opt", self.atom()
 
     def atom(self) -> Column:
         t = self.next()
@@ -93,20 +126,42 @@ class _Parser:
             return node
         if t.startswith('"') and t.endswith('"'):
             return _contains_ci(self.col, t[1:-1])
-        if t.startswith("+"):
-            return _contains_ci(self.col, t[1:])
-        if t.startswith("-") and len(t) > 1:
-            return ~_contains_ci(self.col, t[1:])
         return _contains_ci(self.col, t)
 
 
-def _contains_ci(col: Column, text: str) -> Column:
+class _SqlExpr:
+    """SQL-text boolean algebra so the same _Parser emits a SQL predicate
+    (for the GreptimeSQL front door) as well as a Column."""
+
+    def __init__(self, s: str):
+        self.s = s
+
+    def __or__(self, o):
+        return _SqlExpr(f"({self.s} OR {o.s})")
+
+    def __and__(self, o):
+        return _SqlExpr(f"({self.s} AND {o.s})")
+
+    def __invert__(self):
+        return _SqlExpr(f"(NOT {self.s})")
+
+
+def _contains_ci(col, text: str):
+    if isinstance(col, str):
+        lit = text.lower().replace("'", "''")
+        return _SqlExpr(f"contains(lower({col}), '{lit}')")
     return F.contains(F.lower(col), F.lit(text.lower()))
 
 
 def matches(col, query: str) -> Column:
     """Full-text boolean query over a string column (case-insensitive)."""
     return _Parser(_tokenize(query), _c(col)).parse()
+
+
+def matches_sql(col_sql: str, query: str) -> str:
+    """`matches(col, 'a AND -b')` lowered to a SQL boolean predicate
+    (reference select/matches.sql DSL)."""
+    return _Parser(_tokenize(query), col_sql).parse().s
 
 
 def matches_term(col, term: str) -> Column:

@@ -386,7 +386,10 @@ class Parser:
         self.expect("LPAREN")
         labels = []
         while self.peek() is not None and self.peek().kind != "RPAREN":
-            labels.append(self.expect("IDENT").text)
+            if self.peek().kind == "STRING":  # by ("service.name")
+                labels.append(_unquote(self.next().text))
+            else:
+                labels.append(self.expect("IDENT").text)
             if self.peek() is not None and self.peek().kind == "COMMA":
                 self.next()
         self.expect("RPAREN")
@@ -396,7 +399,19 @@ class Parser:
         self.expect("LBRACE")
         out = []
         while self.peek() is not None and self.peek().kind != "RBRACE":
-            name = self.expect("IDENT").text
+            # quoted label identifiers ({"service.name"="x"} — reference
+            # promql/string_identifier.sql)
+            if self.peek().kind == "STRING":
+                name = _unquote(self.next().text)
+                nxt = self.peek()
+                if nxt is not None and nxt.kind in ("RBRACE", "COMMA"):
+                    # {"metric_name"} — bare quoted metric selector
+                    out.append(LabelMatcher("__name__", "=", name))
+                    if nxt.kind == "COMMA":
+                        self.next()
+                    continue
+            else:
+                name = self.expect("IDENT").text
             op = self.expect("OP").text
             if op not in ("=", "==", "!=", "=~", "!~"):
                 raise ValueError(f"bad matcher op {op}")

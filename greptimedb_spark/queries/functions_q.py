@@ -169,7 +169,7 @@ def q35_fulltext(spark: SparkSession, sf: str) -> DataFrame:
 Q35_SQL = """
 SELECT doc_id,
        (lower(text) LIKE '%spark%' AND (lower(text) LIKE '%join%' OR lower(text) LIKE '%merge%')) AS m_bool,
-       (lower(text) LIKE '%hash scan%' OR NOT lower(text) LIKE '%filter%') AS m_phrase_neg,
+       (lower(text) LIKE '%hash scan%' AND NOT lower(text) LIKE '%filter%') AS m_phrase_neg,
        regexp_matches(text, '(^|[^a-zA-Z0-9_])scan($|[^a-zA-Z0-9_])') AS m_term,
        regexp_matches(text, '(^|[^a-zA-Z0-9_])sca($|[^a-zA-Z0-9_])') AS m_term_partial
 FROM documents WHERE doc_id % 5 = 0

@@ -24,7 +24,7 @@ def main():
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
     from test_sqlness import (
         _parse_result_file, _norm_cell, _apply_replaces, _SKIP_PATTERNS,
-        _expand_multiline_rows,
+        _expand_multiline_rows, _normalize_f32, _case_path,
     )
     import re
 
@@ -53,7 +53,7 @@ def main():
         g = GreptimeSQL(spark, catalog=Catalog(spark, tmp))
         checked = skipped = failed = 0
         fail_msgs = []
-        for stmt, expected, replaces in _parse_result_file(f"{REF}/{case}.result"):
+        for stmt, expected, replaces in _parse_result_file(_case_path(case)):
             replaces = [r for r in replaces if r[0] != "__SLEEP__"]
             if any(re.search(p, stmt, re.IGNORECASE) for p in _SKIP_PATTERNS) or expected == "error":
                 skipped += 1
@@ -72,6 +72,7 @@ def main():
                 skipped += 1
                 continue
             exp_header, exp_rows = expected
+            rows = _normalize_f32(df, rows)
             rows = _expand_multiline_rows(rows)
             if replaces:
                 got_cells = [[_apply_replaces(c, replaces) for c in row] for row in rows]
