@@ -116,19 +116,21 @@ def render_interval_mdn(months: int, days: int, ns: int) -> str:
         parts.append(f"{months} mons")
     if days:
         parts.append(f"{days} days")
-    sign = -1 if ns < 0 else 1
+    # emit the sign as a prefix per component: multiplying into a component
+    # that is 0 (e.g. -0.5 s → secs=0) would silently drop it
+    sgn = "-" if ns < 0 else ""
     rest = abs(ns)
     hours, rest = divmod(rest, NS_PER_HOUR)
     mins, rest = divmod(rest, NS_PER_MIN)
     secs, frac = divmod(rest, NS_PER_S)
     if hours:
-        parts.append(f"{sign * hours} hours")
+        parts.append(f"{sgn}{hours} hours")
     if mins:
-        parts.append(f"{sign * mins} mins")
+        parts.append(f"{sgn}{mins} mins")
     if frac:
-        parts.append(f"{sign * secs}.{frac:09d} secs")
+        parts.append(f"{sgn}{secs}.{frac:09d} secs")
     elif secs:
-        parts.append(f"{sign * secs} secs")
+        parts.append(f"{sgn}{secs} secs")
     if not parts:
         return "0 mons"
     return " ".join(parts)

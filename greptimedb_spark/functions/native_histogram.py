@@ -119,6 +119,9 @@ class _Bucket:
     lower: float
     upper: float
     count: float
+    # boundary rule (native_histogram.rs:203): "open_left" → (a,b],
+    # "open_right" → [a,b), "closed_both" → [a,b]
+    rule: str = "open_left"
 
 
 @dataclass
@@ -246,9 +249,14 @@ class NativeHistogram:
             if upper is None or lower is None:
                 return None
             if positive:
-                out.append(_Bucket(lower, upper, count))
+                # custom idx 0 has lower = -Inf and is ClosedBoth in the
+                # reference (native_histogram.rs:588-592)
+                rule = ("closed_both"
+                        if self.uses_custom_buckets() and idx == 0
+                        else "open_left")
+                out.append(_Bucket(lower, upper, count, rule))
             else:
-                out.append(_Bucket(-upper, -lower, count))
+                out.append(_Bucket(-upper, -lower, count, "open_right"))
         return out
 
     def all_buckets(self) -> list[_Bucket] | None:
@@ -261,7 +269,7 @@ class NativeHistogram:
         buckets = list(reversed(neg))
         if self.zero_count != 0.0:
             buckets.append(_Bucket(-self.zero_threshold, self.zero_threshold,
-                                   self.zero_count))
+                                   self.zero_count, "closed_both"))
         buckets.extend(pos)
         return buckets
 
@@ -513,56 +521,155 @@ class NativeHistogram:
             negative_buckets=[c * factor for c in self.negative_buckets],
         )
 
-    def detect_reset(self, previous: "NativeHistogram") -> bool:
-        """True when any count shrank vs `previous`
-        (native_histogram.rs:483-532, bucket-wise on the coarser schema)."""
-        if self.count < previous.count or self.zero_count < previous.zero_count:
-            return True
-        if (not math.isnan(self.sum) and not math.isnan(previous.sum)
-                and self.sum < previous.sum):
-            return True
-        if self.uses_custom_buckets() != previous.uses_custom_buckets():
-            return True
-        if self.uses_custom_buckets() and self.custom_values != previous.custom_values:
-            return True
-        target = (CUSTOM_BUCKETS_SCHEMA if self.uses_custom_buckets()
-                  else min(self.schema, previous.schema))
-        if not self.uses_custom_buckets() and self.schema > previous.schema:
-            return True  # schema increased in resolution => treat as reset-free is unsafe
+    def _expanded_zero_threshold(self, zt: float) -> float | None:
+        """Push `zt` past any populated bucket it cuts through
+        (native_histogram.rs:949-968 expanded_zero_threshold)."""
+        if self.uses_custom_buckets():
+            return zt
         for positive in (True, False):
-            if self.uses_custom_buckets():
-                cur, prev = self._side_map(positive), previous._side_map(positive)
+            m = self._side_map(positive)
+            if m is None:
+                return None
+            for idx, count in m.items():
+                if count == 0.0:
+                    continue
+                lower = get_bound(idx - 1, self.schema, [])
+                upper = get_bound(idx, self.schema, [])
+                if lower is None or upper is None:
+                    return None
+                if lower < zt < upper:
+                    zt = upper
+        return zt
+
+    def _fold_below(self, m: dict[int, float], zt: float) -> tuple[dict[int, float], float] | None:
+        """Split a side map at zero threshold `zt`: buckets entirely inside
+        fold into the zero count (native_histogram.rs:1133-1150)."""
+        kept, folded = {}, 0.0
+        for idx, count in m.items():
+            ub = get_bound(idx, self.schema, [])
+            if ub is None:
+                return None
+            if ub <= zt:
+                folded += count
             else:
-                cur = self._rescaled_map(positive, target)
-                prev = previous._rescaled_map(positive, target)
+                kept[idx] = count
+        return kept, folded
+
+    def _custom_mapped(self, positive: bool, new_values: list[float]) -> dict[int, float] | None:
+        """Re-bin custom buckets onto a different custom-value boundary list
+        (native_histogram.rs:1115-1131 map_custom_side)."""
+        m = self._side_map(positive)
+        if m is None:
+            return None
+        if new_values == self.custom_values:
+            return m
+        out: dict[int, float] = {}
+        for idx, count in m.items():
+            ub = get_bound(idx, CUSTOM_BUCKETS_SCHEMA, self.custom_values)
+            if ub is None:
+                return None
+            t = next((i for i, v in enumerate(new_values) if v >= ub),
+                     len(new_values))
+            out[t] = out.get(t, 0.0) + count
+        return out
+
+    @staticmethod
+    def _maps_have_reset(cur: dict[int, float], prev: dict[int, float]) -> bool:
+        return any(cur.get(i, 0.0) < prev.get(i, 0.0)
+                   for i in set(cur) | set(prev))
+
+    def detect_reset(self, previous: "NativeHistogram") -> bool:
+        """Reference-faithful counter-reset detection
+        (native_histogram.rs:483-532): explicit hints first, then total
+        count, then bucket-wise comparison after reconciling layouts.  The
+        sum is deliberately NOT compared — negative observations can shrink
+        it without a reset."""
+        if self.reset_hint == HINT_COUNTER_RESET:
+            return True
+        if self.reset_hint == HINT_NOT_COUNTER_RESET:
+            return False
+        if self.count < previous.count:
+            return True
+        cu, pu = self.uses_custom_buckets(), previous.uses_custom_buckets()
+        if cu != pu:
+            return True
+        if cu:
+            if self.custom_values == previous.custom_values:
+                vals = self.custom_values
+            else:
+                vals = [v for v in self.custom_values
+                        if v in previous.custom_values]
+            cur = self._custom_mapped(True, vals)
+            prev = previous._custom_mapped(True, vals)
             if cur is None or prev is None:
                 return True
-            for idx, c in (prev or {}).items():
-                if (cur or {}).get(idx, 0.0) < c:
-                    return True
-        return False
+            return (self.zero_count < previous.zero_count
+                    or self._maps_have_reset(cur, prev))
+        # exponential: resolution increase or zero-threshold shrink is a reset
+        if (self.schema > previous.schema
+                or self.zero_threshold < previous.zero_threshold):
+            return True
+        p_pos, p_neg = previous._side_map(True), previous._side_map(False)
+        if p_pos is None or p_neg is None:
+            return True
+        p_zero = previous.zero_count
+        if self.zero_threshold > previous.zero_threshold:
+            expanded = previous._expanded_zero_threshold(self.zero_threshold)
+            if expanded is None or expanded != self.zero_threshold:
+                return True
+            fp = previous._fold_below(p_pos, self.zero_threshold)
+            fn_ = previous._fold_below(p_neg, self.zero_threshold)
+            if fp is None or fn_ is None:
+                return True
+            p_pos, z1 = fp
+            p_neg, z2 = fn_
+            p_zero += z1 + z2
+        if self.zero_count < p_zero:
+            return True
+        if previous.schema > self.schema:
+            factor = 1 << (previous.schema - self.schema)
+            rp: dict[int, float] = {}
+            for i, c in p_pos.items():
+                ni = self._ceil_div(i, factor)
+                rp[ni] = rp.get(ni, 0.0) + c
+            rn: dict[int, float] = {}
+            for i, c in p_neg.items():
+                ni = self._ceil_div(i, factor)
+                rn[ni] = rn.get(ni, 0.0) + c
+            p_pos, p_neg = rp, rn
+        cur_pos, cur_neg = self._side_map(True), self._side_map(False)
+        if cur_pos is None or cur_neg is None:
+            return True
+        return (self._maps_have_reset(cur_pos, p_pos)
+                or self._maps_have_reset(cur_neg, p_neg))
 
     def promql_string(self) -> str:
         """Render like the reference's golden output
-        (native_histogram.rs:380-401)."""
+        (native_histogram.rs:380-401; Rust f64 Display: `inf`, `NaN`,
+        positional notation — never scientific)."""
         def fmt(v: float) -> str:
+            if math.isnan(v):
+                return "NaN"
             if v == math.inf:
-                return "+Inf"
+                return "inf"
             if v == -math.inf:
-                return "-Inf"
+                return "-inf"
             if v == int(v) and abs(v) < 1e15:
                 return str(int(v))
-            return repr(v)
+            s = repr(v)
+            if "e" in s or "E" in s:
+                from decimal import Decimal
+                s = format(Decimal(s), "f")
+            return s
 
+        _EDGES = {"open_left": ("(", "]"), "open_right": ("[", ")"),
+                  "closed_both": ("[", "]")}
         parts = [f"count:{fmt(self.count)}", f"sum:{fmt(self.sum)}"]
         buckets = self.all_buckets() or []
         for b in buckets:
             if b.count == 0.0:
                 continue
-            closed_both = (b.lower <= 0.0 <= b.upper and not self.uses_custom_buckets())
-            open_right = b.upper < 0.0
-            left, right = (("[", "]") if closed_both
-                           else ("[", ")") if open_right else ("(", "]"))
+            left, right = _EDGES[b.rule]
             parts.append(f"{left}{fmt(b.lower)},{fmt(b.upper)}{right}:{fmt(b.count)}")
         return "{" + ", ".join(parts) + "}"
 

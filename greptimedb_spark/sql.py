@@ -1908,6 +1908,13 @@ class GreptimeSQL:
                 rf"\b(json_\w+)\(\s*((?:\w+\.)?{re.escape(c)})\s*([,)])",
                 rf"\1(CAST(\2 AS STRING)\3", text, flags=re.IGNORECASE,
             )
+            # Spark forbids set operations / DISTINCT on VARIANT
+            # (UNSUPPORTED_FEATURE.SET_OPERATION_ON_VARIANT_TYPE); the
+            # reference dedups jsonb by value — string form is canonical here
+            text = re.sub(
+                rf"\bDISTINCT\s+((?:\w+\.)?{re.escape(c)})\b(?![\w.(\[])",
+                r"DISTINCT CAST(\1 AS STRING)", text, flags=re.IGNORECASE,
+            )
         return text
 
     def _refresh_views(self):
@@ -2635,15 +2642,25 @@ class GreptimeSQL:
             text = _rewrite_interval_literals(text)
         if "[" in text and not re.match(r"^\s*TQL\b", text, re.IGNORECASE):
             text = _map_outside_strings(text, _rewrite_bracket_arrays)
-        if "." in text or re.search(r"\bjson_\w+\s*\(", text, re.IGNORECASE):
+        if ("." in text or re.search(r"\bjson_\w+\s*\(|\bDISTINCT\b", text,
+                                     re.IGNORECASE)):
             text = self._rewrite_json2_paths(text)
         # DataFusion integer/integer division truncates; COUNT()/COUNT() and
         # SUM(CASE…1/0…END)/COUNT() are the common integer-typed shapes —
         # SUM over non-integer args must keep float division
+        def _int_div(m: "re.Match[str]") -> str:
+            num = m.group(1)
+            # Only integer-typed numerators truncate in DataFusion; a SUM
+            # whose CASE branches carry a float literal or float cast stays
+            # float division ('/' keeps Spark's double semantics)
+            if re.search(r"\d\.\d|\.\d|\d\.|\b(float|double|real|decimal)\b",
+                         num, re.IGNORECASE):
+                return m.group(0)
+            return f"{num} DIV {m.group(2)}"
         text = re.sub(
             r"(\bCOUNT\s*\([^()]*\)|\bSUM\s*\(\s*CASE\b(?:[^()]|\([^()]*\))*\))"
             r"\s*/\s*(COUNT\s*\([^()]*\))",
-            r"\1 DIV \2", text, flags=re.IGNORECASE)
+            _int_div, text, flags=re.IGNORECASE)
         if re.search(r"\bapprox_(percentile_cont|median)\s*\(", text, re.IGNORECASE):
             text = _map_outside_strings(text, _rewrite_approx_pct)
         for f4 in ("ipv4_to_cidr", "ipv6_to_cidr"):

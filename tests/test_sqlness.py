@@ -788,7 +788,9 @@ _CONFORMANCE_CASES_KNOWN_DIFFS = [
         "select ts, j from (select ts, j from json2_table)",
         "select j.a, j.a.x from json2_table",
         "select json_get(j, '') from json2_table",
-        "select json_get(j, '$') from json2_table")),
+        "select json_get(j, '.') from json2_table",
+        "select json_get(j, '$') from json2_table",
+        "select json_get(j, '$.') from json2_table")),
     # database-level TTL governs read-time expiry in the reference; here it
     # is surfaced (SHOW CREATE inherit) but not applied to table reads
     ("ttl/database_ttl", 4, ("SELECT val from test_ttl",)),
