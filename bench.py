@@ -57,12 +57,22 @@ def main() -> None:
     read(spark, SF_DIR, "region").count()
     read(spark, SF_DIR, "events").limit(1).count()
 
+    # median of >=3 repetitions per query: single-shot timings made the
+    # round-1 -> round-2 comparison unattributable (VERDICT r2 Wrong #2)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         build = specs[name].build
-        t0 = time.time()
-        build(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            build(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            samples.append(time.time() - t0)
+            # operators may persist() intermediates for intra-query reuse;
+            # drop them so later reps don't time cache hits
+            spark.catalog.clearCache()
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
 
     # ingest-path benchmark (BASELINE.md headline is TSBS ingest rows/s):
     # write the events table through the catalog's partitioned insert path.

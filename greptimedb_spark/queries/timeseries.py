@@ -51,16 +51,23 @@ GROUP BY 1, 2
 # -- q21: lastpoint — newest row per series (§2.1 last-row selector) ----------
 
 def q21_lastpoint(spark: SparkSession, sf: str) -> DataFrame:
+    # max_by over a (ts, event_id) struct: a hash aggregate with map-side
+    # partial combine — one shuffle of one row per series, no per-partition
+    # sort (beats window row_number()=1; TSBS lastpoint class,
+    # docs/benchmarks/tsbs/v0.12.0.md:33)
     e = read(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    last = F.max_by(
+        F.struct("event_id", "event_type", "value"),
+        F.struct("ts", "event_id"),
+    )
     return (
-        e.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        e.groupBy("user_id")
+        .agg(last.alias("__last"))
         .select(
             "user_id",
-            F.col("event_id").alias("last_event_id"),
-            F.col("event_type").alias("last_type"),
-            F.round("value", 4).alias("last_value"),
+            F.col("__last.event_id").alias("last_event_id"),
+            F.col("__last.event_type").alias("last_type"),
+            F.round("__last.value", 4).alias("last_value"),
         )
     )
 
