@@ -104,7 +104,17 @@ class Catalog:
     def __init__(self, spark: SparkSession, base_path: str):
         self.spark = spark
         self.base_path = base_path
+        # database-level WITH(...) options (kept in sync by GreptimeSQL's
+        # CREATE/ALTER DATABASE handlers): tables without their own ttl
+        # inherit the database ttl at expiry time (options.rs:85)
+        self.db_options: dict[str, dict] = {}
         os.makedirs(base_path, exist_ok=True)
+
+    def _effective_ttl(self, meta: TableMeta) -> str | None:
+        if meta.ttl:
+            return meta.ttl
+        db = (getattr(meta, "schema_name", "public") or "public").lower()
+        return (self.db_options.get(db) or {}).get("ttl") or None
 
     # -- DDL ---------------------------------------------------------------
 
@@ -218,16 +228,17 @@ class Catalog:
             # flow/flow_advance_ttl pins this). flush_table() does the
             # physical delete. The `at` override keeps a deterministic
             # read-time filter for tests.
-            if (meta.ttl or "").lower() == "instant":
+            ttl = self._effective_ttl(meta)
+            if (ttl or "").lower() == "instant":
                 # ttl='instant' stores nothing queryable (reference
                 # options.rs) — rows only reach flows, which read with a
                 # min_batch watermark and DO see them.
                 if min_batch is None:
                     df = df.filter(F.lit(False))
-            elif meta.ttl and at is not None:
+            elif ttl and at is not None:
                 df = df.filter(
                     F.col(meta.time_index)
-                    > F.expr(f"TIMESTAMP '{at}'") - F.expr(_ttl_interval(meta.ttl))
+                    > F.expr(f"TIMESTAMP '{at}'") - F.expr(_ttl_interval(ttl))
                 )
         return self._project_declared(df, meta)
 
@@ -424,12 +435,13 @@ class Catalog:
         At scale this deletes whole time-bucket partitions (partition-pruned
         drop), plus one boundary-bucket rewrite."""
         meta = self.meta(name)
-        if not meta.ttl:
+        ttl = self._effective_ttl(meta)
+        if not ttl:
             return
         data_path = os.path.join(self._table_path(name), "data")
         if not self._has_data(data_path):
             return
-        if meta.ttl.lower() == "instant":
+        if ttl.lower() == "instant":
             import shutil
 
             shutil.rmtree(data_path)
@@ -437,7 +449,7 @@ class Catalog:
         self.delete(
             name,
             F.col(_phys_name(meta.time_index))
-            < F.current_timestamp() - F.expr(_ttl_interval(meta.ttl)),
+            < F.current_timestamp() - F.expr(_ttl_interval(ttl)),
         )
 
     def compact(self, name: str) -> None:

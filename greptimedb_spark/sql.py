@@ -2428,6 +2428,8 @@ class GreptimeSQL:
                 dbs[m.group(2).lower()] = opts
             else:
                 dbs.pop(m.group(2).lower(), None)
+            if self.catalog is not None:
+                self.catalog.db_options = dbs
             return self._empty_ok()
         m = re.match(
             r"\s*ALTER\s+DATABASE\s+(\w+)\s+(SET|UNSET)\s+'?([\w.]+)'?"
@@ -2444,6 +2446,8 @@ class GreptimeSQL:
                 dbs[name][key] = val or ""
             else:
                 dbs[name].pop(key, None)
+            if self.catalog is not None:
+                self.catalog.db_options = dbs
             return self._empty_ok()
         m = re.match(r"\s*SHOW\s+CREATE\s+DATABASE\s+(\w+)\s*;?\s*$",
                      text, re.IGNORECASE)
@@ -2496,8 +2500,11 @@ class GreptimeSQL:
             text = re.sub(
                 r"\btrunc\s*\(([^()]*,[^()]*)\)", r"gt_trunc(\1)", text, flags=re.IGNORECASE
             )
-        # DataFusion tolerates a trailing comma before FROM
+        # DataFusion tolerates a trailing comma before FROM and before a
+        # closing paren (subquery select lists in the geo corpus)
         text = re.sub(r",(\s*)FROM\b", r"\1FROM", text, flags=re.IGNORECASE)
+        text = _map_outside_strings(
+            text, lambda seg: re.sub(r",(\s*)\)", r"\1)", seg))
         # MySQL-style single-quoted aliases → backticked identifiers
         text = re.sub(r"(\bAS\s+)'([^']+)'", r"\1`\2`", text, flags=re.IGNORECASE)
         if self.catalog is not None and re.search(r"\bnumbers\b", text, re.IGNORECASE):
@@ -2694,6 +2701,8 @@ class GreptimeSQL:
             text = _rewrite_date_addsub(text)
         if re.search(r"\banomaly_score_", text, re.IGNORECASE):
             text = _rewrite_anomaly(text)
+        if re.search(r"\b(geo_path|json_encode_path)\s*\(", text, re.IGNORECASE):
+            text = _rewrite_geo_path(text)
         if re.search(r"\bcount_hash\s*\(", text, re.IGNORECASE):
             # count of distinct hashed tuples (reference count_hash.rs) —
             # stays JVM-side as count(DISTINCT xxhash64(...))
@@ -2993,6 +3002,78 @@ def _dispatch_arity(text: str, fname: str, names: dict) -> str:
         text = rest
         i = 0
     return "".join(out)
+
+
+def _split_top_args(inner: str) -> list[str]:
+    args, depth, cur = [], 0, []
+    for ch in inner:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        args.append("".join(cur).strip())
+    return args
+
+
+def _geo_sorted_points(lat: str, lng: str, ts: str) -> str:
+    """Time-ordered trajectory: the reference sorts collected points by
+    timestamp ascending (aggrs/geo/geo_path.rs:164-170 sort_to_indices)."""
+    return (f"sort_array(collect_list(struct({ts} AS __ts, {lat} AS lat, "
+            f"{lng} AS lng)))")
+
+
+def _rewrite_geo_path(text: str) -> str:
+    """geo_path / json_encode_path aggregates lowered to collect_list +
+    sort_array column algebra (aggrs/geo/geo_path.rs, encoding.rs:31).
+    UNNEST(geo_path(...)) expands the struct into lat/lng array columns the
+    way DataFusion unnests a struct."""
+    def one(name: str, render) -> None:
+        nonlocal text
+        while True:
+            m = re.search(rf"\b{name}\s*\(", text, re.IGNORECASE)
+            if not m:
+                return
+            inner, rest = _balanced_paren(text[m.end() - 1:])
+            args = _split_top_args(inner)
+            if len(args) != 3:
+                return
+            text = text[:m.start()] + render(*args) + rest
+
+    # UNNEST(geo_path(a,b,t)) first — consumes the geo_path call inside
+    while True:
+        um = re.search(r"\bUNNEST\s*\(\s*geo_path\s*\(", text, re.IGNORECASE)
+        if not um:
+            break
+        open2 = text.index("(", um.end() - 1)
+        inner, rest = _balanced_paren(text[open2:])
+        # rest starts after geo_path's ')': expect the UNNEST ')'
+        rest = rest.lstrip()
+        if rest.startswith(")"):
+            rest = rest[1:]
+        args = _split_top_args(inner)
+        if len(args) != 3:
+            break
+        pts = _geo_sorted_points(*args)
+        repl = (f"transform({pts}, s -> s.lat) AS lat, "
+                f"transform({pts}, s -> s.lng) AS lng")
+        text = text[:um.start()] + repl + rest
+
+    one("json_encode_path", lambda a, b, t: (
+        "concat('[', array_join(transform("
+        + _geo_sorted_points(a, b, t)
+        + ", s -> concat('[', cast(s.lng AS STRING), ',', "
+          "cast(s.lat AS STRING), ']')), ','), ']')"))
+    one("geo_path", lambda a, b, t: (
+        f"named_struct('lat', transform({_geo_sorted_points(a, b, t)}, "
+        f"s -> s.lat), 'lng', transform({_geo_sorted_points(a, b, t)}, "
+        f"s -> s.lng))"))
+    return text
 
 
 def _fix_date_bin_args(text: str) -> str:
