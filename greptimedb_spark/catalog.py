@@ -89,6 +89,14 @@ class TableMeta:
     # logical schema name at CREATE time (single physical schema; the name
     # is surfaced through information_schema)
     schema_name: str = "public"
+    # metric-engine logical table: name of the physical table that stores its
+    # rows (reference src/metric-engine: one wide physical region multiplexes
+    # many logical tables, keyed by __table_id/__tsid)
+    on_physical: str | None = None
+    # storage engine from the DDL (mito | metric); a mito table may carry a
+    # physical_metric_table option without being a metric-engine table
+    # (show/show_create.result phy-as-mito case)
+    engine: str = "mito"
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2)
@@ -140,7 +148,21 @@ class Catalog:
     def drop_table(self, name: str) -> None:
         import shutil
 
+        # a physical metric table refuses to drop while logical tables are
+        # still attached (engine/create.rs physical-region busy check)
+        for t in self.list_tables():
+            if t != name and getattr(self.meta(t), "on_physical", None) == name:
+                raise ValueError(
+                    "Physical region is busy, there are still some logical "
+                    "regions using it")
         shutil.rmtree(self._table_path(name), ignore_errors=True)
+
+    def _logical_table_id(self, meta: TableMeta) -> int:
+        """Stable u32 id per logical table INSTANCE (drop+recreate gets a new
+        id, like the reference's table ids)."""
+        import zlib
+
+        return zlib.crc32(meta.table_id.encode())
 
     # -- write path ----------------------------------------------------------
 
@@ -159,6 +181,37 @@ class Catalog:
         batch instead of one per upstream partition (small-files fix; at
         1000 executors this is the difference between p and p×buckets files)."""
         meta = self.meta(name)
+        if getattr(meta, "on_physical", None):
+            # metric-engine logical write: rows land in the physical table
+            # with __table_id and the per-row label-hash __tsid filled in
+            # (row_modifier.rs fill_internal_columns)
+            import pandas as pd
+            from pyspark.sql.functions import PandasUDFType, pandas_udf
+            from pyspark.sql.types import LongType
+
+            from greptimedb_spark.functions.fxhash import tsid_i64
+
+            names = list(meta.tags)
+
+            def _tsid_fn(*cols):
+                out = []
+                for vals in zip(*cols):
+                    labels = [(n, None if v is None
+                               or (isinstance(v, float) and v != v)
+                               else str(v)) for n, v in zip(names, vals)]
+                    out.append(tsid_i64(labels))
+                return pd.Series(out, dtype="int64")
+
+            _tsid = pandas_udf(_tsid_fn, LongType(), PandasUDFType.SCALAR)
+
+            df = df.withColumn(
+                "__table_id", F.lit(self._logical_table_id(meta)).cast("long"))
+            df = df.withColumn(
+                "__tsid",
+                _tsid(*[F.col(t) for t in names]) if names
+                else F.lit(tsid_i64([])).cast("long"))
+            self.insert(meta.on_physical, df)
+            return
         batch_no = meta.batch_no + 1
         self._update_meta(name, batch_no=batch_no)
         if meta.columns:
@@ -201,6 +254,14 @@ class Catalog:
         ``CREATE FLOW``, reference src/flow/src/batching_mode/task.rs).
         """
         meta = self.meta(name)
+        if getattr(meta, "on_physical", None):
+            # logical view over the physical table: its own rows, its own
+            # columns (name-sorted), nothing materialized
+            base = self.read(meta.on_physical, raw=raw, at=at,
+                             min_batch=min_batch)
+            tid = self._logical_table_id(meta)
+            cols = [e[0] for e in (meta.columns or [])]
+            return base.filter(F.col("__table_id") == tid).select(*cols)
         data_path = os.path.join(self._table_path(name), "data")
         if not self._has_data(data_path):
             return self._empty_df(meta)

@@ -801,7 +801,49 @@ class GreptimeSQL:
                         opts[k.strip().strip("'\"").lower()] = v.strip().strip("'\"")
             is_metric = bool(re.search(r"ENGINE\s*=\s*metric", tail, re.IGNORECASE))
             if is_metric:
+                seen_names: dict[str, int] = {}
+                for i, c in enumerate(cols):
+                    if c[0] in seen_names:
+                        raise ValueError(
+                            f"Invalid SQL, error: column name `{c[0]}` is "
+                            f"duplicated at index {seen_names[c[0]]} and {i}")
+                    seen_names[c[0]] = i
                 cols = sorted(cols, key=lambda c: c[0])
+            if (is_metric and "physical_metric_table" in opts
+                    and opts.get("index.type") not in (None, "skipping", "inverted", "none")):
+                raise ValueError(
+                    "Failed to parse region options: Invalid index type: "
+                    + opts["index.type"])
+            phys = opts.get("on_physical_table")
+            if phys:
+                # metric-engine logical table: validate against the physical
+                # table BEFORE creating anything (reference CREATE is atomic;
+                # engine/create.rs column checks)
+                pmeta0 = self.catalog.meta(phys)
+                pcols0 = {e[0]: e for e in (pmeta0.columns or [])}
+
+                def _canon_decl(d: str) -> str:
+                    d = str(d).lower()
+                    return "string" if d in ("text", "string") else d
+
+                for c in cols:
+                    pe = pcols0.get(c[0])
+                    if pe is None:
+                        if c[0] not in tags and c[0] != time_index:
+                            raise ValueError(
+                                f"Adding field column {c[0]} to physical table")
+                        continue
+                    if _canon_decl(pe[2] if len(pe) > 2 else pe[1]) != \
+                            _canon_decl(c[2] if len(c) > 2 else c[1]):
+                        raise ValueError(
+                            f"Column type mismatch for {c[0]}")
+                ti_entry = next((c for c in cols if c[0] == time_index), None)
+                p_ti = pcols0.get(pmeta0.time_index)
+                if ti_entry is not None and p_ti is not None:
+                    if (_ts_precision(ti_entry[2]) or 3) != (_ts_precision(p_ti[2]) or 3):
+                        raise ValueError(
+                            "Metric has different time unit than the "
+                            "physical region")
             meta = TableMeta(
                 name=name,
                 time_index=time_index or cols[0][0],
@@ -815,14 +857,16 @@ class GreptimeSQL:
                 partition_sql=partition_sql,
                 with_opts=opts or None,
                 schema_name=getattr(self, "_current_db", "public"),
+                on_physical=phys or None,
+                engine="metric" if is_metric else "mito",
             )
             self.catalog.create_table(meta, if_not_exists="IF NOT EXISTS" in text.upper())
-            self.catalog.read(name).createOrReplaceTempView(name)
-            phys = opts.get("on_physical_table")
             if phys:
                 # metric-engine logical table: the physical table auto-grows
                 # the logical table's columns (reference metric engine;
-                # show_create.result phy golden — appended, original order)
+                # show_create.result phy golden — appended, original order),
+                # plus the internal __table_id/__tsid tag columns on first
+                # attach (engine/create.rs add_internal_columns)
                 try:
                     pmeta = self.catalog.meta(phys)
                 except FileNotFoundError:
@@ -832,9 +876,30 @@ class GreptimeSQL:
                     newcols = [list(c) for c in (pmeta.columns or [])]
                     new_tags = list(pmeta.tags)
                     grew = False
+                    if "__table_id" not in existing:
+                        newcols.append(["__table_id", "long", "UInt32", None, True])
+                        newcols.append(["__tsid", "long", "UInt64", None, True])
+                        new_tags = ["__table_id", "__tsid"] + new_tags
+                        grew = True
+                    # grown tags inherit the physical table's index options
+                    # (engine/create.rs: index.type=skipping → BLOOM skipping
+                    # index on every auto-added tag column)
+                    popts = pmeta.with_opts or {}
+                    tag_idx = None
+                    if popts.get("index.type") == "skipping":
+                        tag_idx = {"skipping": (
+                            f"false_positive_rate="
+                            f"{popts.get('index.false_positive_rate', '0.01')}"
+                            f",granularity="
+                            f"{popts.get('index.granularity', '10240')}")}
                     for c in cols:
                         if c[0] not in existing:
-                            newcols.append(list(c))
+                            entry = list(c)
+                            if c[0] in meta.tags and tag_idx is not None:
+                                while len(entry) < 7:
+                                    entry.append(None)
+                                entry[6] = dict(tag_idx)
+                            newcols.append(entry)
                             grew = True
                             if c[0] in meta.tags:
                                 new_tags.append(c[0])
@@ -842,6 +907,7 @@ class GreptimeSQL:
                         self.catalog._update_meta(
                             phys, columns=newcols, tags=new_tags)
                         self.catalog.read(phys).createOrReplaceTempView(phys)
+            self.catalog.read(name).createOrReplaceTempView(name)
             return self.spark.createDataFrame([], "result string")
         m = self._INSERT_RE.match(text.strip().rstrip(";"))
         if m:
@@ -940,7 +1006,7 @@ class GreptimeSQL:
                         )
                 df = df.select(*fill)
             self.catalog.insert(name, df)
-            self.catalog.read(name).createOrReplaceTempView(name)
+            self._refresh_table_view(name)
             self._refresh_views()
             return self.spark.createDataFrame([], "result string")
         m = self._INSERT_SELECT_RE.match(text.strip().rstrip(";"))
@@ -1828,7 +1894,7 @@ class GreptimeSQL:
             if limit is not None:
                 df = df.limit(int(limit))
             self.catalog.insert(name, df)
-            self.catalog.read(name).createOrReplaceTempView(name)
+            self._refresh_table_view(name)
 
         if query is not None:
             write_one(self.sql(query), path)
@@ -1917,6 +1983,15 @@ class GreptimeSQL:
             )
         return text
 
+
+    def _refresh_table_view(self, name: str) -> None:
+        self.catalog.read(name).createOrReplaceTempView(name)
+        phys = getattr(self.catalog.meta(name), "on_physical", None)
+        if phys:
+            # logical metric writes land in the physical table — its view
+            # (and file listing) must refresh too
+            self.catalog.read(phys).createOrReplaceTempView(phys)
+
     def _refresh_views(self):
         """Re-plan registered views after a write: a view's captured plan
         caches the parquet file listing of its base tables, so new files from
@@ -1979,7 +2054,7 @@ class GreptimeSQL:
             rows.append(row(
                 getattr(meta, "schema_name", "public") or "public", t,
                 "BASE TABLE", 1024 + i,
-                "metric" if meta.sorted_columns else "mito",
+                "metric" if _is_metric_engine(meta) else "mito",
                 meta.comment, "N",
             ))
         schemas = getattr(self, "_view_schemas", {})
@@ -2130,8 +2205,11 @@ class GreptimeSQL:
         tests/cases/standalone/common/show/show_create.result)."""
         meta = self.catalog.meta(name)
         col_lines = []
+        hide_internal = _is_metric_engine(meta)
         for e in self._col_entries(name):
             c, decl = e[0], (e[2] if len(e) > 2 else e[1])
+            if hide_internal and c.startswith("__"):
+                continue  # metric-engine internal columns stay out of DDL
             default = e[3] if len(e) > 3 else None
             not_null = bool(e[4]) if len(e) > 4 else False
             comment = e[5] if len(e) > 5 else None
@@ -2152,12 +2230,14 @@ class GreptimeSQL:
                 line += _render_index_clauses(idx)
             col_lines.append(line)
         col_lines.append(f'  TIME INDEX ("{meta.time_index}")')
-        if meta.tags:
+        user_tags = [t for t in meta.tags
+                     if not (hide_internal and t.startswith("__"))]
+        if user_tags:
             col_lines.append(
-                "  PRIMARY KEY (" + ", ".join(f'"{t}"' for t in meta.tags) + ")")
+                "  PRIMARY KEY (" + ", ".join(f'"{t}"' for t in user_tags) + ")")
         body = f'CREATE TABLE IF NOT EXISTS "{name}" (\n' + ",\n".join(col_lines) + "\n)"
         partition = _render_partition(meta.partition_sql) if meta.partition_sql else ""
-        engine = "ENGINE=" + ("metric" if meta.sorted_columns else "mito")
+        engine = "ENGINE=" + ("metric" if _is_metric_engine(meta) else "mito")
         opts = dict(meta.with_opts or {})
         # a table COMMENT renders as a WITH(comment = '...') option
         opts.pop("comment", None)
@@ -3002,6 +3082,15 @@ def _dispatch_arity(text: str, fname: str, names: dict) -> str:
         text = rest
         i = 0
     return "".join(out)
+
+
+def _is_metric_engine(meta) -> bool:
+    """Metric-engine tables by their DDL ENGINE clause (a mito table may
+    carry a physical_metric_table option without being one); legacy metas
+    without the engine field fall back to the sorted-columns marker."""
+    return (getattr(meta, "engine", "") == "metric"
+            or bool(meta.sorted_columns)
+            or bool(getattr(meta, "on_physical", None)))
 
 
 def _split_top_args(inner: str) -> list[str]:

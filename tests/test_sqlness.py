@@ -469,6 +469,7 @@ _CONFORMANCE_CASES = [
     ("show/show_create", 13),
     ("select/matches", 31),
     ("select/tz_encode", 1),
+    ("alter/alter_metric_table", 10),
     ("parser/operator_precedence", 15),
     ("comment", 12),
     ("sample/basic_sample", 8),
@@ -772,8 +773,10 @@ _CONFORMANCE_CASES = [
 # - alter/alter_table, alter/alter_table_default, alter/alter_append_mode:
 #   pin greptime's lazy-cast internals ("wired behavior due to underlying
 #   column data is unchanged") — the Spark design rewrites on ALTER instead
-# - alter/alter_metric_table, create/create_metric_table, ttl/metric_*:
-#   physical-table internals (__tsid/__table_id columns, `numbers` in SHOW)
+# - ttl/metric_*: physical-table internals (`numbers` in SHOW).
+#   alter/alter_metric_table, create/create_metric_table and
+#   insert/logical_metric_table ARE in the battery now (metric-engine
+#   logical→physical emulation, round 3)
 # - alter/alter_database, create/create_database*: multi-database ops — the
 #   Spark design is single-schema (SURVEY §2.1)
 # - truncate/truncate: TRUNCATE ... FILE RANGE is SST-file-granular
@@ -798,11 +801,20 @@ _CONFORMANCE_CASES = [
 #   one) — our approx_percentile is rank-based and exact on these sizes
 # - subquery/offset: scalar subquery with OFFSET and no ORDER BY returns zero
 #   rows in DataFusion; Spark returns the NULL scalar
-# - show/show_create + insert/logical_metric_table: metric-engine physical
-#   tables (`phy`) auto-grow columns from logical tables — partial here
+# - create/create_metric_table + insert/logical_metric_table: all metric
+#   statements verify except SHOW INDEX (presentation) and the one SELECT
+#   pinning raw __tsid values (see the entries below)
 # - query/type_conversion_traversal: string-timestamp literals compared under
 #   SET TIME_ZONE; session-timezone literal parsing not yet wired
 _CONFORMANCE_CASES_KNOWN_DIFFS = [
+    # metric engine emulation: TSIDs reproduce the reference's FxHash label
+    # hash (verified for the `host` series); the golden's `job` TSIDs don't
+    # match any composition of the current row_modifier.rs algorithm, so the
+    # one SELECT pinning raw __tsid values is excluded. SHOW INDEX output is
+    # engine-internal presentation.
+    ("create/create_metric_table", 13, ("SHOW INDEX",)),
+    ("insert/logical_metric_table", 12, (
+        "SELECT ts, val, __tsid, host, job FROM phy",)),
     ("aggregate/approx_median", 9, (
         "approx_median(i) FROM even_test",
         "SELECT median(val), approx_median(val) FROM dup_test")),
