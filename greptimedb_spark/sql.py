@@ -844,12 +844,21 @@ class GreptimeSQL:
                         raise ValueError(
                             "Metric has different time unit than the "
                             "physical region")
+            # merge/append semantics inherit from the database options when
+            # the table doesn't set them (create_database_opts.result); ttl
+            # inheritance stays dynamic (catalog.db_options) so ALTER
+            # DATABASE ttl affects existing tables
+            _dbo = getattr(self, "_databases", {}).get(
+                getattr(self, "_current_db", "public"), {}) or {}
             meta = TableMeta(
                 name=name,
                 time_index=time_index or cols[0][0],
                 tags=[t for t in tags if t != time_index],
-                merge_mode=opts.get("merge_mode", "last_row"),
-                append_mode=opts.get("append_mode", "false").lower() == "true",
+                merge_mode=opts.get(
+                    "merge_mode", _dbo.get("merge_mode") or "last_row"),
+                append_mode=opts.get(
+                    "append_mode",
+                    _dbo.get("append_mode", "false")).lower() == "true",
                 ttl=opts.get("ttl") or None,
                 columns=[list(c) for c in cols],
                 sorted_columns=is_metric,
@@ -1303,10 +1312,14 @@ class GreptimeSQL:
             return self.spark.createDataFrame([(n,) for n in names], f"`{col}` string")
         if self._SHOW_DB_RE.match(stmt):
             full = bool(re.match(r"^\s*SHOW\s+FULL\s", stmt, re.IGNORECASE))
-            dbs = ["greptime_private", "information_schema", "public"]
+            dbs = sorted({"greptime_private", "information_schema", "public"}
+                         | set(getattr(self, "_databases", {})))
             if full:
+                opts_by_db = getattr(self, "_databases", {})
                 return self.spark.createDataFrame(
-                    [(d, "") for d in dbs], "Database string, Options string")
+                    [(d, _render_db_options(opts_by_db.get(d) or {}))
+                     for d in dbs],
+                    "Database string, Options string")
             return self.spark.createDataFrame([(d,) for d in dbs], "Database string")
         m = re.match(
             r"^\s*SHOW\s+(CHARACTER\s+SET|CHARSET|COLLATION)\s*(?:LIKE\s+'([^']*)')?\s*"
@@ -2243,13 +2256,19 @@ class GreptimeSQL:
         opts.pop("comment", None)
         if meta.comment:
             opts["comment"] = meta.comment
-        if "ttl" not in opts:
-            # tables inherit the database-level ttl for display
-            # (ttl/show_ttl.result)
-            db_opts = getattr(self, "_databases", {}).get(
-                getattr(meta, "schema_name", "public") or "public") or {}
-            if db_opts.get("ttl"):
-                opts["ttl"] = db_opts["ttl"]
+        # tables inherit database-level ttl and sst_format for display
+        # (ttl/show_ttl.result; alter_database.result monitor golden — the
+        # compaction.* options do NOT project into table DDL)
+        db_opts = getattr(self, "_databases", {}).get(
+            getattr(meta, "schema_name", "public") or "public") or {}
+        for inherit_key in ("ttl", "sst_format", "append_mode",
+                            "memtable.type", "merge_mode", "skip_wal"):
+            if inherit_key not in opts and db_opts.get(inherit_key):
+                opts[inherit_key] = db_opts[inherit_key]
+        if any(k.startswith("compaction.") for k in (meta.with_opts or {})):
+            # table-level compaction options shadow the database's and
+            # render the override marker (create_database_opts.result)
+            opts.setdefault("compaction.override", "true")
         with_block = _render_with_opts(opts) if opts else ""
         text = "\n".join([body, partition, engine, with_block])
         return self.spark.createDataFrame(
@@ -2497,17 +2516,35 @@ class GreptimeSQL:
         # lose the prefix (the physical layout is one catalog directory)
         m = re.match(
             r"\s*(CREATE|DROP)\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?"
-            r"(\w+)\s*(?:WITH\s*\(([^)]*)\))?\s*;?\s*$",
-            text, re.IGNORECASE,
+            r"('[^']*'|\w+)\s*(?:WITH\s*\((.*)\))?\s*;?\s*$",
+            text, re.IGNORECASE | re.DOTALL,
         )
         if m:
+            dbname = m.group(2)
+            dbname = (dbname[1:-1] if dbname.startswith("'") else dbname).lower()
+            if not re.fullmatch(r"[\w\-]+", dbname):
+                raise ValueError(f"Invalid database name: {dbname}")
             dbs = self._databases = dict(getattr(self, "_databases", {}))
             if m.group(1).upper() == "CREATE":
                 opts = dict(re.findall(r"['\"]?([\w.]+)['\"]?\s*=\s*'([^']*)'",
                                        m.group(3) or ""))
-                dbs[m.group(2).lower()] = opts
+                dbs[dbname] = opts
             else:
-                dbs.pop(m.group(2).lower(), None)
+                dbs.pop(dbname, None)
+                if self.catalog is not None:
+                    # dropping a database drops its tables (logical metric
+                    # tables first so the physical busy-check releases)
+                    victims = [t for t in self.catalog.list_tables()
+                               if (getattr(self.catalog.meta(t), "schema_name",
+                                           "public") or "public").lower() == dbname]
+                    victims.sort(key=lambda t: not getattr(
+                        self.catalog.meta(t), "on_physical", None))
+                    for t in victims:
+                        self.catalog.drop_table(t)
+                        try:
+                            self.spark.catalog.dropTempView(t)
+                        except Exception:
+                            pass
             if self.catalog is not None:
                 self.catalog.db_options = dbs
             return self._empty_ok()
@@ -2523,7 +2560,9 @@ class GreptimeSQL:
             if name not in dbs:
                 raise ValueError(f"database {name} does not exist")
             if action == "SET":
-                dbs[name][key] = val or ""
+                # empty ttl normalizes to 'forever' (alter_database.result)
+                dbs[name][key] = ("forever" if key == "ttl" and not val
+                                  else val or "")
             else:
                 dbs[name].pop(key, None)
             if self.catalog is not None:
@@ -3491,6 +3530,16 @@ def _render_index_clauses(idx: dict) -> str:
     if "inverted" in idx:
         out += " INVERTED INDEX"
     return out
+
+
+def _render_db_options(opts: dict) -> str:
+    """SHOW FULL DATABASES Options cell: 'k'='v' lines, ttl first then
+    alphabetical (create_database_opts.result)."""
+    if not opts:
+        return ""
+    keys = sorted(opts, key=lambda k: (k != "ttl", k))
+    # the reference renders a trailing newline after the option list
+    return "\n".join(f"'{k}'='{opts[k]}'" for k in keys) + "\n"
 
 
 def _render_with_opts(opts: dict) -> str:

@@ -457,6 +457,8 @@ _CONFORMANCE_CASES = [
     ("types/json/jsonbench", 3),
     ("types/blob/blob", 8),
     ("ttl/database_ttl", 7),
+    ("ttl/database_ttl_with_metric_engine", 5),
+    ("ttl/metric_engine_ttl", 5),
     ("ttl/show_ttl", 21),
     ("flow/flow_status", 3),
     ("promql/string_identifier", 4),
@@ -469,7 +471,10 @@ _CONFORMANCE_CASES = [
     ("show/show_create", 13),
     ("select/matches", 31),
     ("select/tz_encode", 1),
+    ("alter/alter_database", 23),
     ("alter/alter_metric_table", 10),
+    ("create/create_database", 1),
+    ("create/create_database_opts", 16),
     ("parser/operator_precedence", 15),
     ("comment", 12),
     ("sample/basic_sample", 8),
@@ -773,12 +778,13 @@ _CONFORMANCE_CASES = [
 # - alter/alter_table, alter/alter_table_default, alter/alter_append_mode:
 #   pin greptime's lazy-cast internals ("wired behavior due to underlying
 #   column data is unchanged") — the Spark design rewrites on ALTER instead
-# - ttl/metric_*: physical-table internals (`numbers` in SHOW).
-#   alter/alter_metric_table, create/create_metric_table and
-#   insert/logical_metric_table ARE in the battery now (metric-engine
-#   logical→physical emulation, round 3)
-# - alter/alter_database, create/create_database*: multi-database ops — the
-#   Spark design is single-schema (SURVEY §2.1)
+# - alter/alter_metric_table, create/create_metric_table,
+#   insert/logical_metric_table, ttl/metric_engine_ttl and
+#   ttl/database_ttl_with_metric_engine ARE in the battery now
+#   (metric-engine logical→physical emulation, round 3)
+# - alter/alter_database, create/create_database* ARE in the battery now
+#   (round 3: database registry with option inheritance over the single
+#   physical schema; DROP DATABASE drops its tables)
 # - truncate/truncate: TRUNCATE ... FILE RANGE is SST-file-granular
 # - show/show_index, show/show_region, show/show_process_list:
 #   engine-internal presentation.  show/show_create and ttl/show_ttl ARE in
