@@ -444,7 +444,7 @@ class Catalog:
         shutil.move(self._table_path(old), self._table_path(new))
         self._update_meta(new, name=new)
 
-    def delete(self, name: str, predicate) -> int:
+    def delete(self, name: str, predicate, _from_logical: bool = False) -> int:
         """DELETE FROM t WHERE predicate — copy-on-write rewrite.
 
         ``predicate`` is a pyspark Column (or SQL text) evaluated against the
@@ -455,6 +455,18 @@ class Catalog:
         import shutil
 
         meta = self.meta(name)
+        if getattr(meta, "on_physical", None):
+            # logical metric delete: scope the predicate to this table's rows
+            # in the physical region
+            pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+            scoped = pred & (F.col("__table_id") == self._logical_table_id(meta))
+            return self.delete(meta.on_physical, scoped, _from_logical=True)
+        if not _from_logical and any(
+                getattr(self.meta(t), "on_physical", None) == name
+                for t in self.list_tables() if t != name):
+            # the reference rejects DELETE FROM a physical metric table
+            raise ValueError(
+                "DELETE from a physical metric table is not supported")
         data_path = os.path.join(self._table_path(name), "data")
         if not self._has_data(data_path):
             return 0

@@ -168,6 +168,9 @@ def register(spark) -> None:
     def _vec(x):
         if x is None:
             return None
+        if isinstance(x, (bytes, bytearray)):
+            # packed little-endian f32 (the reference's storage form)
+            return np.frombuffer(bytes(x), dtype="<f4")
         if isinstance(x, str):
             return np.asarray(_json.loads(x), dtype=np.float32)
         return np.asarray(x, dtype=np.float32)
@@ -207,6 +210,8 @@ def register(spark) -> None:
         return lambda a, b: [float(v) for v in op(_vec(a), _vec(b))]
 
     reg = spark.udf.register
+    reg("gt_vec_pack", _arr_udf(
+        lambda x: np.asarray(_vec(x), dtype="<f4").tobytes(), 1, "binary"))
     reg("parse_vec", _arr_udf(lambda s: [float(v) for v in _vec(s)], 1))
     reg("vec_to_string", _arr_udf(lambda v: _render(_vec(v)), 1, "string"))
     reg("vec_add", _arr_udf(_ew(lambda x, y: x + y), 2))

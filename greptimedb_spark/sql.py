@@ -620,7 +620,9 @@ def _map_type(t: str) -> str:
     if t.startswith("decimal"):
         return t
     if t.startswith("vector"):
-        return "array<float>"
+        # the reference's vector type is packed little-endian f32 bytes —
+        # raw column scans print the hex form (types/vector/vector.result)
+        return "binary"
     if re.match(r"(var)?char\s*\(", t):
         # length-parameterized char types are plain UTF-8 strings in the
         # reference; Spark's CHAR/VARCHAR padding semantics don't apply
@@ -823,8 +825,12 @@ class GreptimeSQL:
                 pcols0 = {e[0]: e for e in (pmeta0.columns or [])}
 
                 def _canon_decl(d: str) -> str:
-                    d = str(d).lower()
-                    return "string" if d in ("text", "string") else d
+                    d = str(d).lower().strip()
+                    if d in ("text", "string"):
+                        return "string"
+                    if d == "timestamp":
+                        return "timestamp(3)"  # default millisecond precision
+                    return d
 
                 for c in cols:
                     pe = pcols0.get(c[0])
@@ -922,6 +928,10 @@ class GreptimeSQL:
         if m:
             name, col_list, values_text = m.groups()
             name = self._resolve_table(name)
+            # parse_vec('...') in VALUES: Spark inline tables reject UDF
+            # calls; the vector coercion below re-packs the string anyway
+            values_text = re.sub(r"\bparse_vec\s*\(\s*('[^']*')\s*\)", r"\1",
+                                 values_text, flags=re.IGNORECASE)
             full_cols = self._col_entries(name)
             cols = full_cols
             if col_list:
@@ -982,8 +992,12 @@ class GreptimeSQL:
                     if has_default_kw and d:
                         e = f"COALESCE({e}, {d})"
                     exprs.append(f"{e} AS `{c}`")
+                elif len(entry) > 2 and str(entry[2]).lower().startswith("vector"):
+                    # vector literals ('[1.0, 2.0]') or parse_vec() arrays
+                    # pack into the binary f32 representation
+                    exprs.append(f"gt_vec_pack({v}) AS `{c}`")
                 elif t.startswith("array") and dict(raw.dtypes)[v] == "string":
-                    # vector literals ('[1.0, 2.0]') into VECTOR(n) columns
+                    # array literals into array-typed columns
                     exprs.append(f"from_json({v}, '{t}') AS `{c}`")
                 elif t == "variant":
                     # json2 text → parsed variant (a plain CAST would store a
@@ -1010,9 +1024,16 @@ class GreptimeSQL:
                         fill.append(F.col(f"`{c}`"))
                     else:
                         d = _default_sql(entry)
-                        fill.append(
-                            (F.expr(d).cast(t) if d else F.lit(None).cast(t)).alias(c)
-                        )
+                        if (d and len(entry) > 2
+                                and str(entry[2]).lower().startswith("vector")):
+                            # vector DEFAULT literals pack to binary f32
+                            # (raw literal — CAST AS BINARY would utf8-encode)
+                            fill.append(
+                                F.expr(f"gt_vec_pack({entry[3]})").alias(c))
+                        else:
+                            fill.append(
+                                (F.expr(d).cast(t) if d else F.lit(None).cast(t)).alias(c)
+                            )
                 df = df.select(*fill)
             self.catalog.insert(name, df)
             self._refresh_table_view(name)
@@ -1064,9 +1085,13 @@ class GreptimeSQL:
                     fill.append(F.col(c))
                 else:
                     d = _default_sql(entry)
-                    fill.append((F.expr(d).cast(t) if d else F.lit(None).cast(t)).alias(c))
+                    if (d and len(entry) > 2
+                            and str(entry[2]).lower().startswith("vector")):
+                        fill.append(F.expr(f"gt_vec_pack({entry[3]})").alias(c))
+                    else:
+                        fill.append((F.expr(d).cast(t) if d else F.lit(None).cast(t)).alias(c))
             self.catalog.insert(name, picked.select(*fill))
-            self.catalog.read(name).createOrReplaceTempView(name)
+            self._refresh_table_view(name)
             return self.spark.createDataFrame([], "result string")
         m = self._DROP_RE.match(text.strip().rstrip(";"))
         if m:
@@ -1100,7 +1125,7 @@ class GreptimeSQL:
                 }[self._unit_of(name, meta.time_index)].format(c=meta.time_index)
                 pred2 = re.sub(rf"\b{meta.time_index}\b", f"({conv})", pred)
                 self.catalog.delete(name, pred2)
-            self.catalog.read(name).createOrReplaceTempView(name)
+            self._refresh_table_view(name)
             return self.spark.createDataFrame([], "result string")
         out = self._ddl_extended(text, text_q)
         if out is not None:
@@ -1110,7 +1135,8 @@ class GreptimeSQL:
     # -- extended DDL surface: ALTER / TRUNCATE / DESC / SHOW / VIEW / ADMIN --
 
     _TRUNCATE_RE = re.compile(
-        r"^\s*TRUNCATE\s+(?:TABLE\s+)?\"?(\w+)\"?\s*$", re.IGNORECASE
+        r"^\s*TRUNCATE\s+(?:TABLE\s+)?\"?(\w+)\"?\s*"
+        r"(?:FILE\s+RANGE\s+(.+?))?\s*$", re.IGNORECASE | re.DOTALL
     )
     _ALTER_RE = re.compile(
         r"^\s*ALTER\s+TABLE\s+(\"[^\"]+\"|\w+)\s+(.*)$", re.IGNORECASE | re.DOTALL
@@ -1137,8 +1163,15 @@ class GreptimeSQL:
             ("metadata_quality", "String", True), ("semantic_options", "String", True),
         ],
     }
-    _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+(?:FULL\s+)?TABLES\s*(?:LIKE\s+'([^']*)')?\s*$", re.IGNORECASE)
-    _SHOW_DB_RE = re.compile(r"^\s*SHOW\s+(?:FULL\s+)?DATABASES\s*$", re.IGNORECASE)
+    _SHOW_TABLES_RE = re.compile(
+        r"^\s*SHOW\s+(?:FULL\s+)?TABLES\s*(?:FROM\s+(\w+)\s*)?"
+        r"(?:LIKE\s+'([^']*)'"
+        r"|WHERE\s+Tables\s*=\s*'([^']*)'"
+        r"|WHERE\s+Table_type\s*(!=|=)\s*'([^']*)')?\s*$", re.IGNORECASE)
+    _SHOW_DB_RE = re.compile(
+        r"^\s*SHOW\s+(?:FULL\s+)?DATABASES\s*"
+        r"(?:LIKE\s+'([^']*)'|WHERE\s+Database\s*=\s*'([^']*)')?\s*$",
+        re.IGNORECASE)
     _CREATE_VIEW_RE = re.compile(
         r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(.*)$",
         re.IGNORECASE | re.DOTALL,
@@ -1213,9 +1246,21 @@ class GreptimeSQL:
         m = self._TRUNCATE_RE.match(stmt)
         if m:
             name = self._resolve_table(m.group(1))
-            self.catalog.meta(name)  # raises if missing (expected error)
-            self.catalog.delete(name, "true")
-            self.catalog.read(name).createOrReplaceTempView(name)
+            meta = self.catalog.meta(name)  # raises if missing (expected error)
+            if m.group(2):
+                # TRUNCATE ... FILE RANGE (a, b), ... : the reference drops
+                # SST files fully inside the ranges; our files are
+                # time-bucketed so this maps to a time-range delete — at
+                # scale a partition-pruned drop, not a rewrite
+                ranges = re.findall(r"\(\s*(\d+)\s*,\s*(\d+)\s*\)", m.group(2))
+                cond = " OR ".join(
+                    f"(unix_millis(CAST(`{meta.time_index}` AS TIMESTAMP)) "
+                    f"BETWEEN {a} AND {b})" for a, b in ranges)
+                if cond:
+                    self.catalog.delete(name, cond)
+            else:
+                self.catalog.delete(name, "true")
+            self._refresh_table_view(name)
             return self._empty_ok()
         m = self._DESC_RE.match(stmt)
         if m:
@@ -1289,20 +1334,37 @@ class GreptimeSQL:
         m = self._SHOW_TABLES_RE.match(stmt)
         if m:
             full = bool(re.match(r"^\s*SHOW\s+FULL\s", stmt, re.IGNORECASE))
-            db = getattr(self, "_current_db", "public")
+            db = (m.group(1) or getattr(self, "_current_db", "public")).lower()
             if db == "information_schema":
                 # the system schema's fixed table inventory (reference
                 # show_databases_tables.result)
                 kinds = {n: "LOCAL TEMPORARY" for n in _INFO_SCHEMA_TABLES}
             else:
-                kinds = {n: "BASE TABLE" for n in self.catalog.list_tables()}
-                kinds["numbers"] = "LOCAL TEMPORARY"  # reference built-in table
-                for v in getattr(self, "_views", {}):
-                    kinds[v] = "VIEW"
+                known_dbs = getattr(self, "_databases", {})
+                kinds = {}
+                for n in self.catalog.list_tables():
+                    tdb = (getattr(self.catalog.meta(n), "schema_name",
+                                   "public") or "public").lower()
+                    # tables created before their schema was registered (or
+                    # under a since-dropped schema) surface in public
+                    if tdb != "public" and tdb not in known_dbs:
+                        tdb = "public"
+                    if tdb == db:
+                        kinds[n] = "BASE TABLE"
+                if db == "public":
+                    kinds["numbers"] = "LOCAL TEMPORARY"  # built-in table
+                    for v in getattr(self, "_views", {}):
+                        kinds[v] = "VIEW"
             names = sorted(kinds)
-            if m.group(1):
-                pat = "^" + m.group(1).replace("%", ".*").replace("_", ".") + "$"
+            if m.group(2):
+                pat = "^" + m.group(2).replace("%", ".*").replace("_", ".") + "$"
                 names = [n for n in names if re.match(pat, n)]
+            elif m.group(3):
+                names = [n for n in names if n == m.group(3)]
+            elif m.group(5):
+                keep_eq = m.group(4) == "="
+                names = [n for n in names
+                         if (kinds[n] == m.group(5)) == keep_eq]
             col = f"Tables_in_{db}"
             if full:
                 return self.spark.createDataFrame(
@@ -1310,10 +1372,17 @@ class GreptimeSQL:
                     f"`{col}` string, Table_type string",
                 )
             return self.spark.createDataFrame([(n,) for n in names], f"`{col}` string")
-        if self._SHOW_DB_RE.match(stmt):
+        dbm = self._SHOW_DB_RE.match(stmt)
+        if dbm:
             full = bool(re.match(r"^\s*SHOW\s+FULL\s", stmt, re.IGNORECASE))
             dbs = sorted({"greptime_private", "information_schema", "public"}
                          | set(getattr(self, "_databases", {})))
+            if dbm.group(1):
+                pat = ("^" + dbm.group(1).replace("%", ".*").replace("_", ".")
+                       + "$")
+                dbs = [d for d in dbs if re.match(pat, d)]
+            elif dbm.group(2):
+                dbs = [d for d in dbs if d == dbm.group(2)]
             if full:
                 opts_by_db = getattr(self, "_databases", {})
                 return self.spark.createDataFrame(
@@ -2515,21 +2584,25 @@ class GreptimeSQL:
         # CREATE DATABASE registers a name; `db.tbl` / `db."tbl"` references
         # lose the prefix (the physical layout is one catalog directory)
         m = re.match(
-            r"\s*(CREATE|DROP)\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?"
+            r"\s*(CREATE|DROP)\s+(?:DATABASE|SCHEMA)\s+(IF\s+(?:NOT\s+)?EXISTS\s+)?"
             r"('[^']*'|\w+)\s*(?:WITH\s*\((.*)\))?\s*;?\s*$",
             text, re.IGNORECASE | re.DOTALL,
         )
         if m:
-            dbname = m.group(2)
+            dbname = m.group(3)
             dbname = (dbname[1:-1] if dbname.startswith("'") else dbname).lower()
             if not re.fullmatch(r"[\w\-]+", dbname):
                 raise ValueError(f"Invalid database name: {dbname}")
             dbs = self._databases = dict(getattr(self, "_databases", {}))
             if m.group(1).upper() == "CREATE":
+                if dbname in dbs and not m.group(2):
+                    raise ValueError(f"Schema {dbname} already exists")
                 opts = dict(re.findall(r"['\"]?([\w.]+)['\"]?\s*=\s*'([^']*)'",
-                                       m.group(3) or ""))
+                                       m.group(4) or ""))
                 dbs[dbname] = opts
             else:
+                if dbname == getattr(self, "_current_db", "public"):
+                    raise ValueError(f"Schema `{dbname}` is in use")
                 dbs.pop(dbname, None)
                 if self.catalog is not None:
                     # dropping a database drops its tables (logical metric
@@ -3616,16 +3689,20 @@ def _balanced_paren(s: str) -> tuple[str, str]:
 
 
 def _split_columns(text: str) -> list[str]:
-    out, depth, cur = [], 0, ""
+    # paren- AND quote-aware: a DEFAULT '[1.0, 2.0]' literal carries commas
+    out, depth, cur, in_str = [], 0, "", False
     for ch in text:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            out.append(cur)
-            cur = ""
-            continue
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append(cur)
+                cur = ""
+                continue
         cur += ch
     if cur.strip():
         out.append(cur)

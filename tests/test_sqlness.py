@@ -229,15 +229,20 @@ def _norm_cell(v):
         return dt.datetime.fromisoformat(s)
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None)
-    try:
-        f = float(s)
-        if math.isnan(f):
-            return "NaN"
-        return round(f, 9)
-    except (ValueError, TypeError):
-        # ascii-table cells lose edge whitespace in the golden parser —
-        # normalize engine strings the same way (all-space reads as NULL)
-        return s.strip() or None
+    # binary cells render as long hex strings; float() would misread e.g.
+    # '0000e040...' as 0e+40 — only accept sanely-sized exponents
+    if not (isinstance(v, str)
+            and re.fullmatch(r"[+-]?\d+[eE][+-]?\d{4,}", s)):
+        try:
+            f = float(s)
+            if math.isnan(f):
+                return "NaN"
+            return round(f, 9)
+        except (ValueError, TypeError):
+            pass
+    # ascii-table cells lose edge whitespace in the golden parser —
+    # normalize engine strings the same way (all-space reads as NULL)
+    return s.strip() or None
 
 
 def _render_cell(v):
@@ -475,6 +480,11 @@ _CONFORMANCE_CASES = [
     ("alter/alter_metric_table", 10),
     ("create/create_database", 1),
     ("create/create_database_opts", 16),
+    ("truncate/truncate", 8),
+    ("catalog/schema", 10),
+    ("types/vector/vector", 10),
+    ("alter/change_col_inverted_index", 5),
+    ("partition", 6),
     ("parser/operator_precedence", 15),
     ("comment", 12),
     ("sample/basic_sample", 8),
@@ -785,7 +795,8 @@ _CONFORMANCE_CASES = [
 # - alter/alter_database, create/create_database* ARE in the battery now
 #   (round 3: database registry with option inheritance over the single
 #   physical schema; DROP DATABASE drops its tables)
-# - truncate/truncate: TRUNCATE ... FILE RANGE is SST-file-granular
+# - truncate/truncate IS in the battery now (FILE RANGE maps to a
+#   time-range delete over the time-bucketed layout)
 # - show/show_index, show/show_region, show/show_process_list:
 #   engine-internal presentation.  show/show_create and ttl/show_ttl ARE in
 #   the battery (partial statement sets).
