@@ -523,6 +523,7 @@ class Catalog:
             name,
             F.col(_phys_name(meta.time_index))
             < F.current_timestamp() - F.expr(_ttl_interval(ttl)),
+            _from_logical=True,  # engine-internal expiry, not a user DELETE
         )
 
     def compact(self, name: str) -> None:

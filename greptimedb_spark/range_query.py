@@ -81,6 +81,61 @@ class RangeAgg:
     fill: str | None = None       # None | 'NULL' | 'PREV' | 'LINEAR' | constant literal
 
 
+def _ordered_selector_sql(expr_text: str) -> str:
+    """``first_value(x ORDER BY k1 [ASC|DESC] [NULLS FIRST|LAST], ...)`` →
+    Spark column algebra (reference range special_aggr.sql; DataFusion
+    defaults: ASC → NULLS LAST, DESC → NULLS FIRST).
+
+    Lowered to ``element_at(array_sort(collect_list(struct(...)), cmp), ±1)``
+    — a single grouped pass, no per-group window."""
+    # DataFusion lowers count(DISTINCT *) to a plain per-bucket row count
+    # (special_aggr.result golden: values equal count(*), header shows
+    # count(DISTINCT Int64(1)))
+    if re.fullmatch(r"(?is)\s*count\s*\(\s*distinct\s+\*\s*\)\s*",
+                    expr_text):
+        return "count(*)"
+    m = re.match(r"(?is)^\s*(first_value|last_value)\s*\((.*)\)\s*$",
+                 expr_text.strip())
+    if not m:
+        return expr_text
+    fn, inner = m.group(1).lower(), m.group(2)
+    om = re.search(r"(?is)\bORDER\s+BY\b", inner)
+    if not om:
+        return expr_text
+    target = inner[:om.start()].strip()
+    keys = []
+    for part in _split_top_level(inner[om.end():]):
+        part = part.strip()
+        asc = not re.search(r"\bDESC\b", part, re.IGNORECASE)
+        nm = re.search(r"\bNULLS\s+(FIRST|LAST)\b", part, re.IGNORECASE)
+        nulls_first = (nm.group(1).upper() == "FIRST") if nm else not asc
+        kexpr = re.sub(r"(?i)\s+(ASC|DESC)\b", "",
+                       re.sub(r"(?i)\s+NULLS\s+(FIRST|LAST)\b", "", part)).strip()
+        keys.append((kexpr, asc, nulls_first))
+
+    fields = ", ".join(
+        [f"{k} AS __k{i}" for i, (k, _, _) in enumerate(keys)]
+        + [f"{target} AS __v"])
+
+    def cmp(i: int) -> str:
+        if i == len(keys):
+            return "0"
+        _, asc, nf = keys[i]
+        lt, gt = ("-1", "1") if asc else ("1", "-1")
+        n_a, n_b = ("-1", "1") if nf else ("1", "-1")
+        k = f"__k{i}"
+        return (f"CASE WHEN a.{k} IS NULL AND b.{k} IS NULL THEN {cmp(i + 1)} "
+                f"WHEN a.{k} IS NULL THEN {n_a} "
+                f"WHEN b.{k} IS NULL THEN {n_b} "
+                f"WHEN a.{k} < b.{k} THEN {lt} "
+                f"WHEN a.{k} > b.{k} THEN {gt} "
+                f"ELSE {cmp(i + 1)} END")
+
+    pos = 1 if fn == "first_value" else -1
+    return (f"element_at(array_sort(collect_list(struct({fields})), "
+            f"(a, b) -> {cmp(0)}), {pos}).__v")
+
+
 def range_select(
     df: DataFrame,
     time_index: str,
@@ -134,7 +189,7 @@ def range_select(
             if expr_text != alias:
                 exploded = exploded.withColumn(alias, F.expr(expr_text))
         agged = exploded.groupBy("__step", *by).agg(
-            *[F.expr(a.expr).alias(a.alias) for a in sub]
+            *[F.expr(_ordered_selector_sql(a.expr)).alias(a.alias) for a in sub]
         )
         parts.append(agged)
     out = parts[0]

@@ -487,12 +487,14 @@ def _render_colon_cast(val: str, typ: str) -> str:
         # epoch-integer::timestamp means epoch MILLISECONDS in the
         # reference dialect; Spark's bigint→timestamp cast is seconds
         return f"timestamp_millis({val})"
-    tl = typ.lower()
+    tl = re.sub(r"\s+", "", typ.lower())
     trunc = {
         "timestamp_s": "SECOND", "timestampsecond": "SECOND",
-        "timestamp_sec": "SECOND",
+        "timestamp_sec": "SECOND", "timestamp(0)": "SECOND",
         "timestamp": "MILLISECOND",  # bare TIMESTAMP = precision 3
         "timestamp_ms": "MILLISECOND", "timestampmillisecond": "MILLISECOND",
+        "timestamp(3)": "MILLISECOND",
+        "timestamp(6)": "MICROSECOND", "timestamp(9)": "MICROSECOND",
     }.get(tl)
     if trunc:
         # precision-typed casts TRUNCATE the fractional part (arrow cast)
@@ -520,7 +522,14 @@ def _rewrite_colon_cast(text: str) -> str:
             text[pos:m.start()]))
         tm = _COLON_CAST_TYPE_RE.match(text, m.end())
         if tm:
-            out.append(_render_colon_cast(m.group(0), tm.group(1)))
+            # a typed-literal prefix (TIMESTAMP '...') belongs to the operand
+            operand = m.group(0)
+            pre = out[-1] if out else ""
+            kw = re.search(r"(?i)\b(TIMESTAMP|DATE)\s*$", pre)
+            if kw and isinstance(pre, str):
+                out[-1] = pre[:kw.start()]
+                operand = kw.group(0) + operand
+            out.append(_render_colon_cast(operand, tm.group(1)))
             pos = tm.end()
         else:
             out.append(m.group(0))
@@ -811,6 +820,11 @@ class GreptimeSQL:
                             f"duplicated at index {seen_names[c[0]]} and {i}")
                     seen_names[c[0]] = i
                 cols = sorted(cols, key=lambda c: c[0])
+            if any(k.startswith("compaction.") for k in opts):
+                # CREATE-time compaction options shadow the database's and
+                # record the override marker (create_database_opts.result;
+                # options set later via ALTER TABLE don't get one)
+                opts.setdefault("compaction.override", "true")
             if (is_metric and "physical_metric_table" in opts
                     and opts.get("index.type") not in (None, "skipping", "inverted", "none")):
                 raise ValueError(
@@ -988,6 +1002,14 @@ class GreptimeSQL:
                         e = tpl.format(v=f"CAST({v} AS BIGINT)")
                     else:
                         e = f"CAST(CAST({v} AS STRING) AS TIMESTAMP)"
+                        # the declared precision truncates at storage time
+                        # (timestamp_precision.result: a timestamp(0) column
+                        # stores whole seconds)
+                        prec = _ts_precision(entry[2]) if len(entry) > 2 else None
+                        tr = {"0": "SECOND", "3": "MILLISECOND"}.get(
+                            str(prec) if prec is not None else "")
+                        if tr:
+                            e = f"date_trunc('{tr}', {e})"
                     d = _default_sql(entry)
                     if has_default_kw and d:
                         e = f"COALESCE({e}, {d})"
@@ -2334,10 +2356,6 @@ class GreptimeSQL:
                             "memtable.type", "merge_mode", "skip_wal"):
             if inherit_key not in opts and db_opts.get(inherit_key):
                 opts[inherit_key] = db_opts[inherit_key]
-        if any(k.startswith("compaction.") for k in (meta.with_opts or {})):
-            # table-level compaction options shadow the database's and
-            # render the override marker (create_database_opts.result)
-            opts.setdefault("compaction.override", "true")
         with_block = _render_with_opts(opts) if opts else ""
         text = "\n".join([body, partition, engine, with_block])
         return self.spark.createDataFrame(
@@ -2829,7 +2847,26 @@ class GreptimeSQL:
         # and the rewriter needs the full call text to balance parens
         text = _rewrite_arrow_cast(text)
         text = _rewrite_aliases(text)
-        text = _map_outside_strings(text, _rewrite_ordered_value)
+        if re.search(r"\bAS\s+VARCHAR\s*\)", text, re.IGNORECASE):
+            # bare VARCHAR casts (DataFusion) need no length in Spark: STRING
+            text = re.sub(r"\bAS\s+VARCHAR\s*\)", "AS STRING)", text,
+                          flags=re.IGNORECASE)
+        if re.search(r"\bEXTRACT\s*\(\s*(MICRO|MILLI)SECONDS\s+FROM", text,
+                     re.IGNORECASE):
+            # Postgres/DataFusion plural field = seconds-within-minute scaled
+            text = re.sub(
+                r"\bEXTRACT\s*\(\s*MICROSECONDS\s+FROM\s+([^()]+)\)",
+                r"(unix_micros(CAST(\1 AS TIMESTAMP)) % 60000000)",
+                text, flags=re.IGNORECASE)
+            text = re.sub(
+                r"\bEXTRACT\s*\(\s*MILLISECONDS\s+FROM\s+([^()]+)\)",
+                r"(unix_millis(CAST(\1 AS TIMESTAMP)) % 60000)",
+                text, flags=re.IGNORECASE)
+        if not re.search(r"\bALIGN\b", text, re.IGNORECASE):
+            # RANGE queries keep ordered selectors verbatim: the range engine
+            # lowers them null-preserving (range_query._ordered_selector_sql);
+            # min_by/max_by would silently drop null-keyed rows
+            text = _map_outside_strings(text, _rewrite_ordered_value)
         if re.search(r"\barray_agg\s*\(", text, re.IGNORECASE):
             text = _map_outside_strings(text, _rewrite_array_agg)
         if re.search(r"\bdate_(add|sub)\s*\(", text, re.IGNORECASE):
@@ -3325,7 +3362,7 @@ def _parse_col_def(item: str):
     Unquoted column names are LOWERCASED (the reference's parser does this
     for all unquoted identifiers); quoted/backticked names keep their case."""
     cm = re.match(
-        r"(\"(?:[^\"]|\"\")+\"|`[^`]+`|[\w.]+)\s+([\w]+(?:\([^)]*\))?(?:\s+UNSIGNED)?)(.*)",
+        r"(\"(?:[^\"]|\"\")+\"|`[^`]+`|[\w.]+)\s+([\w]+(?:\s*\([^)]*\))?(?:\s+UNSIGNED)?)(.*)",
         item, re.DOTALL | re.IGNORECASE,
     )
     if not cm:
@@ -3338,6 +3375,7 @@ def _parse_col_def(item: str):
     else:
         col = col.lower()
     typ = re.sub(r"\s+", " ", typ)
+    typ = re.sub(r"\s+\(", "(", typ)  # 'TIMESTAMP (9)' → 'TIMESTAMP(9)'
     dm = re.search(
         r"\bDEFAULT\s+('(?:[^']*)'|[-+]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|\w+(?:\([^)]*\))?)",
         rest, re.IGNORECASE,

@@ -64,6 +64,9 @@ _SKIP_PATTERNS = [
     r"^\s*select\s+current_time\(\)",
     # physical plan dumps are engine-specific text
     r"^\s*EXPLAIN\b",
+    # mysql-protocol transcript lines in insert/mysql_insert goldens
+    r"^\s*affected_rows:",
+    r"^\s*Failed to execute query",
 ]
 
 
@@ -124,6 +127,10 @@ def _parse_result_file(path: str):
             elif line.startswith("Error"):
                 expected = "error"
                 i += 1
+                # multi-line error bodies ("Candidate functions:" etc.)
+                # continue until a blank line
+                while i < len(lines) and lines[i].strip():
+                    i += 1
             elif line == "++":
                 expected = ([], [])
                 i += 2  # '++' twice = zero-column empty table
@@ -483,6 +490,7 @@ _CONFORMANCE_CASES = [
     ("truncate/truncate", 8),
     ("catalog/schema", 10),
     ("types/vector/vector", 10),
+    ("range/special_aggr", 12),
     ("alter/change_col_inverted_index", 5),
     ("partition", 6),
     ("parser/operator_precedence", 15),
@@ -832,6 +840,9 @@ _CONFORMANCE_CASES_KNOWN_DIFFS = [
     ("create/create_metric_table", 13, ("SHOW INDEX",)),
     ("insert/logical_metric_table", 12, (
         "SELECT ts, val, __tsid, host, job FROM phy",)),
+    # Spark timestamps are microsecond-precision: the one statement casting
+    # a TimestampNanosecond column to VARCHAR pins the 9-digit fraction
+    ("types/timestamp/timestamp_precision", 7, ("CAST(sec AS VARCHAR)",)),
     ("aggregate/approx_median", 9, (
         "approx_median(i) FROM even_test",
         "SELECT median(val), approx_median(val) FROM dup_test")),
