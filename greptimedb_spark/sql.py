@@ -508,18 +508,25 @@ def _rewrite_colon_cast(text: str) -> str:
     closing quote, and `::` sequences INSIDE literals (IPv6 addresses!) are
     never touched — a naive regex can pair the gap between two real literals
     into a phantom string and corrupt the statement."""
+    def _code(seg: str) -> str:
+        seg = _COLON_CAST_CODE_RE.sub(
+            lambda c: _render_colon_cast(c.group(1), c.group(2)), seg)
+        # complex operands (nested parens) keep Spark 4's native `::` —
+        # just normalize type spellings Spark rejects
+        seg = re.sub(r"::\s*VARCHAR\b(?!\s*\()", "::STRING", seg,
+                     flags=re.IGNORECASE)
+        seg = re.sub(r"::\s*DECIMAL\b(?!\s*\()", "::DECIMAL(38,10)", seg,
+                     flags=re.IGNORECASE)
+        return seg
+
     out = []
     pos = 0
     while True:
         m = _SQ_STRING_RE.search(text, pos)
         if not m:
-            out.append(_COLON_CAST_CODE_RE.sub(
-                lambda c: _render_colon_cast(c.group(1), c.group(2)),
-                text[pos:]))
+            out.append(_code(text[pos:]))
             break
-        out.append(_COLON_CAST_CODE_RE.sub(
-            lambda c: _render_colon_cast(c.group(1), c.group(2)),
-            text[pos:m.start()]))
+        out.append(_code(text[pos:m.start()]))
         tm = _COLON_CAST_TYPE_RE.match(text, m.end())
         if tm:
             # a typed-literal prefix (TIMESTAMP '...') belongs to the operand
@@ -627,7 +634,9 @@ def _map_type(t: str) -> str:
     if m:
         return "timestamp"
     if t.startswith("decimal"):
-        return t
+        # bare DECIMAL is Decimal128(38, 10) in DataFusion; Spark's default
+        # would be (10, 0)
+        return "decimal(38,10)" if t == "decimal" else t
     if t.startswith("vector"):
         # the reference's vector type is packed little-endian f32 bytes —
         # raw column scans print the hex form (types/vector/vector.result)
@@ -946,6 +955,12 @@ class GreptimeSQL:
             # calls; the vector coercion below re-packs the string anyway
             values_text = re.sub(r"\bparse_vec\s*\(\s*('[^']*')\s*\)", r"\1",
                                  values_text, flags=re.IGNORECASE)
+            if re.search(r"\d\s*\*\s*\d", values_text):
+                # integer-literal arithmetic evaluates in Int64 in the
+                # reference; Spark's INT literals overflow (456*456*456*456)
+                values_text = _map_outside_strings(
+                    values_text,
+                    lambda seg: re.sub(r"\b(\d+)\b(?![\dL.eE])", r"\1L", seg))
             full_cols = self._col_entries(name)
             cols = full_cols
             if col_list:

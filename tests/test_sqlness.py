@@ -491,6 +491,9 @@ _CONFORMANCE_CASES = [
     ("catalog/schema", 10),
     ("types/vector/vector", 10),
     ("range/special_aggr", 12),
+    ("types/decimal/decimal_ops", 36),
+    ("types/decimal/decimal_arithmetic", 24),
+    ("types/decimal/decimal_aggregates", 6),
     ("alter/change_col_inverted_index", 5),
     ("partition", 6),
     ("parser/operator_precedence", 15),
