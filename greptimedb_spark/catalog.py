@@ -97,6 +97,10 @@ class TableMeta:
     # physical_metric_table option without being a metric-engine table
     # (show/show_create.result phy-as-mito case)
     engine: str = "mito"
+    # ingest batch numbers sealed at each memtable flush — the SST-boundary
+    # record that drives json2 per-SST union-schema rendering (flat format);
+    # compaction collapses all sealed boundaries into the last one
+    flush_batches: list = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2)
@@ -135,8 +139,22 @@ class Catalog:
             raise ValueError(f"table {meta.name} already exists")
         if not meta.table_id:
             import uuid
+            import zlib
 
             meta.table_id = uuid.uuid4().hex
+            if getattr(meta, "on_physical", None):
+                # __table_id (crc32 of the uuid) keys this logical table's
+                # rows inside the shared physical region — a 32-bit collision
+                # with a sibling would silently merge their rows, so re-roll
+                # until unique (the reference allocates unique table ids)
+                sibling_ids = {
+                    self._logical_table_id(self.meta(t))
+                    for t in self.list_tables()
+                    if getattr(self.meta(t), "on_physical", None)
+                    == meta.on_physical
+                }
+                while zlib.crc32(meta.table_id.encode()) in sibling_ids:
+                    meta.table_id = uuid.uuid4().hex
         os.makedirs(path, exist_ok=True)
         with open(meta_path, "w") as f:
             f.write(meta.to_json())
@@ -279,6 +297,22 @@ class Catalog:
             for entry in meta.columns:
                 if entry[0] not in df.columns:
                     df = df.withColumn(entry[0], F.lit(None).cast(entry[1]))
+        # flat-format json2 columns render per-SST union schemas (reference
+        # RFC 2024-08-06-json-datatype; sqlness types/json/json2): rewrite
+        # each document against its segment's union skeleton
+        j2cols = [
+            e[0] for e in (meta.columns or [])
+            if len(e) > 2 and str(e[2]).lower() == "json2"
+            and e[0] in df.columns
+        ]
+        if j2cols and str((meta.with_opts or {}).get(
+                "sst_format", "")).strip("'\"").lower() == "flat":
+            from greptimedb_spark.functions.json2_shred import (
+                apply_sst_union_schema,
+            )
+
+            df = apply_sst_union_schema(
+                df, j2cols, getattr(meta, "flush_batches", []) or [], SEQ_COL)
         if raw or meta.append_mode:
             df = df.drop(SEQ_COL, BUCKET_COL)
         else:
@@ -508,6 +542,12 @@ class Catalog:
         At scale this deletes whole time-bucket partitions (partition-pruned
         drop), plus one boundary-bucket rewrite."""
         meta = self.meta(name)
+        # seal the memtable: record the SST boundary for json2 per-SST
+        # union-schema rendering (flat format)
+        if meta.batch_no and (not meta.flush_batches
+                              or meta.flush_batches[-1] != meta.batch_no):
+            self._update_meta(
+                name, flush_batches=meta.flush_batches + [meta.batch_no])
         ttl = self._effective_ttl(meta)
         if not ttl:
             return
@@ -535,6 +575,10 @@ class Catalog:
         """
         self.flush_table(name)
         meta = self.meta(name)
+        if meta.flush_batches:
+            # compaction merges all sealed SSTs into one segment
+            self._update_meta(name, flush_batches=[meta.flush_batches[-1]])
+            meta = self.meta(name)
         data_path = os.path.join(self._table_path(name), "data")
         if not self._has_data(data_path):
             return

@@ -94,6 +94,18 @@ def _ordered_selector_sql(expr_text: str) -> str:
     if re.fullmatch(r"(?is)\s*count\s*\(\s*distinct\s+\*\s*\)\s*",
                     expr_text):
         return "count(*)"
+    # For order-insensitive aggregates DataFusion accepts (and ignores) a
+    # within-aggregate ORDER BY — `min(val ORDER BY ts) RANGE '5s'`
+    # (reference range/nest.sql:49,59) — drop it, same no-op the non-RANGE
+    # path applies (sql._rewrite_ordered_value).
+    mi = re.match(r"(?is)^\s*(min|max|sum|avg|count)\s*\((.*)\)\s*$",
+                  expr_text.strip())
+    if mi:
+        inner = mi.group(2)
+        om = re.search(r"(?is)\bORDER\s+BY\b", inner)
+        if om and "(" not in inner[om.end():]:
+            return f"{mi.group(1)}({inner[:om.start()].strip()})"
+        return expr_text
     m = re.match(r"(?is)^\s*(first_value|last_value)\s*\((.*)\)\s*$",
                  expr_text.strip())
     if not m:

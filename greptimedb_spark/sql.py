@@ -958,9 +958,13 @@ class GreptimeSQL:
             if re.search(r"\d\s*\*\s*\d", values_text):
                 # integer-literal arithmetic evaluates in Int64 in the
                 # reference; Spark's INT literals overflow (456*456*456*456)
+                # lookbehinds keep fractional/exponent digits of float
+                # literals intact: `(2*3, 1.5)` must not become `(…, 1.5L)`
                 values_text = _map_outside_strings(
                     values_text,
-                    lambda seg: re.sub(r"\b(\d+)\b(?![\dL.eE])", r"\1L", seg))
+                    lambda seg: re.sub(
+                        r"(?<![\d.eE])(?<![eE][+-])(\d+)\b(?![\dL.eE])",
+                        r"\1L", seg))
             full_cols = self._col_entries(name)
             cols = full_cols
             if col_list:
@@ -1215,7 +1219,10 @@ class GreptimeSQL:
     )
     _DROP_VIEW_RE = re.compile(r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE)
     _SHOW_VIEWS_RE = re.compile(r"^\s*SHOW\s+VIEWS\s*$", re.IGNORECASE)
-    _ADMIN_RE = re.compile(r"^\s*ADMIN\s+(\w+)\s*\(\s*'(\w+)'\s*\)\s*$", re.IGNORECASE)
+    # compact_table takes optional strategy args: ('t', 'swcs', '3600')
+    _ADMIN_RE = re.compile(
+        r"^\s*ADMIN\s+(\w+)\s*\(\s*'(\w+)'\s*(?:,\s*'[^']*'\s*)*\)\s*$",
+        re.IGNORECASE)
     _CREATE_FLOW_RE = re.compile(
         r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FLOW\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+SINK\s+TO\s+(\w+)\s*"
         r"(?:EVAL\s+INTERVAL\s+'[^']*'\s*)?(?:EXPIRE\s+AFTER\s+('[^']*'|[\w\s]+?)\s+)?"
@@ -1286,10 +1293,14 @@ class GreptimeSQL:
             meta = self.catalog.meta(name)  # raises if missing (expected error)
             if m.group(2):
                 # TRUNCATE ... FILE RANGE (a, b), ... : the reference drops
-                # SST files fully inside the ranges; our files are
-                # time-bucketed so this maps to a time-range delete — at
-                # scale a partition-pruned drop, not a rewrite
-                ranges = re.findall(r"\(\s*(\d+)\s*,\s*(\d+)\s*\)", m.group(2))
+                # SST files FULLY CONTAINED in the ranges (rows in a file
+                # straddling a boundary survive there); our files are
+                # time-bucketed so this maps to a row-level time-range
+                # delete — a documented divergence that deletes strictly
+                # more than the reference when a file straddles a boundary.
+                # At scale this is a partition-pruned drop, not a rewrite.
+                ranges = re.findall(r"\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)",
+                                    m.group(2))
                 cond = " OR ".join(
                     f"(unix_millis(CAST(`{meta.time_index}` AS TIMESTAMP)) "
                     f"BETWEEN {a} AND {b})" for a, b in ranges)
@@ -2100,6 +2111,36 @@ class GreptimeSQL:
                 rf"\bDISTINCT\s+((?:\w+\.)?{re.escape(c)})\b(?![\w.(\[])",
                 r"DISTINCT CAST(\1 AS STRING)", text, flags=re.IGNORECASE,
             )
+            # GROUP BY on VARIANT is not orderable in Spark; the reference
+            # groups jsonb by value — group (and project) the canonical text
+            if re.search(rf"\bGROUP\s+BY\s+(?:\w+\.)?{re.escape(c)}\b(?![\w.(\[])",
+                         text, re.IGNORECASE):
+                text = re.sub(
+                    rf"\bGROUP\s+BY\s+((?:\w+\.)?{re.escape(c)})\b(?![\w.(\[])",
+                    r"GROUP BY CAST(\1 AS STRING)", text, flags=re.IGNORECASE)
+                text = re.sub(
+                    rf"\bSELECT\s+((?:\w+\.)?{re.escape(c)})\b(?![\w.(\[])",
+                    rf"SELECT CAST(\1 AS STRING) AS {c}", text,
+                    flags=re.IGNORECASE)
+        if vcols:
+            # arithmetic on a variant path coerces through a typed hint in
+            # the reference planner (json2.result:292 `json_get(j, Utf8("a.b"),
+            # Int64(NULL)) + Int64(1)` — a non-numeric value yields NULL, not
+            # a cast error); try_cast reproduces that
+            jg = r"json_get\s*\((?:[^()]|\([^()]*\))*\)"
+            text = re.sub(
+                rf"(?is)({jg})(\s*[+\-*/%]\s*)(\d+(?:\.\d+)?)",
+                lambda m: (f"try_cast({m.group(1)} AS "
+                           f"{'DOUBLE' if '.' in m.group(3) else 'BIGINT'})"
+                           f"{m.group(2)}{m.group(3)}"),
+                text,
+            )
+            text = re.sub(
+                rf"(?is)(\d+(?:\.\d+)?)(\s*[+\-*/%]\s*)({jg})",
+                lambda m: (f"{m.group(1)}{m.group(2)}try_cast({m.group(3)} AS "
+                           f"{'DOUBLE' if '.' in m.group(1) else 'BIGINT'})"),
+                text,
+            )
         return text
 
 
@@ -2893,19 +2934,29 @@ class GreptimeSQL:
             text = _rewrite_interval_literals(text)
         if "[" in text and not re.match(r"^\s*TQL\b", text, re.IGNORECASE):
             text = _map_outside_strings(text, _rewrite_bracket_arrays)
-        if ("." in text or re.search(r"\bjson_\w+\s*\(|\bDISTINCT\b", text,
-                                     re.IGNORECASE)):
+        if ("." in text or re.search(r"\bjson_\w+\s*\(|\bDISTINCT\b|\bGROUP\s+BY\b",
+                                     text, re.IGNORECASE)):
             text = self._rewrite_json2_paths(text)
         # DataFusion integer/integer division truncates; COUNT()/COUNT() and
         # SUM(CASE…1/0…END)/COUNT() are the common integer-typed shapes —
         # SUM over non-integer args must keep float division
         def _int_div(m: "re.Match[str]") -> str:
             num = m.group(1)
-            # Only integer-typed numerators truncate in DataFusion; a SUM
-            # whose CASE branches carry a float literal or float cast stays
-            # float division ('/' keeps Spark's double semantics)
+            # Only integer-typed numerators truncate in DataFusion. COUNT is
+            # always integer; for SUM(CASE…) only the THEN/ELSE *result*
+            # branches decide the type — a float literal in a WHEN predicate
+            # (`CASE WHEN price > 1.5 THEN 1 ELSE 0 END`) must not keep
+            # float division.
+            if re.match(r"(?is)\s*COUNT\b", num):
+                probe = ""
+            else:
+                body = re.sub(r"(?is)^\s*SUM\s*\(\s*", "", num).rstrip(") \t\n")
+                parts = re.findall(
+                    r"(?is)\bTHEN\b(.*?)(?=\bWHEN\b|\bELSE\b|\bEND\b)", body)
+                parts += re.findall(r"(?is)\bELSE\b(.*?)(?=\bEND\b)", body)
+                probe = " ".join(parts) if parts else num
             if re.search(r"\d\.\d|\.\d|\d\.|\b(float|double|real|decimal)\b",
-                         num, re.IGNORECASE):
+                         probe, re.IGNORECASE):
                 return m.group(0)
             return f"{num} DIV {m.group(2)}"
         text = re.sub(

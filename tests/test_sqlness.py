@@ -237,9 +237,14 @@ def _norm_cell(v):
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None)
     # binary cells render as long hex strings; float() would misread e.g.
-    # '0000e040...' as 0e+40 — only accept sanely-sized exponents
-    if not (isinstance(v, str)
-            and re.fullmatch(r"[+-]?\d+[eE][+-]?\d{4,}", s)):
+    # '0000e040' as 0e40 == 0.0, masking real mismatches between distinct
+    # blobs — skip float coercion for hex-blob-shaped strings (even-length,
+    # ≥8 chars, only [0-9a-f], at least one letter; engine/reference float
+    # renderings always carry a '.' or a signed exponent so never match)
+    hexish = (isinstance(v, str) and len(s) >= 8 and len(s) % 2 == 0
+              and re.fullmatch(r"[0-9a-f]*[a-f][0-9a-f]*", s) is not None)
+    if not hexish and not (isinstance(v, str)
+                           and re.fullmatch(r"[+-]?\d+[eE][+-]?\d{4,}", s)):
         try:
             f = float(s)
             if math.isnan(f):
@@ -462,6 +467,9 @@ _CONFORMANCE_CASES = [
     ("types/float/nan_aggregate", 11),
     ("types/decimal/decimal_cast", 7),
     ("types/json/json", 3),
+    # per-SST union-schema display (flush/compact boundary dependent) is
+    # reproduced by functions/json2_shred — the full file verifies
+    ("types/json/json2", 19),
     ("types/json/json2_cast", 13),
     ("types/json/json2_nested", 20),
     ("types/json/json2_deep_nesting", 14),
@@ -866,17 +874,6 @@ _CONFORMANCE_CASES_KNOWN_DIFFS = [
     ("types/float/ieee_floating_points", 2, ("FROM float_special",)),
     # DATE - DATE is an int day-count in DataFusion, an interval in Spark
     ("types/date/test_date", 8, ("i - DATE '1993-08-14'",)),
-    # raw json2 column display reflects the reference's per-SST union-schema
-    # null-filling (flush-boundary-dependent); extractions are exact
-    ("types/json/json2", 8, (
-        "select j from json2_table",
-        "select * from json2_table",
-        "select ts, j from (select ts, j from json2_table)",
-        "select j.a, j.a.x from json2_table",
-        "select json_get(j, '') from json2_table",
-        "select json_get(j, '.') from json2_table",
-        "select json_get(j, '$') from json2_table",
-        "select json_get(j, '$.') from json2_table")),
     # full SELECT * over the system tables pins the reference's internal
     # table-id constants and the meta-columns of every info table — only the
     # user-table surface is reproduced here
