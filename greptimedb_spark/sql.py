@@ -2601,9 +2601,62 @@ class GreptimeSQL:
         re.IGNORECASE,
     )
 
+    def _rewrite_tql_ctes(self, text: str) -> str:
+        """`WITH t AS (TQL EVAL (…) expr) SELECT …` — evaluate each TQL CTE
+        body through the TQL path, register it as a temp view, and splice
+        `SELECT * FROM view` back into the CTE (reference
+        tests/cases/standalone/common/tql/tql-cte.sql; Spark handles the CTE
+        column-alias list natively). TQL ANALYZE/EXPLAIN in a CTE is an
+        error, as in the reference."""
+        if not re.search(r"\bAS\s*\(\s*TQL\b", text, re.IGNORECASE):
+            return text
+        while True:
+            m = re.search(r"\bAS\s*\(\s*TQL\b", text, re.IGNORECASE)
+            if not m:
+                return text
+            start = text.index("(", m.start())
+            depth, i, q = 0, start, None
+            while i < len(text):
+                ch = text[i]
+                if q:
+                    if ch == q:
+                        q = None
+                elif ch in "'\"":
+                    q = ch
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i += 1
+            if depth != 0:
+                return text
+            body = text[start + 1:i]
+            if re.match(r"\s*TQL\s+(ANALYZE|EXPLAIN)\b", body, re.IGNORECASE):
+                raise ValueError(
+                    "TQL ANALYZE/EXPLAIN cannot be used inside a CTE")
+            n = getattr(self, "_tql_cte_n", 0)
+            self._tql_cte_n = n + 1
+            view = f"__tql_cte_{n}"
+            dfr = self.sql(body)
+            # the reference emits (ts, value, tags…) for function-applied
+            # vectors — the CTE alias list maps positionally, and
+            # tql-cte.result:713-721 pins that order (a bare selector keeps
+            # table order); our engine builds (ts, tags…, value)
+            pm = re.match(r"\s*TQL\s+EVAL\s*\([^)]*\)\s*(.*)$", body,
+                          re.IGNORECASE | re.DOTALL)
+            expr = (pm.group(1) if pm else "").strip()
+            if re.match(r"\w+\s*\(", expr) and len(dfr.columns) >= 3:
+                cols = dfr.columns
+                dfr = dfr.select(cols[0], cols[-1], *cols[1:-1])
+            dfr.createOrReplaceTempView(view)
+            text = text[:start + 1] + f"SELECT * FROM {view}" + text[i:]
+
     def sql(self, text: str, time_index: str = "ts") -> DataFrame:
         text = _strip_block_comments(text)
         text = _strip_line_comments(text)
+        text = self._rewrite_tql_ctes(text)
         text = _rawify_strings(text)
         text = _rewrite_offset_limit(text)
         text = _map_outside_strings(text, _rewrite_tablesample)

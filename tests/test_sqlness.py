@@ -35,13 +35,15 @@ def _ledger() -> dict:
         return json.load(f)
 
 
-def _record_ledger(case: str, checked: int, skipped: int) -> None:
+def _record_ledger(case: str, checked: int, skipped: int, errored: int,
+                   errs: list) -> None:
     import json
 
     led = _ledger()
     prior = led.get(case)
     if os.environ.get("SPARK_GRAFT_UPDATE_LEDGER"):
-        led[case] = {"checked": checked, "skipped": skipped}
+        led[case] = {"checked": checked, "skipped": skipped,
+                     "errored": errored}
         with open(_LEDGER_PATH, "w") as f:
             json.dump(dict(sorted(led.items())), f, indent=1)
             f.write("\n")
@@ -49,8 +51,13 @@ def _record_ledger(case: str, checked: int, skipped: int) -> None:
     if prior is not None:
         assert checked >= prior["checked"], (
             f"conformance regression: {case} verified {checked} statements, "
-            f"ledger has {prior['checked']} ({skipped} skipped — an exception "
-            f"may be silently demoting statements to skips)")
+            f"ledger has {prior['checked']} ({skipped} skipped, {errored} "
+            f"errored: {errs[:3]})")
+        # exception-class skips are a ratchet: any NEW statement raising
+        # (instead of being explicitly skip-listed) fails loudly here
+        assert errored <= prior.get("errored", errored), (
+            f"exception-skip regression: {case} had {errored} statements "
+            f"raise (ledger floor {prior.get('errored')}); new: {errs[:5]}")
 
 # reference-dialect fragments our shim does not translate (skipped, counted)
 _SKIP_PATTERNS = [
@@ -64,6 +71,7 @@ _SKIP_PATTERNS = [
     r"^\s*select\s+current_time\(\)",
     # physical plan dumps are engine-specific text
     r"^\s*EXPLAIN\b",
+    r"^\s*TQL\s+(ANALYZE|EXPLAIN)\b",
     # mysql-protocol transcript lines in insert/mysql_insert goldens
     r"^\s*affected_rows:",
     r"^\s*Failed to execute query",
@@ -352,7 +360,8 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
     from greptimedb_spark.sql import GreptimeSQL
 
     g = GreptimeSQL(spark, catalog=Catalog(spark, str(tmp_path / "sqlness_cat")))
-    checked = skipped = 0
+    checked = skipped = errored = 0
+    errs: list = []
     for stmt, expected, replaces in _parse_result_file(_case_path(case)):
         sleeps = [r[1] for r in replaces if r[0] == "__SLEEP__"]
         replaces = [r for r in replaces if r[0] != "__SLEEP__"]
@@ -367,8 +376,11 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
         try:
             df = g.sql(stmt)
             rows = df.collect() if expected is not None else []
-        except Exception:  # unsupported dialect/semantics → skip, count it
-            skipped += 1
+        except Exception as e:  # unsupported dialect/semantics — counted
+            # separately from pattern-skips so a new exception fails the
+            # ledger ratchet instead of silently demoting to a skip
+            errored += 1
+            errs.append((stmt.replace("\n", " ")[:80], type(e).__name__))
             continue
         if expected is None:
             continue
@@ -410,8 +422,10 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
         key = lambda r: tuple((x is None, str(x)) for x in r)
         assert sorted(got, key=key) == sorted(want, key=key), f"mismatch for: {stmt}"
         checked += 1
-    assert checked >= min_checked, f"only {checked} statements verified ({skipped} skipped)"
-    _record_ledger(case, checked, skipped)
+    assert checked >= min_checked, (
+        f"only {checked} statements verified ({skipped} skipped, "
+        f"{errored} errored: {errs[:5]})")
+    _record_ledger(case, checked, skipped, errored, errs)
     return checked, skipped
 
 
@@ -580,6 +594,7 @@ _CONFORMANCE_CASES = [
     ("tql/join", 6),
     ("tql/literal_only", 3),
     ("tql/range", 11),
+    ("tql/tql-cte", 16),
     # reference promql/ corpus (the flagship PromQL conformance surface,
     # reference src/query/src/promql/planner.rs); counts = verified statements
     ("promql/absent", 9),
@@ -824,6 +839,14 @@ _CONFORMANCE_CASES = [
 # - promql/encode_substrait: goldens are substrait/plan dumps — engine-
 #   specific text, not comparable (TQL ANALYZE statements inside the files
 #   above are skipped for the same reason)
+# tql files NOT in the battery, with reasons:
+# - tql/partition: every query is a `tql analyze` physical-plan dump
+#   (partition-pruning goldens) — engine-specific text, nothing checkable
+# - tql/general_table: its only query is a `tql analyze` dump; the rest is
+#   DDL/INSERT with no verifiable output
+# - tql/tql-cte IS in the battery (round 4: WITH t AS (TQL EVAL …) rewrite;
+#   all 16 non-EXPLAIN statements verify, incl. the positional
+#   (ts, value, tags…) alias mapping the reference pins)
 # promql/string_identifier IS in the battery and runs verbatim — all 4 TQL
 # statements (quoted "service.name" matchers/grouping, bare quoted metric,
 # hex-escaped values) verify → 31/31 non-substrait promql files
