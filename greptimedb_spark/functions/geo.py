@@ -730,12 +730,17 @@ def _h3_cells_contains(cells, cell) -> bool:
 def _h3_stub(*_args, **_kwargs):
     raise NotImplementedError(
         "H3 geometry functions (latlng_to_cell, grid_disk, cell_center_latlng"
-        ", grid_distance/path) need the H3 C library's 122-entry base-cell "
-        "geometry tables, which are data, not algorithm — they cannot be "
-        "re-derived from the public spec. pip install h3 and wrap the calls "
-        "in a pandas UDF. The index-math family (parent/children/child-pos/"
-        "contains/string) and the full S2 family are implemented above "
-        "without tables."
+        ", grid_distance/path) need the H3 library's published data tables — "
+        "the 122-entry base-cell table (home face + ijk + pentagon flags), "
+        "the 20-face center/azimuth doubles, and the 20x3x3x3 face-ijk→base "
+        "lookup. Those are data, not algorithm: they cannot be re-derived "
+        "from the spec text, this container has no network and no vendored "
+        "H3 source to copy them from, and approximating them would silently "
+        "emit wrong cell ids. On a machine with the h3 package: pip install "
+        "h3 and wrap the calls in a pandas UDF (the SQL registration points "
+        "here already). The index-math family (parent/children/child-pos/"
+        "contains/string/resolution/base/pentagon) and the full S2 family "
+        "are implemented above without tables."
     )
 
 

@@ -311,6 +311,72 @@ def register(spark) -> None:
             return any(_cmp(e, m.group(2), lit) for e in v)
         return _cmp(v, m.group(2), lit)
 
+    def _apply_hints(doc, hints_json):
+        """JSON2 typed field hints at ingest (reference RFC
+        2024-08-06-json-datatype; json2_type_hints.result): missing hinted
+        paths take their DEFAULT (NOT NULL without one errors), present
+        values must match the hinted type."""
+        if doc is None:
+            return None
+        v = _json.loads(doc)
+        checks = {
+            "bigint": lambda x: isinstance(x, int) and not isinstance(x, bool),
+            "int": lambda x: isinstance(x, int) and not isinstance(x, bool),
+            "integer": lambda x: isinstance(x, int) and not isinstance(x, bool),
+            "smallint": lambda x: isinstance(x, int) and not isinstance(x, bool),
+            "tinyint": lambda x: isinstance(x, int) and not isinstance(x, bool),
+            "double": lambda x: isinstance(x, (int, float)) and not isinstance(x, bool),
+            "float": lambda x: isinstance(x, (int, float)) and not isinstance(x, bool),
+            "real": lambda x: isinstance(x, (int, float)) and not isinstance(x, bool),
+            "string": lambda x: isinstance(x, str),
+            "text": lambda x: isinstance(x, str),
+            "varchar": lambda x: isinstance(x, str),
+            "boolean": lambda x: isinstance(x, bool),
+            "bool": lambda x: isinstance(x, bool),
+        }
+        names = {"bigint": "Int64", "int": "Int32", "integer": "Int32",
+                 "smallint": "Int16", "tinyint": "Int8", "double": "Float64",
+                 "float": "Float32", "real": "Float32", "string": "Utf8",
+                 "text": "Utf8", "varchar": "Utf8", "boolean": "Boolean",
+                 "bool": "Boolean"}
+        for path, ty, not_null, default in _json.loads(hints_json):
+            segs = path.split(".")
+            node = v
+            ok_path = isinstance(node, dict)
+            for s in segs[:-1]:
+                if not isinstance(node, dict):
+                    ok_path = False
+                    break
+                if s not in node or node[s] is None:
+                    node[s] = {}
+                node = node[s]
+            if not ok_path or not isinstance(node, dict):
+                continue
+            leaf = segs[-1]
+            cur = node.get(leaf)
+            if cur is None:
+                if default is not None and default.upper() != "NULL":
+                    if default.startswith("'"):
+                        node[leaf] = default[1:-1]
+                    elif default.upper() in ("TRUE", "FALSE"):
+                        node[leaf] = default.upper() == "TRUE"
+                    elif "." in default:
+                        node[leaf] = float(default)
+                    else:
+                        dv = int(default)
+                        node[leaf] = float(dv) if ty in (
+                            "double", "float", "real") else dv
+                elif not_null:
+                    raise ValueError(
+                        "Invalid JSON: missing non-null JSON2 type hint "
+                        f"path {path}")
+            elif not checks[ty](cur):
+                raise ValueError(
+                    f"Invalid JSON: JSON value at {path} does not match "
+                    f"JSON2 type hint {names[ty]}")
+        return _json.dumps(v, separators=(",", ":"))
+
+    spark.udf.register("gt_json2_hints", _map2(_apply_hints, "string"))
     spark.udf.register("parse_json", _map1(_parse, "string"))
     spark.udf.register("json_get_int", _map2(_get("int"), "bigint"))
     spark.udf.register("json_get_float", _map2(_get("float"), "double"))

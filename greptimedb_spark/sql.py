@@ -21,6 +21,7 @@ Supported statements:
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1044,8 +1045,17 @@ class GreptimeSQL:
                     # json2 text → parsed variant (a plain CAST would store a
                     # variant STRING scalar, not the parsed document;
                     # try_parse_json = the BUILTIN — `parse_json` is shadowed
-                    # by the jsonb-canonical-text UDF in json_fns.py)
-                    exprs.append(f"try_parse_json(CAST({v} AS STRING)) AS `{c}`")
+                    # by the jsonb-canonical-text UDF in json_fns.py).
+                    # Typed field hints apply at ingest: defaults fill,
+                    # NOT NULL and type mismatches raise.
+                    hints = (entry[6] or {}).get("json2_hints") \
+                        if len(entry) > 6 and isinstance(entry[6], dict) \
+                        else None
+                    src = f"CAST({v} AS STRING)"
+                    if hints:
+                        hj = json.dumps(hints).replace("'", "''")
+                        src = f"gt_json2_hints({src}, '{hj}')"
+                    exprs.append(f"try_parse_json({src}) AS `{c}`")
                 else:
                     d = _default_sql(entry)
                     if has_default_kw and d:
@@ -2375,7 +2385,23 @@ class GreptimeSQL:
             comment = e[5] if len(e) > 5 else None
             idx = e[6] if len(e) > 6 else None
             is_ti = c == meta.time_index
-            line = f'  "{c}" {_gt_sql_type(decl)} ' + (
+            hints = (idx or {}).get("json2_hints") \
+                if isinstance(idx, dict) else None
+            if hints:
+                # JSON2 typed-hint block renders multi-line
+                # (json2_type_hints.result SHOW CREATE golden)
+                hlines = []
+                for path, ty, h_nn, h_def in hints:
+                    qpath = ".".join(f'"{s}"' for s in path.split("."))
+                    hl = (f"    {qpath} {_gt_sql_type(ty)} "
+                          + ("NOT NULL" if h_nn else "NULL"))
+                    if h_def is not None:
+                        hl += f" DEFAULT {h_def}"
+                    hlines.append(hl)
+                type_text = "JSON2(\n" + ",\n".join(hlines) + "\n  )"
+            else:
+                type_text = _gt_sql_type(decl)
+            line = f'  "{c}" {type_text} ' + (
                 "NOT NULL" if (not_null or is_ti) else "NULL")
             if default is not None:
                 d = _canon_default(default)
@@ -3493,6 +3519,14 @@ def _parse_col_def(item: str):
         col = col[1:-1]
     else:
         col = col.lower()
+    json2_hints = None
+    hm = re.match(r"(?is)json2\s*\((.*)\)\s*$", typ)
+    if hm:
+        # JSON2 typed field hints (reference RFC 2024-08-06-json-datatype;
+        # sqlness types/json/json2_type_hints): shredded paths with a type,
+        # nullability, and default, applied at ingest
+        json2_hints = _parse_json2_hints(hm.group(1))
+        typ = "json2"
     typ = re.sub(r"\s+", " ", typ)
     typ = re.sub(r"\s+\(", "(", typ)  # 'TIMESTAMP (9)' → 'TIMESTAMP(9)'
     dm = re.search(
@@ -3514,8 +3548,63 @@ def _parse_col_def(item: str):
         idx["skipping"] = sm.group(1) or ""
     if re.search(r"\bINVERTED\s+INDEX\b", rest, re.IGNORECASE):
         idx["inverted"] = ""
+    if json2_hints is not None:
+        idx["json2_hints"] = json2_hints
     return ((col, _map_type(typ), typ.lower(), default, not_null, comment,
              idx or None), is_ti, is_pk)
+
+
+# JSON2 hint types the reference accepts (RFC 2024-08-06-json-datatype;
+# json2_type_hints.result rejects TIMESTAMP)
+_JSON2_HINT_TYPES = {
+    "bigint": "Int64", "int": "Int32", "integer": "Int32",
+    "smallint": "Int16", "tinyint": "Int8",
+    "double": "Float64", "float": "Float32", "real": "Float32",
+    "string": "Utf8", "text": "Utf8", "varchar": "Utf8",
+    "boolean": "Boolean", "bool": "Boolean",
+}
+
+
+def _parse_json2_hints(body: str) -> list:
+    """Parse `path TYPE [NOT NULL|NULL] [DEFAULT lit]` hint items; returns
+    [[path, decl_type, not_null, default_sql|None], ...]. Validates type
+    support, NOT NULL + DEFAULT NULL, and the 50-segment depth limit the
+    reference enforces at CREATE."""
+    hints = []
+    for item in body.split(","):
+        item = item.strip()
+        if not item:
+            continue
+        m = re.match(
+            r'((?:"[^"]+"|\w+)(?:\s*\.\s*(?:"[^"]+"|\w+))*)\s+(\w+)(.*)$',
+            item, re.DOTALL)
+        if not m:
+            raise ValueError(
+                f"Invalid SQL, error: cannot parse JSON2 type hint {item!r}")
+        path = ".".join(
+            s.strip().strip('"') for s in re.split(r"\.", m.group(1)))
+        depth = path.count(".") + 1
+        if depth > 50:
+            raise ValueError(
+                "Invalid SQL, error: JSON2 type hint path exceeds the "
+                f"maximum structured depth 50: {path}")
+        ty, rest = m.group(2).lower(), m.group(3) or ""
+        if ty not in _JSON2_HINT_TYPES:
+            raise ValueError(
+                "Invalid SQL, error: unsupported JSON2 type hint data "
+                f"type: {m.group(2).upper()}")
+        not_null = bool(re.search(r"\bNOT\s+NULL\b", rest, re.IGNORECASE))
+        dm = re.search(
+            r"\bDEFAULT\s+('(?:[^']*)'|[-+]?\d+(?:\.\d+)?|NULL|TRUE|FALSE)",
+            rest, re.IGNORECASE)
+        default = dm.group(1) if dm else None
+        if not_null and default is not None and default.upper() == "NULL":
+            raise ValueError(
+                f"Invalid SQL, error: invalid DEFAULT for JSON2 type hint "
+                f"'{path}': Default value should not be null for non null "
+                f"column")
+        hints.append([path, ty, not_null, default])
+    return hints
 
 
 # the system schema's fixed table inventory (reference

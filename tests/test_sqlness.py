@@ -488,6 +488,9 @@ _CONFORMANCE_CASES = [
     ("types/json/json2_nested", 20),
     ("types/json/json2_deep_nesting", 14),
     ("types/json/json2_limit", 1),
+    # typed field hints: SHOW CREATE block + default-filled extraction
+    # verify; the invalid-hint statements are error goldens
+    ("types/json/json2_type_hints", 2),
     ("types/json/jsonbench", 3),
     ("types/blob/blob", 8),
     ("ttl/database_ttl", 7),
