@@ -98,9 +98,14 @@ class TableMeta:
     # (show/show_create.result phy-as-mito case)
     engine: str = "mito"
     # ingest batch numbers sealed at each memtable flush — the SST-boundary
-    # record that drives json2 per-SST union-schema rendering (flat format);
-    # compaction collapses all sealed boundaries into the last one
+    # record that drives json2 per-SST union-schema rendering (flat format)
+    # and skip-wal restart loss; compaction collapses all sealed boundaries
+    # into the last one
     flush_batches: list = field(default_factory=list)
+    # batch counter value when skip_wal was first enabled: rows ingested
+    # after this and never flushed are lost on restart (reference skip_wal
+    # option; sqlness common/skip_wal pins the post-ALTER loss too)
+    skip_wal_since: int | None = None
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2)

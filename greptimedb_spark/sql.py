@@ -72,6 +72,31 @@ _TQL_NOARGS_RE = re.compile(
 )
 
 
+_SUBUS_CMP_RE = re.compile(
+    r"(>=?)\s*'(\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2})\.(\d{7,9})'")
+
+
+def _bump_subus_literals(text: str) -> str:
+    """`ts >= '…00.000000195'` against a ≤µs column: Spark truncates the
+    literal to µs, wrongly including rows in [truncated, literal). The
+    reference compares at full ns precision (ts_precision_comparison.sql
+    issue #8214 regression) — bump the literal to the next µs, which is
+    exactly equivalent for any column of µs-or-coarser precision."""
+    def repl(m: re.Match) -> str:
+        frac = m.group(3)
+        if int(frac[6:] or "0") == 0:
+            return m.group(0)
+        import datetime as _dt
+
+        base = _dt.datetime.fromisoformat(
+            m.group(2).replace("T", " ")) + _dt.timedelta(
+                microseconds=int(frac[:6]) + 1)
+        return (f"{m.group(1)} '{base.strftime('%Y-%m-%d %H:%M:%S')}"
+                f".{base.microsecond:06d}'")
+
+    return _SUBUS_CMP_RE.sub(repl, text)
+
+
 def _strip_block_comments(text: str) -> str:
     """Remove `/* ... */` block comments outside string literals."""
     out, i, q, n = [], 0, None, len(text)
@@ -898,6 +923,8 @@ class GreptimeSQL:
                 schema_name=getattr(self, "_current_db", "public"),
                 on_physical=phys or None,
                 engine="metric" if is_metric else "mito",
+                skip_wal_since=0 if str(opts.get("skip_wal", "")
+                                        ).lower() == "true" else None,
             )
             self.catalog.create_table(meta, if_not_exists="IF NOT EXISTS" in text.upper())
             if phys:
@@ -2369,6 +2396,27 @@ class GreptimeSQL:
             "error_count bigint, start_time timestamp, last_update timestamp",
         )
 
+    def simulate_restart(self) -> None:
+        """Emulate a node restart (sqlness `-- SQLNESS ARG restart=true`):
+        tables that ever enabled skip_wal lose rows ingested after
+        max(skip_wal_since, last flush) — the WAL has nothing to replay for
+        them (reference skip_wal option; sqlness common/skip_wal). All other
+        tables recover fully, so restart is a no-op for them."""
+        from greptimedb_spark.catalog import SEQ_COL
+
+        for t in self.catalog.list_tables():
+            meta = self.catalog.meta(t)
+            since = getattr(meta, "skip_wal_since", None)
+            if since is None:
+                continue
+            floor = max(since, meta.flush_batches[-1]
+                        if meta.flush_batches else 0)
+            self.catalog.delete(
+                t, F.col(SEQ_COL) >= F.lit((floor + 1) << 33),
+                _from_logical=True)
+            self._refresh_table_view(t)
+        self._refresh_views()
+
     def _show_create_table(self, name: str):
         """Render the reference's SHOW CREATE TABLE output (reference
         src/sql/src/statements/create.rs Display impl; goldens
@@ -2587,6 +2635,14 @@ class GreptimeSQL:
             elif key == "merge_mode":
                 self.catalog._update_meta(name, merge_mode=val or "last_row")
                 self.catalog.read(name).createOrReplaceTempView(name)
+            elif key == "skip_wal" and (val or "").lower() == "true":
+                m0 = self.catalog.meta(name)
+                if getattr(m0, "skip_wal_since", None) is None:
+                    # rows from here on bypass the WAL; a restart before the
+                    # next flush loses them (reference skip_wal semantics —
+                    # the loss persists even after UNSET, skip_wal.result)
+                    self.catalog._update_meta(
+                        name, skip_wal_since=m0.batch_no)
             # every SET lands in with_opts so SHOW CREATE TABLE reflects it;
             # other storage options (compaction.*, sst_format) are physical-
             # layout hints with no Spark analog beyond that
@@ -2685,6 +2741,8 @@ class GreptimeSQL:
         text = self._rewrite_tql_ctes(text)
         text = _rawify_strings(text)
         text = _rewrite_offset_limit(text)
+        if ">" in text:
+            text = _bump_subus_literals(text)
         text = _map_outside_strings(text, _rewrite_tablesample)
         text = _rewrite_literal_int_division(text)
         if re.search(r"\bINTERVAL\b\s*'|'\s*::\s*INTERVAL\b", text, re.IGNORECASE):

@@ -102,6 +102,9 @@ def _parse_result_file(path: str):
             m = _SLEEP_DIRECTIVE.match(l.strip())
             if m:
                 pending.append(("__SLEEP__", int(m.group(1))))
+            if re.match(r"--\s*SQLNESS\s+ARG\s+restart=true", l.strip(),
+                        re.IGNORECASE):
+                pending.append(("__RESTART__", 1))
             continue
         if pending and l.strip():
             directives[len(lines)] = pending
@@ -364,7 +367,12 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
     errs: list = []
     for stmt, expected, replaces in _parse_result_file(_case_path(case)):
         sleeps = [r[1] for r in replaces if r[0] == "__SLEEP__"]
-        replaces = [r for r in replaces if r[0] != "__SLEEP__"]
+        restart = any(r[0] == "__RESTART__" for r in replaces)
+        replaces = [r for r in replaces
+                    if r[0] not in ("__SLEEP__", "__RESTART__")]
+        if restart:
+            # node-restart emulation: skip-wal tables lose unflushed rows
+            g.simulate_restart()
         if any(k in stmt for k in known_diffs):
             skipped += 1
             continue
@@ -777,6 +785,9 @@ _CONFORMANCE_CASES = [
     ("overflow/integer_overflow", 6),
     ("parser/parser", 2),
     ("range/nest", 3),
+    # skip_wal: restart emulation drops unflushed rows of skip-wal tables
+    # (simulate_restart; loss window starts at first skip_wal enable)
+    ("skip_wal", 7),
     ("select/flush_append_only", 4),
     ("select/like", 1),
     ("select/projection_names", 5),
@@ -880,6 +891,14 @@ _CONFORMANCE_CASES_KNOWN_DIFFS = [
     # Spark timestamps are microsecond-precision: the one statement casting
     # a TimestampNanosecond column to VARCHAR pins the 9-digit fraction
     ("types/timestamp/timestamp_precision", 7, ("CAST(sec AS VARCHAR)",)),
+    # same µs limit: the ts_ns_bug rows at …00.000000195 vs …00.000000000
+    # truncate to the same µs instant, so ns-boundary predicates on that
+    # table cannot distinguish them (the ms/µs/s tables + the ns-literal
+    # bump rewrite verify; 27 statements checked)
+    ("types/timestamp/ts_precision_comparison", 26, (
+        "ts_ns_bug WHERE ts <= '2026-06-02 03:50:00' ORDER BY ts",
+        "ts_ns_bug WHERE ts = '2026-06-02 03:50:00.000000195'",
+        "ts_ns_bug WHERE ts > '2026-06-02 03:50:00' ORDER BY ts")),
     ("aggregate/approx_median", 9, (
         "approx_median(i) FROM even_test",
         "SELECT median(val), approx_median(val) FROM dup_test")),

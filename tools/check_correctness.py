@@ -82,6 +82,7 @@ def main() -> int:
     qs = ent.queries()
     oracles = ent.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
             continue
@@ -90,13 +91,20 @@ def main() -> int:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
-        except Exception:
+        except Exception as e:
             print(f"FAIL  {name}: spark error")
             traceback.print_exc()
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None,
+                             "err": f"spark:{type(e).__name__}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (rows-only, {time.time()-t0:.1f}s)")
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(srows),
+                             "oracle_rows": None, "err": "no_oracle"}
             n_rows_only += 1
             continue
         try:
@@ -129,6 +137,14 @@ def main() -> int:
                         problems.append(f"  spark={x}")
                         problems.append(f"  duck ={y}")
                         break
+        rows_ok = len(srows) == len(orows)
+        schema_ok = sorted(c.lower() for c in scols) == sorted(ocols)
+        results[name] = {
+            "rows_match": rows_ok, "schema_match": schema_ok,
+            "hash_match": not problems, "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": "; ".join(problems[:2]) or None,
+        }
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems[:4]))
             n_fail += 1
@@ -136,6 +152,13 @@ def main() -> int:
             print(f"ok    {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} failed")
+    out_path = os.environ.get("SPARK_GRAFT_OUT")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+            f.write("\n")
     return 1 if n_fail else 0
 
 
