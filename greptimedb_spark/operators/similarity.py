@@ -227,3 +227,92 @@ def brute_force_neardup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-flat ANN: Voronoi-partition the corpus around ``n_centroids``
+    centroids (deterministic hash-sampled init + ``iters`` Lloyd
+    refinements, all DataFrame ops — the centroid table never leaves the
+    cluster, it is broadcast as a 64-row relation); each query probes only
+    its ``n_probe`` nearest cells.
+
+    Scale shape: at 100 TB the cell id is the stored index — one int per
+    row, usable as a partition/bucket key so a query scans
+    n_probe/n_centroids of the corpus; the inline rebuild here stands in
+    for that one-time index build. Reference analog: the per-SST vector
+    index (src/index/src/vector.rs, RFC docs/rfcs/2025-12-05-vector-index.md).
+    Returns (query_id, vec_id, sim, rank) like brute_force_topk; with
+    n_probe == n_centroids the result is exact."""
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+
+    # deterministic init: the n_centroids corpus vectors with the smallest
+    # id-hash (TakeOrdered — no full sort); row_number runs on ≤64 rows
+    sample = c.orderBy(F.xxhash64(F.col("cid").cast("string"))).limit(n_centroids)
+    cent = sample.select(
+        (F.row_number().over(Window.orderBy("cid")) - 1).alias("centroid_id"),
+        F.col("cv").alias("cvec"),
+    )
+
+    def assign(df: DataFrame) -> DataFrame:
+        """Nearest centroid per corpus row: broadcast the centroid relation,
+        one shuffle on the row id (max_by hash aggregate, no window sort)."""
+        scored = df.crossJoin(broadcast(cent)).select(
+            "cid", "cv", "centroid_id",
+            cosine_similarity(F.col("cv"), F.col("cvec")).alias("csim"),
+        )
+        return scored.groupBy("cid").agg(
+            F.max_by("centroid_id", "csim").alias("centroid_id"),
+            F.first("cv").alias("cv"),
+        )
+
+    for _ in range(max(0, iters)):
+        assigned = assign(c)
+        # Lloyd step: elementwise mean per cell — (cell, pos) partial-agg
+        # then re-pack; both aggregates are map-side combinable
+        cent = (
+            assigned.select("centroid_id", F.posexplode("cv").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+        )
+    corpus_cells = assign(c)
+
+    # each query probes its n_probe nearest cells (query set is small and
+    # broadcast throughout — the rank window shuffles queries only)
+    q = queries.select(F.col(query_id_col).alias("qid"),
+                       F.col(query_vec_col).alias("qv"))
+    qscored = q.crossJoin(broadcast(cent)).select(
+        "qid", "qv", "centroid_id",
+        cosine_similarity(F.col("qv"), F.col("cvec")).alias("csim"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    probes = (
+        qscored.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("qid", "qv", "centroid_id")
+    )
+
+    cand = corpus_cells.join(broadcast(probes), "centroid_id").select(
+        F.col("qid").alias(query_id_col),
+        F.col("cid").alias(id_col),
+        F.round(cosine_similarity(F.col("cv"), F.col("qv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

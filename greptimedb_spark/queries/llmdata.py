@@ -118,6 +118,20 @@ def q55_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return sim.lsh_topk(e, queries, dim=64, k=5, n_planes=4, n_tables=20)
 
 
+# -- q57: IVF-flat ANN (centroid-bucketed scale path → rows-only) ------------------
+# Probing every cell (n_probe == n_centroids) makes IVF exhaustive, so the
+# pytest equality test pins it against brute force; the registry entry runs
+# the honest partial-probe configuration (recall test covers it).
+
+def q57_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    e = read(spark, sf, "embeddings")
+    queries = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    return sim.ivf_topk(e, queries, k=5, n_centroids=16, n_probe=8, iters=1)
+
+
 # -- q56: embedding near-dup pairs via the LSH production path (oracled) ------------
 # The DuckDB oracle is the exact all-pairs scan, so this also asserts the LSH
 # path's recall = 1.0 on the gate data (deterministic hyperplanes: 3 planes ×
@@ -152,5 +166,6 @@ QUERIES = {
     "q53_simhash": QuerySpec(q53_simhash, None, "SimHash near-dup (rows-only)"),
     "q54_ann_bruteforce": QuerySpec(q54_ann_bruteforce, Q54_SQL, "exact cosine top-k"),
     "q55_ann_lsh": QuerySpec(q55_ann_lsh, None, "LSH-bucketed ANN (rows-only)"),
+    "q57_ann_ivf": QuerySpec(q57_ann_ivf, None, "IVF-flat ANN (rows-only)"),
     "q56_embedding_neardup": QuerySpec(q56_embedding_neardup, Q56_SQL, "cosine near-dup pairs"),
 }

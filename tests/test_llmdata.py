@@ -93,6 +93,40 @@ def test_lsh_topk_recall(spark, sf_dir):
         assert (q, q) in ap
 
 
+def test_ivf_topk_exhaustive_equals_bruteforce(spark, sf_dir):
+    """Probing every cell makes IVF exact — it must reproduce the
+    brute-force top-k verbatim (same ranking tie-break)."""
+    from greptimedb_spark.queries import read
+
+    e = read(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = sim.brute_force_topk(e, queries, k=5)
+    ivf = sim.ivf_topk(e, queries, k=5, n_centroids=8, n_probe=8, iters=1)
+    ex = {(r.query_id, r.vec_id, r.rank) for r in exact.collect()}
+    iv = {(r.query_id, r.vec_id, r.rank) for r in ivf.collect()}
+    assert ex == iv
+
+
+def test_ivf_topk_partial_probe_recall(spark, sf_dir):
+    from greptimedb_spark.queries import read
+
+    e = read(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = sim.brute_force_topk(e, queries, k=5)
+    ivf = sim.ivf_topk(e, queries, k=5, n_centroids=16, n_probe=8, iters=1)
+    ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+    iv = {(r.query_id, r.vec_id) for r in ivf.collect()}
+    recall = len(ex & iv) / len(ex)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # the query's own cell is always probed first, so self-match survives
+    for q in {r.query_id for r in exact.collect()}:
+        assert (q, q) in iv
+
+
 def test_brute_force_topk_selfmatch(spark, sf_dir):
     from greptimedb_spark.queries import read
 
