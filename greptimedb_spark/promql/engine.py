@@ -58,6 +58,11 @@ class VectorResult:
     df: DataFrame  # (__t long, *labels, value double)
     labels: list[str]
     is_scalar: bool = False  # scalar()/time() results: one value per step, no labels
+    # pi() is inlined by the reference planner as a per-row SQL scalar: a
+    # binop with a vector projects ONLY (ts, value), dropping the vector's
+    # tags (promql/math.result `angles.val * .pi()` golden) — unlike
+    # scalar(), whose binop keeps the vector side's labels
+    inline_scalar: bool = False
 
 
 @dataclass
@@ -708,6 +713,13 @@ class PromQLEngine:
         "abs": F.abs, "ceil": F.ceil, "floor": F.floor, "exp": F.exp,
         "ln": F.log, "log2": F.log2, "log10": F.log10, "sqrt": F.sqrt,
         "sgn": F.signum,
+        # Prometheus trig family (promql/math.sql): rad/deg convert, the
+        # rest map 1:1 onto Spark's double math
+        "rad": F.radians, "deg": F.degrees,
+        "sin": F.sin, "cos": F.cos, "tan": F.tan,
+        "asin": F.asin, "acos": F.acos, "atan": F.atan,
+        "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+        "asinh": F.asinh, "acosh": F.acosh, "atanh": F.atanh,
     }
 
     _TIME_COMPONENT_FNS = {
@@ -791,6 +803,11 @@ class PromQLEngine:
             return VectorResult(
                 self._grid(ctx).withColumn("value", F.col("__t") / 1000.0), [],
                 is_scalar=True,
+            )
+        if fn == "pi":
+            return VectorResult(
+                self._grid(ctx).withColumn("value", F.lit(math.pi)), [],
+                is_scalar=True, inline_scalar=True,
             )
         if fn in self._TIME_COMPONENT_FNS:
             # Prometheus time-component family: arg defaults to vector(time());
@@ -1096,6 +1113,10 @@ class PromQLEngine:
                     out = j.filter(cond)  # keeps the vector side's value
             else:
                 out = j.withColumn("value", self._arith_col(op, a, b))
+            if getattr(s, "inline_scalar", False):
+                # pi()-style inlined scalar: the reference projects only
+                # (ts, value), dropping the vector side's tags
+                return VectorResult(out.select("__t", "value"), [])
             return VectorResult(out.select("__t", *v.labels, "value"), v.labels)
 
         return self._vector_binary(node, lhs, rhs)

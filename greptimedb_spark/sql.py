@@ -72,6 +72,24 @@ _TQL_NOARGS_RE = re.compile(
 )
 
 
+_STRING_AGG_ORDER_RE = re.compile(
+    r"\bSTRING_AGG\s*\(\s*(DISTINCT\s+)?([^,()]+?)\s*,\s*('(?:[^']*)')"
+    r"\s+ORDER\s+BY\s+([^()]+?)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_string_agg_order(text: str) -> str:
+    """DataFusion's within-aggregate ordering `STRING_AGG(x, ',' ORDER BY k)`
+    → Spark's `listagg(x, ',') WITHIN GROUP (ORDER BY k)` (same semantics,
+    single grouped pass; aggregate/string_agg goldens)."""
+    return _STRING_AGG_ORDER_RE.sub(
+        lambda m: (f"listagg({m.group(1) or ''}{m.group(2)}, {m.group(3)}) "
+                   f"WITHIN GROUP (ORDER BY {m.group(4)})"),
+        text,
+    )
+
+
 _SUBUS_CMP_RE = re.compile(
     r"(>=?)\s*'(\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2})\.(\d{7,9})'")
 
@@ -485,7 +503,11 @@ def _rewrite_aliases(text: str) -> str:
 
 
 _COLON_CAST_CODE_RE = re.compile(
-    r"(\b\w+(?:\([^()']*\))?)\s*::\s*(\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+    # the lookbehinds keep a chained cast's TYPE from being read as an
+    # operand: `(-300)::SMALLINT::DECIMAL(3,0)` must not rewrite
+    # `SMALLINT::DECIMAL(…)` (decimal_cast.sql chains)
+    r"(?<!:)(?<!:\s)((?<![\w.])\d+\.\d+|\b\w+(?:\([^()']*\))?)\s*::\s*"
+    r"(\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
 )
 _COLON_CAST_TYPE_RE = re.compile(r"\s*::\s*(\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)")
 
@@ -1251,7 +1273,8 @@ class GreptimeSQL:
         r"(?:LIKE\s+'([^']*)'|WHERE\s+Database\s*=\s*'([^']*)')?\s*$",
         re.IGNORECASE)
     _CREATE_VIEW_RE = re.compile(
-        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(.*)$",
+        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"(\w+)\s*(?:\(([^)]*)\)\s*)?AS\s+(.*)$",
         re.IGNORECASE | re.DOTALL,
     )
     _DROP_VIEW_RE = re.compile(r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE)
@@ -1374,10 +1397,17 @@ class GreptimeSQL:
             if m.group(1) not in views:
                 raise ValueError(f"view {m.group(1)} does not exist")
             body = _upper_keywords(views[m.group(1)].strip().rstrip(";"))
+            # the reference re-renders through sqlparser, which spaces
+            # binary operators (`n+1` → `n + 1`)
+            body = _map_outside_strings(
+                body,
+                lambda s: re.sub(r"(\w)\s*([+\-*/])\s*(\w)", r"\1 \2 \3", s))
             prefix = getattr(self, "_view_prefix", {}).get(
                 m.group(1), "CREATE VIEW")
+            cols = getattr(self, "_view_cols", {}).get(m.group(1))
+            col_part = f" ({', '.join(cols)})" if cols else ""
             return self.spark.createDataFrame(
-                [(m.group(1), f"{prefix} {m.group(1)} AS {body}")],
+                [(m.group(1), f"{prefix} {m.group(1)}{col_part} AS {body}")],
                 "`View` string, `Create View` string",
             )
         m = re.match(
@@ -1413,9 +1443,14 @@ class GreptimeSQL:
             return self._empty_ok()
         m = self._ALTER_RE.match(stmt_q)
         if m:
-            return self._alter(
+            out = self._alter(
                 self._resolve_table(_ident_case(m.group(1))), m.group(2).strip()
             )
+            # ALTER may rewrite the table's files (defaulted ADD COLUMN
+            # backfill, type changes) — registered views hold the old file
+            # listing in their captured plans (view/columns.sql)
+            self._refresh_views()
+            return out
         m = self._SHOW_TABLES_RE.match(stmt)
         if m:
             full = bool(re.match(r"^\s*SHOW\s+FULL\s", stmt, re.IGNORECASE))
@@ -1560,7 +1595,7 @@ class GreptimeSQL:
             return df
         m = self._CREATE_VIEW_RE.match(stmt)
         if m:
-            name, query = m.groups()
+            name, col_list, query = m.groups()
             replace = re.match(r"^\s*CREATE\s+OR\s+REPLACE", stmt, re.IGNORECASE)
             self._views = getattr(self, "_views", {})
             if self._table_exists(name):
@@ -1570,13 +1605,30 @@ class GreptimeSQL:
                     return self._empty_ok()  # keep the existing definition
                 raise ValueError(f"view {name} already exists")
             df = self.sql(query)
+            cols = [c.strip().strip('"`') for c in col_list.split(",")] \
+                if col_list else None
+            if cols:
+                # positional column aliases (reference view/columns.sql):
+                # the list must cover every query column
+                if len(cols) != len(df.columns):
+                    raise ValueError(
+                        f"Expect {len(df.columns)} columns for view {name}, "
+                        f"but found {len(cols)}")
+                df = df.toDF(*cols)
             df.createOrReplaceTempView(name)
             self._views[name] = query
+            self._view_cols = getattr(self, "_view_cols", {})
+            if cols:
+                self._view_cols[name] = cols
+            else:
+                self._view_cols.pop(name, None)
             self._view_schemas = getattr(self, "_view_schemas", {})
             self._view_schemas[name] = getattr(self, "_current_db", "public")
             self._view_prefix = getattr(self, "_view_prefix", {})
-            self._view_prefix[name] = ("CREATE OR REPLACE VIEW" if replace
-                                       else "CREATE VIEW")
+            self._view_prefix[name] = (
+                "CREATE OR REPLACE VIEW" if replace
+                else "CREATE VIEW IF NOT EXISTS"
+                if "IF NOT EXISTS" in stmt.upper() else "CREATE VIEW")
             return self._empty_ok()
         m = self._DROP_VIEW_RE.match(stmt)
         if m:
@@ -2195,7 +2247,11 @@ class GreptimeSQL:
         later inserts stay invisible until the view is re-registered."""
         for vn, vq in getattr(self, "_views", {}).items():
             try:
-                self.sql(vq).createOrReplaceTempView(vn)
+                vdf = self.sql(vq)
+                cols = getattr(self, "_view_cols", {}).get(vn)
+                if cols and len(cols) == len(vdf.columns):
+                    vdf = vdf.toDF(*cols)
+                vdf.createOrReplaceTempView(vn)
             except Exception:
                 pass
 
@@ -2743,6 +2799,8 @@ class GreptimeSQL:
         text = _rewrite_offset_limit(text)
         if ">" in text:
             text = _bump_subus_literals(text)
+        if re.search(r"\bSTRING_AGG\s*\(", text, re.IGNORECASE):
+            text = _rewrite_string_agg_order(text)
         text = _map_outside_strings(text, _rewrite_tablesample)
         text = _rewrite_literal_int_division(text)
         if re.search(r"\bINTERVAL\b\s*'|'\s*::\s*INTERVAL\b", text, re.IGNORECASE):
