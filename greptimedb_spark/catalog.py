@@ -481,7 +481,10 @@ class Catalog:
         if os.path.exists(self._table_path(new)):
             raise ValueError(f"table {new} already exists")
         shutil.move(self._table_path(old), self._table_path(new))
-        self._update_meta(new, name=new)
+        meta = self.meta(new)
+        meta.name = new
+        with open(os.path.join(self._table_path(new), _META_FILE), "w") as f:
+            f.write(meta.to_json())
 
     def delete(self, name: str, predicate, _from_logical: bool = False) -> int:
         """DELETE FROM t WHERE predicate — copy-on-write rewrite.

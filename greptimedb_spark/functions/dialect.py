@@ -131,6 +131,12 @@ def register(spark) -> None:
     )
     # DataFusion to_unixtime: accepts ISO-8601 with 'Z'/offset suffixes,
     # bare dates, surrounding whitespace, and numeric epoch passthrough
+    # 2-arg regexp_extract = whole-match (group 0) in DataFusion
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gt_regexp_extract0"
+        "(s STRING, p STRING) RETURNS STRING "
+        "RETURN regexp_extract(s, p, 0)"
+    )
     # (reference datafusion to_unixtime; select/dummy.sql goldens)
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION gt_to_unixtime(x STRING) "

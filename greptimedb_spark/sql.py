@@ -57,8 +57,9 @@ _ALIASES = {
 }
 
 _ATAT_RE = re.compile(
-    r"((?:'[^']*')|(?:`[^`]+`)|(?:\"[^\"]+\")|[\w.]+)\s*@@\s*"
-    r"((?:'[^']*')|(?:`[^`]+`)|(?:\"[^\"]+\")|[\w.]+)"
+    # LHS/RHS: string / quoted ident / fn-call over simple args / bare ident
+    r"((?:'[^']*')|(?:`[^`]+`)|(?:\"[^\"]+\")|(?:\w+\((?:[^()']|'[^']*'|`[^`]+`)*\))|[\w.]+)\s*@@\s*"
+    r"((?:'[^']*')|(?:`[^`]+`)|(?:\"[^\"]+\")|(?:\w+\((?:[^()']|'[^']*'|`[^`]+`)*\))|[\w.]+)"
 )
 _TQL_RE = re.compile(
     r"^\s*TQL\s+EVAL\s*\(\s*([^,]+)\s*,\s*([^,]+)\s*,\s*([^,)]+)\s*"
@@ -88,6 +89,59 @@ def _rewrite_string_agg_order(text: str) -> str:
                    f"WITHIN GROUP (ORDER BY {m.group(4)})"),
         text,
     )
+
+
+_INT_OVERFLOW_RE = re.compile(
+    r"^\s*SELECT\s+\(?\s*(-?\d+)\s*\)?\s*::\s*"
+    r"(TINYINT|SMALLINT|INTEGER|INT|BIGINT)\s*([+\-*])\s*\(?\s*(-?\d+)\s*\)?"
+    r"\s*::\s*\2\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _fold_int_overflow(text: str) -> str:
+    """DataFusion wraps on narrow-integer overflow (two's complement:
+    `100::TINYINT + 50::TINYINT` → -106, overflow/integer_overflow.result);
+    Spark's ANSI arithmetic raises. Literal-only narrow arithmetic folds
+    driver-side with wrap semantics."""
+    m = _INT_OVERFLOW_RE.match(text)
+    if not m:
+        return text
+    a, ty, op, b = int(m.group(1)), m.group(2).upper(), m.group(3), int(m.group(4))
+    bits = {"TINYINT": 8, "SMALLINT": 16, "INT": 32, "INTEGER": 32,
+            "BIGINT": 64}[ty]
+    r = {"+": a + b, "-": a - b, "*": a * b}[op]
+    half = 1 << (bits - 1)
+    r = ((r + half) % (1 << bits)) - half
+    sty = "INT" if ty == "INTEGER" else ty
+    return f"SELECT CAST({r} AS {sty})"
+
+
+_PG_REGEX_OP_RE = re.compile(r"(?<![=<>~!])(!?)~(\*?)\s*$")
+
+
+def _rewrite_pg_regex_ops(text: str) -> str:
+    """Postgres regex-match operators (function/string/regex.sql):
+    `s ~ 'p'` → RLIKE, `!~` → NOT RLIKE, `~*`/`!~*` case-insensitive.
+    Only an operator DIRECTLY preceding a string literal rewrites, so
+    PromQL's `=~`/`!~` inside single-quoted matchers is never touched."""
+    out = []
+    pos = 0
+    for sm in _SQ_STRING_RE.finditer(text):
+        seg = text[pos:sm.start()]
+        lit = sm.group(0)
+        om = _PG_REGEX_OP_RE.search(seg)
+        if om:
+            neg = "NOT " if om.group(1) else ""
+            pre = seg[:om.start()] + f" {neg}RLIKE "
+            if om.group(2):
+                lit = "'(?i)" + lit[1:]
+            out.append(pre + lit)
+        else:
+            out.append(seg + lit)
+        pos = sm.end()
+    out.append(text[pos:])
+    return "".join(out)
 
 
 _SUBUS_CMP_RE = re.compile(
@@ -2163,6 +2217,45 @@ class GreptimeSQL:
         except Exception:
             return False
 
+    def _rewrite_ts_int_cmp(self, text: str) -> str:
+        """Comparing a timestamp column to an integer literal treats the
+        literal as an epoch in the column's declared precision (DataFusion
+        coercion; expr/atat.sql `WHERE id <= 6` on a TIMESTAMP time index).
+        Spark rejects the mixed-type comparison — rewrite the literal."""
+        if self.catalog is None:
+            return text
+        to_ts = {"s": "timestamp_seconds({v})", "ms": "timestamp_millis({v})",
+                 "us": "timestamp_micros({v})",
+                 "ns": "timestamp_micros(CAST({v} / 1000 AS BIGINT))"}
+        for t in self.catalog.list_tables():
+            if not re.search(rf"\b{re.escape(t)}\b", text):
+                continue
+            for e in self._col_entries(t):
+                if len(e) < 2 or e[1] != "timestamp":
+                    continue
+                tpl = to_ts[_ts_unit(e[2] if len(e) > 2 else "timestamp")]
+                c = re.escape(e[0])
+
+                def repl(m: "re.Match[str]") -> str:
+                    return (f"{m.group(1)} {m.group(2)} "
+                            + tpl.format(v=m.group(3)))
+
+                text = _map_outside_strings(text, lambda seg: re.sub(
+                    rf"((?:\w+\.)?`?{c}`?)\s*(<=|>=|!=|<>|=|<|>)\s*"
+                    rf"(-?\d+)\b(?!\s*[\d.eE])",
+                    repl, seg))
+
+                def repl_between(m: "re.Match[str]") -> str:
+                    return (f"{m.group(1)} BETWEEN "
+                            + tpl.format(v=m.group(2)) + " AND "
+                            + tpl.format(v=m.group(3)))
+
+                text = _map_outside_strings(text, lambda seg: re.sub(
+                    rf"((?:\w+\.)?`?{c}`?)\s+BETWEEN\s+(-?\d+)\s+AND\s+"
+                    rf"(-?\d+)\b(?!\s*[\d.eE])",
+                    repl_between, seg, flags=re.IGNORECASE))
+        return text
+
     def _rewrite_json2_paths(self, text: str) -> str:
         """Dot-path access on json2 (variant) columns — `j.a.b`,
         `tbl.j.a.b`, `j.d[0].e.f` — lowers to json_get(j, 'path') exactly
@@ -2177,7 +2270,37 @@ class GreptimeSQL:
             for e in self._col_entries(t):
                 if len(e) > 2 and str(e[2]).lower() == "json2":
                     vcols.append(e[0])
+        def _vg_path(p: str) -> str:
+            if not p or p in (".", "$", "$."):
+                return "$"
+            return "$" + p if p.startswith("[") else "$." + p
+
         for c in set(vcols):
+            # typed extraction: `json_get(j, 'p')::TYPE` / `j.p::TYPE` →
+            # try_variant_get — Spark's variant typed-get reproduces the
+            # RFC shredding-cast exactly (3.14::BIGINT → 3, 42::BOOLEAN →
+            # true, '42'::BOOLEAN → NULL; json2_cast.result)
+            def _tvg(m: "re.Match[str]") -> str:
+                return (f"try_variant_get({m.group(1)}, "
+                        f"'{_vg_path(m.group(2))}', "
+                        f"'{_map_type(m.group(3))}')")
+
+            text = re.sub(
+                rf"\bjson_get\(\s*((?:\w+\.)?{re.escape(c)})\s*,\s*"
+                rf"'([^']*)'\s*\)\s*::\s*"
+                rf"(\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
+                _tvg, text, flags=re.IGNORECASE)
+
+            def _tvg_dot(m: "re.Match[str]") -> str:
+                path = m.group(2).lstrip(".")
+                return (f"try_variant_get({m.group(1)}{c}, "
+                        f"'{_vg_path(path)}', '{_map_type(m.group(3))}')")
+
+            text = _map_outside_strings(text, lambda seg: re.sub(
+                rf"((?:\w+\.)?)\b{re.escape(c)}"
+                rf"((?:\.[A-Za-z_]\w*|\[\d+\])+)\s*::\s*"
+                rf"(\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
+                _tvg_dot, seg))
             pat = re.compile(
                 rf"((?:\w+\.)?)\b{re.escape(c)}((?:\.[A-Za-z_]\w*|\[\d+\])+)")
 
@@ -2801,6 +2924,11 @@ class GreptimeSQL:
             text = _bump_subus_literals(text)
         if re.search(r"\bSTRING_AGG\s*\(", text, re.IGNORECASE):
             text = _rewrite_string_agg_order(text)
+        if "::" in text:
+            text = _fold_int_overflow(text)
+        if re.search(r"~\*?\s*'", text) and not re.match(r"\s*TQL\b", text,
+                                                         re.IGNORECASE):
+            text = _rewrite_pg_regex_ops(text)
         text = _map_outside_strings(text, _rewrite_tablesample)
         text = _rewrite_literal_int_division(text)
         if re.search(r"\bINTERVAL\b\s*'|'\s*::\s*INTERVAL\b", text, re.IGNORECASE):
@@ -3132,6 +3260,41 @@ class GreptimeSQL:
         if ("." in text or re.search(r"\bjson_\w+\s*\(|\bDISTINCT\b|\bGROUP\s+BY\b",
                                      text, re.IGNORECASE)):
             text = self._rewrite_json2_paths(text)
+        if re.search(r"[<>=]\s*-?\d|\bBETWEEN\s+-?\d", text, re.IGNORECASE):
+            text = self._rewrite_ts_int_cmp(text)
+        if re.search(r"\bjson_get\w*\s*\((?:[^()]|\([^()]*\))*\)\s*::",
+                     text, re.IGNORECASE):
+            # jsonb getters return strings; a `::TYPE` suffix coerces with
+            # NULL-on-mismatch in the reference (json_get.sql `'a'::double`
+            # → NULL) and must map dialect type names (int8 → i64)
+            def _jg_cast(m: "re.Match[str]") -> str:
+                ty = _map_type(m.group(2))
+                x = m.group(1)
+                # json2 (variant) getters — recognizable by the CAST(col AS
+                # STRING) the path rewrite injected — coerce with the RFC's
+                # shredding-cast semantics: f64 TRUNCATION to ints
+                # ('3.14'::BIGINT → 3) and numeric→bool (json2_cast.result);
+                # jsonb getters use arrow's strict per-type text parse
+                # ('1.2'::int8 → NULL; json_get.result)
+                variant = "CAST(" in x.upper().replace(" ", "")
+                if ty in ("tinyint", "smallint", "int", "bigint", "double",
+                          "float"):
+                    wide = ("DOUBLE" if variant or ty in ("double", "float")
+                            else "BIGINT")
+                    base = (f"coalesce(try_cast({x} AS {wide}), "
+                            f"CASE WHEN {x} = 'true' THEN CAST(1 AS {wide}) "
+                            f"WHEN {x} = 'false' THEN CAST(0 AS {wide}) END)")
+                    return (base if ty == wide.lower()
+                            else f"CAST({base} AS {ty})")
+                if ty == "boolean" and variant:
+                    return (f"coalesce(try_cast({x} AS BOOLEAN), "
+                            f"try_cast({x} AS DOUBLE) <> 0)")
+                return f"try_cast({x} AS {ty})"
+
+            text = re.sub(
+                r"(\bjson_get\w*\s*\((?:[^()]|\([^()]*\))*\))\s*::\s*"
+                r"(\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
+                _jg_cast, text, flags=re.IGNORECASE)
         # DataFusion integer/integer division truncates; COUNT()/COUNT() and
         # SUM(CASE…1/0…END)/COUNT() are the common integer-typed shapes —
         # SUM over non-integer args must keep float division
@@ -3164,6 +3327,11 @@ class GreptimeSQL:
             if re.search(rf"\b{f4}\s*\(", text, re.IGNORECASE):
                 text = _dispatch_arity(
                     text, f4, {1: f"{f4}_auto", 2: f"{f4}2"})
+        if re.search(r"\bregexp_extract\s*\(", text, re.IGNORECASE):
+            # 2-arg regexp_extract returns the WHOLE match in DataFusion
+            # (group 0); Spark's default group index is 1
+            text = _dispatch_arity(
+                text, "regexp_extract", {2: "gt_regexp_extract0"})
         # DataFusion/Postgres string-function semantics (dialect.py)
         if re.search(r"\b(substring|substr)\s*\(", text, re.IGNORECASE):
             for sname in ("substring", "substr"):
