@@ -144,6 +144,25 @@ def _rewrite_pg_regex_ops(text: str) -> str:
     return "".join(out)
 
 
+# SQL words that cannot stand as bare identifiers in Spark's parser:
+# quoted uses of these keep their quoting as backticks
+_RESERVED_WORDS = {
+    "TABLE", "COLUMN", "SELECT", "WHERE", "FROM", "ALL", "SCHEMA", "ORDER",
+    "GROUP", "BY", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ON",
+    "USING", "UNION", "EXCEPT", "INTERSECT", "AND", "OR", "NOT", "NULL",
+    "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END", "AS", "IS",
+    "IN", "EXISTS", "BETWEEN", "LIKE", "HAVING", "LIMIT", "OFFSET",
+    "DISTINCT", "INSERT", "UPDATE", "DELETE", "INTO", "VALUES", "CREATE",
+    "DROP", "ALTER", "VIEW", "INDEX", "PRIMARY", "KEY", "FOREIGN",
+    "REFERENCES", "CONSTRAINT", "DEFAULT", "CHECK", "UNIQUE", "CAST",
+    "CURRENT_DATE", "CURRENT_TIME", "CURRENT_TIMESTAMP", "CURRENT_USER",
+    "USER", "TO", "WITH", "PARTITION", "ROWS", "RANGE", "OVER", "GRANT",
+    "ANY", "SOME", "BOTH", "LEADING", "TRAILING", "COLLATE", "INTERVAL",
+    "ARRAY", "LATERAL", "NATURAL", "ONLY", "OUTER", "OVERLAPS", "FILTER",
+    "FETCH", "FOR", "ESCAPE", "EXCLUDE", "WINDOW",
+}
+
+
 _SUBUS_CMP_RE = re.compile(
     r"(>=?)\s*'(\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2})\.(\d{7,9})'")
 
@@ -695,8 +714,133 @@ def _parse_time_arg(arg: str) -> int:
         return ms
     import datetime as dt
 
-    d = dt.datetime.fromisoformat(a.replace("T", " ").replace("Z", ""))
-    return int(d.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    try:
+        d = dt.datetime.fromisoformat(a.replace("T", " ").replace("Z", ""))
+        return int(d.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    except ValueError:
+        return _fold_tql_time_expr(arg.strip())
+
+
+def _fold_tql_time_expr(text: str) -> int:
+    """Constant-fold a TQL bound expression driver-side (tql/basic:
+    `'…'::timestamp + '10 seconds'::interval`, `now() - (now() - '10
+    seconds'::interval)`, `date_trunc('day', '…'::timestamp)`). Symbolic in
+    now(): terms fold to (now_coefficient, constant_ms), so now()-relative
+    differences are EXACT rather than racing two clock reads."""
+    import datetime as dt
+
+    pos = 0
+
+    def ws() -> None:
+        nonlocal pos
+        while pos < len(text) and text[pos].isspace():
+            pos += 1
+
+    def term() -> tuple:
+        nonlocal pos
+        ws()
+        if text.startswith("(", pos):
+            pos += 1
+            v = expr()
+            ws()
+            if not text.startswith(")", pos):
+                raise ValueError(f"bad tql bound {text!r}")
+            pos += 1
+            return v
+        m = re.compile(r"now\s*\(\s*\)", re.IGNORECASE).match(text, pos)
+        if m:
+            pos = m.end()
+            return (1, 0)
+        m = re.compile(r"date_trunc\s*\(\s*'(\w+)'\s*,", re.IGNORECASE
+                       ).match(text, pos)
+        if m:
+            unit = m.group(1).lower()
+            pos = m.end()
+            c, ms = expr()
+            ws()
+            if c or not text.startswith(")", pos):
+                raise ValueError(f"bad tql bound {text!r}")
+            pos += 1
+            d = dt.datetime.fromtimestamp(ms / 1000, dt.timezone.utc)
+            repl = {"millisecond": {},  # already ms-granular
+                    "second": {"microsecond": 0},
+                    "minute": {"second": 0, "microsecond": 0},
+                    "hour": {"minute": 0, "second": 0, "microsecond": 0},
+                    "day": {"hour": 0, "minute": 0, "second": 0,
+                            "microsecond": 0},
+                    "month": {"day": 1, "hour": 0, "minute": 0, "second": 0,
+                              "microsecond": 0},
+                    "year": {"month": 1, "day": 1, "hour": 0, "minute": 0,
+                             "second": 0, "microsecond": 0}}[unit]
+            return (0, int(d.replace(**repl).timestamp() * 1000))
+        m = re.compile(r"CAST\s*\(\s*'([^']*)'\s+AS\s+TIMESTAMP\s*\)",
+                       re.IGNORECASE).match(text, pos)
+        if m:
+            pos = m.end()
+            d = dt.datetime.fromisoformat(
+                m.group(1).replace("T", " ").replace("Z", ""))
+            return (0, int(d.replace(tzinfo=dt.timezone.utc
+                                     ).timestamp() * 1000))
+        m = re.compile(r"INTERVAL\s+'(-?\d+)'\s+"
+                       r"(MICROSECOND|MILLISECOND|SECOND|MINUTE|HOUR|DAY|WEEK)S?",
+                       re.IGNORECASE).match(text, pos)
+        if m:
+            pos = m.end()
+            unit_ms = {"microsecond": 0.001, "millisecond": 1,
+                       "second": 1000, "minute": 60_000, "hour": 3_600_000,
+                       "day": 86_400_000, "week": 604_800_000}[
+                           m.group(2).lower()]
+            return (0, int(int(m.group(1)) * unit_ms))
+        m = re.compile(r"(?:INTERVAL\s+)?'([^']*)'\s*::\s*(timestamp|interval)"
+                       r"|INTERVAL\s+'([^']*)'", re.IGNORECASE
+                       ).match(text, pos)
+        if m:
+            pos = m.end()
+            lit = m.group(1) if m.group(1) is not None else m.group(3)
+            kind = (m.group(2) or "interval").lower()
+            if kind == "interval":
+                from greptimedb_spark.functions.interval_mdn import (
+                    parse_interval_mdn,
+                )
+
+                months, days, ns = parse_interval_mdn(lit)
+                if months:
+                    raise ValueError("calendar months in tql bound")
+                return (0, days * 86_400_000 + ns // 1_000_000)
+            d = dt.datetime.fromisoformat(
+                lit.replace("T", " ").replace("Z", ""))
+            return (0, int(d.replace(tzinfo=dt.timezone.utc
+                                     ).timestamp() * 1000))
+        m = re.compile(r"-?\d+(?:\.\d+)?").match(text, pos)
+        if m:
+            pos = m.end()
+            return (0, int(float(m.group(0)) * 1000))
+        raise ValueError(f"bad tql bound {text!r}")
+
+    def expr() -> tuple:
+        nonlocal pos
+        c, v = term()
+        while True:
+            ws()
+            if pos < len(text) and text[pos] in "+-":
+                op = text[pos]
+                pos += 1
+                c2, v2 = term()
+                c, v = (c + c2, v + v2) if op == "+" else (c - c2, v - v2)
+            else:
+                return (c, v)
+
+    c, v = expr()
+    ws()
+    if pos != len(text):
+        raise ValueError(f"bad tql bound {text!r}")
+    if c == 0:
+        return v
+    if c == 1:
+        import time as _time
+
+        return int(_time.time()) * 1000 + v
+    raise ValueError(f"unsupported now() multiple in {text!r}")
 
 
 _TYPE_MAP = {
@@ -1315,6 +1459,38 @@ class GreptimeSQL:
             ("signal_type", "String", True), ("source", "String", True),
             ("source_version", "String", True), ("pipeline", "String", True),
             ("metadata_quality", "String", True), ("semantic_options", "String", True),
+        ],
+        # SST metadata tables (reference src/catalog/src/system_schema/
+        # information_schema/ssts.rs; information_schema/ssts.result DESCs)
+        "ssts_manifest": [
+            ("table_dir", "String", False), ("region_id", "UInt64", False),
+            ("table_id", "UInt32", False), ("region_number", "UInt32", False),
+            ("region_group", "UInt8", False), ("region_sequence", "UInt32", False),
+            ("file_id", "String", False), ("index_version", "UInt64", False),
+            ("level", "UInt8", False), ("file_path", "String", False),
+            ("file_size", "UInt64", False), ("index_file_path", "String", True),
+            ("index_file_size", "UInt64", True), ("num_rows", "UInt64", False),
+            ("num_row_groups", "UInt64", False), ("num_series", "UInt64", True),
+            ("min_ts", "TimestampNanosecond", True),
+            ("max_ts", "TimestampNanosecond", True),
+            ("sequence", "UInt64", True), ("origin_region_id", "UInt64", False),
+            ("node_id", "UInt64", True), ("visible", "Boolean", False),
+            ("primary_key_min", "Binary", True), ("primary_key_max", "Binary", True),
+        ],
+        "ssts_storage": [
+            ("file_path", "String", False), ("file_size", "UInt64", True),
+            ("last_modified_ms", "TimestampMillisecond", True),
+            ("node_id", "UInt64", True),
+        ],
+        "ssts_index_meta": [
+            ("table_dir", "String", False), ("index_file_path", "String", False),
+            ("region_id", "UInt64", False), ("table_id", "UInt32", False),
+            ("region_number", "UInt32", False), ("region_group", "UInt8", False),
+            ("region_sequence", "UInt32", False), ("file_id", "String", False),
+            ("index_file_size", "UInt64", True), ("index_type", "String", False),
+            ("target_type", "String", False), ("target_key", "String", False),
+            ("target_json", "String", False), ("blob_size", "UInt64", False),
+            ("meta_json", "String", True), ("node_id", "UInt64", True),
         ],
     }
     _SHOW_TABLES_RE = re.compile(
@@ -2926,6 +3102,15 @@ class GreptimeSQL:
             text = _rewrite_string_agg_order(text)
         if "::" in text:
             text = _fold_int_overflow(text)
+        # DataFusion dialect: zero-arg count() = count(*), integer IF
+        # conditions are nonzero-truth (jsonbench, function/expression)
+        text = _map_outside_strings(
+            text, lambda seg: re.sub(r"\bcount\s*\(\s*\)", "count(*)", seg,
+                                     flags=re.IGNORECASE))
+        text = _map_outside_strings(
+            text, lambda seg: re.sub(r"\bIF\s*\(\s*(\(?-?\d+\)?)\s*,",
+                                     r"IF((\1) <> 0,", seg,
+                                     flags=re.IGNORECASE))
         if re.search(r"~\*?\s*'", text) and not re.match(r"\s*TQL\b", text,
                                                          re.IGNORECASE):
             text = _rewrite_pg_regex_ops(text)
@@ -2982,12 +3167,12 @@ class GreptimeSQL:
         # lose the prefix (the physical layout is one catalog directory)
         m = re.match(
             r"\s*(CREATE|DROP)\s+(?:DATABASE|SCHEMA)\s+(IF\s+(?:NOT\s+)?EXISTS\s+)?"
-            r"('[^']*'|\w+)\s*(?:WITH\s*\((.*)\))?\s*;?\s*$",
+            r"('[^']*'|\"[^\"]*\"|\w+)\s*(?:WITH\s*\((.*)\))?\s*;?\s*$",
             text, re.IGNORECASE | re.DOTALL,
         )
         if m:
             dbname = m.group(3)
-            dbname = (dbname[1:-1] if dbname.startswith("'") else dbname).lower()
+            dbname = (dbname[1:-1] if dbname[0] in "'\"" else dbname).lower()
             if not re.fullmatch(r"[\w\-]+", dbname):
                 raise ValueError(f"Invalid database name: {dbname}")
             dbs = self._databases = dict(getattr(self, "_databases", {}))
@@ -3058,10 +3243,13 @@ class GreptimeSQL:
             self._current_db = um.group(1).lower()
             return self._empty_ok()
         for d in getattr(self, "_databases", set()):
+            # bare, double-quoted, or backticked schema prefixes all drop
+            # (keywords_expressions: `"SCHEMA"."TABLE"`)
             text = _map_outside_strings(
                 text,
-                lambda seg: re.sub(rf"\b{re.escape(d)}\s*\.\s*", "", seg,
-                                   flags=re.IGNORECASE),
+                lambda seg: re.sub(
+                    rf"(\"|`)?\b{re.escape(d)}(?(1)\1)\s*\.\s*", "", seg,
+                    flags=re.IGNORECASE),
             )
         if re.search(r"\bdate_bin\s*\(|\btrunc\s*\([^()]*,", text, re.IGNORECASE):
             if not getattr(self, "_fns_done", False):
@@ -3139,9 +3327,19 @@ class GreptimeSQL:
         if ddl is not None:
             return ddl
         tql_groups = None
-        m = _TQL_RE.match(text)
+        m = re.match(r"^\s*TQL\s+EVAL\s*\(", text, re.IGNORECASE)
         if m:
-            tql_groups = m.groups()
+            # balanced extraction: args may be full expressions with commas
+            # inside calls (tql/basic date_trunc('day', …) bounds)
+            inner, rest = _balanced_paren(text[m.end() - 1:])
+            args = _split_columns(inner)
+            if len(args) >= 3:
+                tql_groups = (args[0], args[1], args[2],
+                              args[3] if len(args) > 3 else None,
+                              rest.lstrip().lstrip(",").strip())
+            else:
+                tql_groups = _TQL_RE.match(text).groups() \
+                    if _TQL_RE.match(text) else None
         else:
             m2 = _TQL_NOARGS_RE.match(text.strip().rstrip(";"))
             if m2:
@@ -3404,7 +3602,15 @@ class GreptimeSQL:
                     lambda m: "`" + (m.group(1) or (m.group(2) + (m.group(3) or ""))).replace('""', '"') + "`",
                     seg,
                 )
-                seg = re.sub(r'"(\w+)"', r"\1", seg)
+                # keep quoting (as backticks) for reserved words — quoted
+                # `"TABLE"`/`"COLUMN"` names must stay identifiers
+                # (keywords/keywords_expressions.sql)
+                seg = re.sub(
+                    r'"(\w+)"',
+                    lambda m: (f"`{m.group(1)}`"
+                               if m.group(1).upper() in _RESERVED_WORDS
+                               else m.group(1)),
+                    seg)
                 return re.sub(r'"([^"]+)"', r"`\1`", seg)
 
             text = _map_outside_strings(text, _idquotes)
