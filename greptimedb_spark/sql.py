@@ -30,6 +30,10 @@ from pyspark.sql import functions as F
 _ALIASES = {
     # greptime/datafusion name → spark name (same arity)
     "to_unixtime": "gt_to_unixtime",
+    # DataFusion epoch-int converters (jsonbench.sql)
+    "to_timestamp_micros": "timestamp_micros",
+    "to_timestamp_millis": "timestamp_millis",
+    "to_timestamp_seconds": "timestamp_seconds",
     "approx_distinct": "approx_count_distinct",
     # approx_median handled in _rewrite_approx_pct (needs the 0.5 arg)
     "inet_ntoa": "ipv4_num_to_string",  # reference ip/ipv4.rs:53 alias
@@ -578,8 +582,10 @@ def _rewrite_aliases(text: str) -> str:
 _COLON_CAST_CODE_RE = re.compile(
     # the lookbehinds keep a chained cast's TYPE from being read as an
     # operand: `(-300)::SMALLINT::DECIMAL(3,0)` must not rewrite
-    # `SMALLINT::DECIMAL(…)` (decimal_cast.sql chains)
-    r"(?<!:)(?<!:\s)((?<![\w.])\d+\.\d+|\b\w+(?:\([^()']*\))?)\s*::\s*"
+    # `SMALLINT::DECIMAL(…)` (decimal_cast.sql chains). Qualified and
+    # dotted-path operands (`t.a::int`, `data.did::String`) cast whole.
+    r"(?<!:)(?<!:\s)((?<![\w.])\d+\.\d+"
+    r"|\b\w+(?:\.\w+)*(?:\([^()']*\))?)\s*::\s*"
     r"(\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
 )
 _COLON_CAST_TYPE_RE = re.compile(r"\s*::\s*(\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)")
@@ -1956,6 +1962,11 @@ class GreptimeSQL:
             if fn == "flush_flow":
                 n = self._flush_flow(target)
                 return self.spark.createDataFrame([(n,)], "result bigint")
+            if fn == "build_index":
+                # index build is a storage-side job; Parquet stats/blooms
+                # play that role here — accept and report success
+                self.catalog.meta(self._resolve_table(target))
+                return self.spark.createDataFrame([(0,)], "result bigint")
             raise ValueError(f"unsupported ADMIN function {fn}")
         m = self._CREATE_FLOW_RE.match(stmt)
         if m:
@@ -2500,6 +2511,43 @@ class GreptimeSQL:
                     rf"((?:\w+\.)?`?{c}`?)\s+BETWEEN\s+(-?\d+)\s+AND\s+"
                     rf"(-?\d+)\b(?!\s*[\d.eE])",
                     repl_between, seg, flags=re.IGNORECASE))
+        # registered views expose timestamp columns under their own (possibly
+        # aliased) names (view/view.sql `SELECT j FROM v1 WHERE j > 41`);
+        # the declared precision is lost through the view — greptime's
+        # default TIMESTAMP(3) milliseconds applies
+        for vn in getattr(self, "_views", {}):
+            if not re.search(rf"\b{re.escape(vn)}\b", text):
+                continue
+            try:
+                vcols = self.spark.table(vn).dtypes
+            except Exception:
+                continue
+            names = [cname for cname, _ in vcols]
+            # positional table-alias column lists (`FROM v1 t1(x)`) rename
+            # the view's columns — map the aliases onto the view's types
+            am = re.search(
+                rf"\bFROM\s+{re.escape(vn)}\s+\w+\s*\(([^)]+)\)", text,
+                re.IGNORECASE)
+            alias_cols = list(vcols)
+            if am:
+                aliases = [a.strip().strip('"`')
+                           for a in am.group(1).split(",")]
+                if len(aliases) == len(names):
+                    alias_cols += [(a, t) for a, (_, t) in
+                                   zip(aliases, vcols)]
+            for cname, ctyp in alias_cols:
+                if not ctyp.startswith("timestamp"):
+                    continue
+                c = re.escape(cname)
+
+                def vrepl(m: "re.Match[str]") -> str:
+                    return (f"{m.group(1)} {m.group(2)} "
+                            f"timestamp_millis({m.group(3)})")
+
+                text = _map_outside_strings(text, lambda seg: re.sub(
+                    rf"((?:\w+\.)?`?{c}`?)\s*(<=|>=|!=|<>|=|<|>)\s*"
+                    rf"(-?\d+)\b(?!\s*[\d.eE])",
+                    vrepl, seg))
         return text
 
     def _rewrite_json2_paths(self, text: str) -> str:
@@ -2547,6 +2595,13 @@ class GreptimeSQL:
                 rf"((?:\.[A-Za-z_]\w*|\[\d+\])+)\s*::\s*"
                 rf"(\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
                 _tvg_dot, seg))
+            # the early ::-cast rewrite may already have wrapped a dotted
+            # path: CAST(data.did AS string) → typed variant get too
+            text = _map_outside_strings(text, lambda seg: re.sub(
+                rf"\bCAST\s*\(\s*((?:\w+\.)?)\b{re.escape(c)}"
+                rf"((?:\.[A-Za-z_]\w*|\[\d+\])+)\s+AS\s+"
+                rf"(\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*\)",
+                _tvg_dot, seg, flags=re.IGNORECASE))
             pat = re.compile(
                 rf"((?:\w+\.)?)\b{re.escape(c)}((?:\.[A-Za-z_]\w*|\[\d+\])+)")
 
@@ -3715,6 +3770,19 @@ class GreptimeSQL:
             if re.search(rf"\b{f4}\s*\(", text, re.IGNORECASE):
                 text = _dispatch_arity(
                     text, f4, {1: f"{f4}_auto", 2: f"{f4}2"})
+        dm_epoch = re.search(r"\bdate_part\s*\(\s*'epoch'\s*,", text,
+                             re.IGNORECASE)
+        if dm_epoch:
+            # date_part('epoch', interval) = total seconds as f64
+            # (DataFusion; jsonbench.sql activity_span) — CAST to BIGINT
+            # truncates whole seconds, extract(SECOND) % 1 restores fraction
+            start = text.index("(", dm_epoch.start())
+            inner_full, rest = _balanced_paren(text[start:])
+            x = re.sub(r"(?is)^\s*'epoch'\s*,", "", inner_full).strip()
+            text = (text[:dm_epoch.start()]
+                    + f"(CAST(({x}) AS BIGINT) + "
+                    f"CAST(extract(SECOND FROM ({x})) % 1 AS DOUBLE))"
+                    + rest)
         if re.search(r"\bregexp_extract\s*\(", text, re.IGNORECASE):
             # 2-arg regexp_extract returns the WHOLE match in DataFusion
             # (group 0); Spark's default group index is 1
