@@ -1125,6 +1125,8 @@ class PromQLEngine:
     def _fold_scalar(op: str, a: float, b: float) -> float:
         if op == "^":
             return a ** b
+        if op == "atan2":
+            return math.atan2(a, b)
         if op == "%":
             return math.fmod(a, b)
         if op in ("+", "-", "*", "/"):
@@ -1147,6 +1149,8 @@ class PromQLEngine:
             return F.pow(a, b)
         if op == "%":
             return a % b  # Java fmod == Go math.Mod (Prometheus semantics)
+        if op == "atan2":
+            return F.atan2(a, b)
         return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[op]
 
     def _vector_binary(self, node: BinaryOp, lhs: VectorResult, rhs: VectorResult):

@@ -164,7 +164,7 @@ _PRECEDENCE = {
     "and": 2, "unless": 2,
     "==": 3, "!=": 3, "<": 3, ">": 3, "<=": 3, ">=": 3,
     "+": 4, "-": 4,
-    "*": 5, "/": 5, "%": 5,
+    "*": 5, "/": 5, "%": 5, "atan2": 5,
     "^": 6,
 }
 _RIGHT_ASSOC = {"^"}

@@ -309,12 +309,17 @@ def _origin_ms(to: str | int | None) -> int:
 # same effect, no engine hooks needed).
 # ---------------------------------------------------------------------------
 
+# three nesting levels inside the aggregate call (min(floor(CAST(v AS
+# double)))); a parenthesized group before RANGE distributes the range to
+# every aggregate inside ((min(val)+max(val)) RANGE '20s', range/calculate)
+_NEST3 = r"\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
 _RANGE_RE = re.compile(
-    r"(?P<agg>\w+\s*\([^()]*(?:\([^()]*\)[^()]*)*\))\s+RANGE\s+"
+    rf"(?P<agg>\w+\s*{_NEST3}|{_NEST3})\s+RANGE\s+"
     r"(?:'(?P<range>[^']+)'|\(\s*(?P<range_p>INTERVAL[^()]*)\))"
     r"(?:\s+FILL\s+(?P<fill>\w+|'[^']*'|\d+(?:\.\d+)?))?",
     re.IGNORECASE,
 )
+_AGG_CALL_RE = re.compile(rf"\w+\s*{_NEST3}")
 
 
 def parse_range_sql(sql: str) -> dict:
@@ -367,12 +372,24 @@ def parse_range_sql(sql: str) -> dict:
         body = item[: alias_m.start()] if alias_m else item
 
         def sub(m: re.Match, idx=idx) -> str:
+            rng = parse_duration_ms(m.group("range") or m.group("range_p"))
+            agg_text = m.group("agg")
+            if agg_text.lstrip().startswith("("):
+                # (min(val) + max(val)) RANGE '20s': the range applies to
+                # every aggregate inside the group (range/calculate.result)
+                def isub(im: re.Match) -> str:
+                    internal = f"__r{len(aggs)}"
+                    aggs.append(RangeAgg(expr=im.group(0), alias=internal,
+                                         range_ms=rng, fill=m.group("fill")))
+                    return internal
+
+                return _AGG_CALL_RE.sub(isub, agg_text)
             internal = f"__r{len(aggs)}"
             aggs.append(
                 RangeAgg(
-                    expr=m.group("agg"),
+                    expr=agg_text,
                     alias=internal,
-                    range_ms=parse_duration_ms(m.group("range") or m.group("range_p")),
+                    range_ms=rng,
                     fill=m.group("fill"),
                 )
             )

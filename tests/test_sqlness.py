@@ -513,7 +513,6 @@ _CONFORMANCE_CASES = [
     ("system/database", 2),
     ("select/qualified_view", 2),
     ("select/schema_reference", 1),
-    ("show/show_create", 13),
     ("select/matches", 31),
     ("select/tz_encode", 1),
     ("alter/alter_database", 23),
@@ -788,6 +787,8 @@ _CONFORMANCE_CASES = [
     # skip_wal: restart emulation drops unflushed rows of skip-wal tables
     # (simulate_restart; loss window starts at first skip_wal enable)
     ("skip_wal", 7),
+    # SHOW INDEX + information_schema.statistics (round 4)
+    ("show/show_index", 7),
     ("select/flush_append_only", 4),
     ("select/like", 1),
     ("select/projection_names", 5),
@@ -845,9 +846,10 @@ _CONFORMANCE_CASES = [
 #   physical schema; DROP DATABASE drops its tables)
 # - truncate/truncate IS in the battery now (FILE RANGE maps to a
 #   time-range delete over the time-bucketed layout)
-# - show/show_index, show/show_region, show/show_process_list:
-#   engine-internal presentation.  show/show_create and ttl/show_ttl ARE in
-#   the battery (partial statement sets).
+# - show/show_region, show/show_process_list: engine-internal presentation
+#   (region ids / process lists).  show/show_index IS in the battery now
+#   (round 4: index metadata from the declared schema).  show/show_create
+#   and ttl/show_ttl ARE in the battery (partial statement sets).
 
 # promql files NOT in the battery, with reasons:
 # - promql/encode_substrait: goldens are substrait/plan dumps — engine-
@@ -880,6 +882,10 @@ _CONFORMANCE_CASES = [
 # - query/type_conversion_traversal: string-timestamp literals compared under
 #   SET TIME_ZONE; session-timezone literal parsing not yet wired
 _CONFORMANCE_CASES_KNOWN_DIFFS = [
+    # metric physical-region SHOW INDEX pins the engine-internal primary-key
+    # layout (host, __table_id, __tsid, job ordering + auto skipping
+    # indexes); user-table SHOW INDEX verifies in show/show_index
+    ("show/show_create", 15, ("show index from phy",)),
     # metric engine emulation: TSIDs reproduce the reference's FxHash label
     # hash (verified for the `host` series); the golden's `job` TSIDs don't
     # match any composition of the current row_modifier.rs algorithm, so the
