@@ -194,6 +194,60 @@ def _bump_subus_literals(text: str) -> str:
     return _SUBUS_CMP_RE.sub(repl, text)
 
 
+_TIME_CAST_RE = re.compile(r"::\s*TIME\b(?!\s*(STAMP|ZONE))", re.IGNORECASE)
+
+
+def _rewrite_time_cast(text: str) -> str:
+    """`expr::TIME` → the wall-clock time-of-day string (Spark has no TIME
+    type; DataFusion renders Time64 as HH:MM:SS[.fff] with trailing zeros
+    trimmed to the value's precision — timestamp_types.result:84-112)."""
+    def fmt(x: str) -> str:
+        return ("regexp_replace(regexp_replace(date_format(" + x +
+                ", 'HH:mm:ss.SSSSSS'), '0+$', ''), '\\\\.$', '')")
+
+    while True:
+        m = _TIME_CAST_RE.search(text)
+        if not m:
+            return text
+        # operand ends right before '::' — a balanced paren group or a
+        # word/dotted/typed-literal chain
+        end = m.start()
+        i = end - 1
+        while i >= 0 and text[i].isspace():
+            i -= 1
+        if i >= 0 and text[i] == ")":
+            depth = 0
+            j = i
+            while j >= 0:
+                if text[j] == ")":
+                    depth += 1
+                elif text[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            # a preceding function name belongs to the operand
+            k = j - 1
+            while k >= 0 and (text[k].isalnum() or text[k] in "_."):
+                k -= 1
+            start = k + 1
+        elif i >= 0 and text[i] == "'":
+            j = text.rfind("'", 0, i)
+            k = j - 1
+            while k >= 0 and text[k].isspace():
+                k -= 1
+            kw = re.search(r"(\w+)$", text[:k + 1])
+            start = kw.start(1) if kw and kw.group(1).upper() in (
+                "TIMESTAMP", "DATE") else j
+        else:
+            j = i
+            while j >= 0 and (text[j].isalnum() or text[j] in "_.`"):
+                j -= 1
+            start = j + 1
+        operand = text[start:end].strip()
+        text = text[:start] + fmt(operand) + text[m.end():]
+
+
 def _strip_block_comments(text: str) -> str:
     """Remove `/* ... */` block comments outside string literals."""
     out, i, q, n = [], 0, None, len(text)
@@ -2065,7 +2119,10 @@ class GreptimeSQL:
                     self.catalog.compact(t)
                 else:
                     self.catalog.flush_table(t)
-                self.catalog.read(t).createOrReplaceTempView(t)
+                # flush/compact may rewrite files (TTL expiry) — refresh the
+                # physical companion view of metric logical tables too
+                self._refresh_table_view(t)
+                self._refresh_views()
                 return self.spark.createDataFrame([(0,)], "result bigint")
             if fn == "flush_flow":
                 n = self._flush_flow(target)
@@ -2767,11 +2824,18 @@ class GreptimeSQL:
 
     def _refresh_table_view(self, name: str) -> None:
         self.catalog.read(name).createOrReplaceTempView(name)
-        phys = getattr(self.catalog.meta(name), "on_physical", None)
+        meta = self.catalog.meta(name)
+        phys = getattr(meta, "on_physical", None)
+        if phys is None and getattr(meta, "engine", "") == "metric":
+            phys = name  # flushing the physical table itself
         if phys:
-            # logical metric writes land in the physical table — its view
-            # (and file listing) must refresh too
+            # logical metric writes/expiry land in the physical table — its
+            # view AND every sibling logical view hold the file listing
             self.catalog.read(phys).createOrReplaceTempView(phys)
+            for s in self.catalog.list_tables():
+                if s not in (name, phys) and getattr(
+                        self.catalog.meta(s), "on_physical", None) == phys:
+                    self.catalog.read(s).createOrReplaceTempView(s)
 
     def _refresh_views(self):
         """Re-plan registered views after a write: a view's captured plan
@@ -3593,6 +3657,17 @@ class GreptimeSQL:
             # rewritten away (display parity needs the original literals);
             # in-context rewriting happens later (after date_add/date_sub)
             text = _rewrite_interval_literals(text, fold_only=True)
+        # TIMESTAMPTZ ≡ TIMESTAMP here (session-zone rendering); typed
+        # timestamp literals tolerate padded whitespace (timestamp.sql)
+        if re.search(r"timestamptz", text, re.IGNORECASE):
+            text = re.sub(r"\bTIMESTAMPTZ\b", "TIMESTAMP", text,
+                          flags=re.IGNORECASE)
+        text = re.sub(
+            r"(?i)\b(TIMESTAMP)\s+'\s*([^']*?)\s*'",
+            lambda m: f"{m.group(1)} '" + re.sub(r"\s+", " ", m.group(2))
+            + "'", text)
+        if _TIME_CAST_RE.search(text):
+            text = _rewrite_time_cast(text)
         text = _rewrite_colon_cast(text)
         m = self._SET_TZ_RE.match(text.strip().rstrip(";"))
         if m:
