@@ -170,21 +170,30 @@ _RESERVED_WORDS = {
 
 
 _SUBUS_CMP_RE = re.compile(
-    r"(>=?)\s*'(\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2})\.(\d{7,9})'")
+    r"(>=|>|<=|<|=)\s*'(\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2})\.(\d{7,9})'")
 
 
 def _bump_subus_literals(text: str) -> str:
-    """`ts >= '…00.000000195'` against a ≤µs column: Spark truncates the
-    literal to µs, wrongly including rows in [truncated, literal). The
-    reference compares at full ns precision (ts_precision_comparison.sql
-    issue #8214 regression) — bump the literal to the next µs, which is
-    exactly equivalent for any column of µs-or-coarser precision."""
+    """Sub-µs timestamp literals in comparisons against ≤µs columns: Spark
+    truncates the literal, shifting the boundary. The reference compares at
+    full ns precision (ts_precision_comparison.sql issue #8214;
+    filter/cast_preimage.sql) — so: `>`/`>=` bump to the next µs, `<` with a
+    nonzero remainder becomes `<=` truncated, `=` can never match an
+    unrepresentable instant (NULL comparison → no rows), `<=` keeps Spark's
+    truncation (already exact)."""
     def repl(m: re.Match) -> str:
         frac = m.group(3)
+        op = m.group(1)
         if int(frac[6:] or "0") == 0:
             return m.group(0)
         import datetime as _dt
 
+        if op == "=":
+            return "= CAST(NULL AS TIMESTAMP)"
+        if op == "<=":
+            return m.group(0)
+        if op == "<":
+            return f"<= '{m.group(2)}.{frac[:6]}'"
         base = _dt.datetime.fromisoformat(
             m.group(2).replace("T", " ")) + _dt.timedelta(
                 microseconds=int(frac[:6]) + 1)
@@ -3632,7 +3641,7 @@ class GreptimeSQL:
         text = self._rewrite_tql_ctes(text)
         text = _rawify_strings(text)
         text = _rewrite_offset_limit(text)
-        if ">" in text:
+        if re.search(r"[<>=]", text):
             text = _bump_subus_literals(text)
         if re.search(r"\bSTRING_AGG\s*\(", text, re.IGNORECASE):
             text = _rewrite_string_agg_order(text)
@@ -3657,6 +3666,34 @@ class GreptimeSQL:
             # rewritten away (display parity needs the original literals);
             # in-context rewriting happens later (after date_add/date_sub)
             text = _rewrite_interval_literals(text, fold_only=True)
+        # MySQL session variables (mysql.result; fixed reference values)
+        m = re.match(r"^\s*SELECT\s+@@(\w+)\s*;?\s*$", text, re.IGNORECASE)
+        if m:
+            var = m.group(1).lower()
+            vals = {"tx_isolation": "REPEATABLE-READ",
+                    "transaction_isolation": "REPEATABLE-READ",
+                    "version_comment": "GreptimeDB",
+                    "autocommit": "1", "session.auto_increment_increment": "1"}
+            return self.spark.createDataFrame(
+                [(vals.get(var, ""),)], f"`@@{m.group(1)}` string")
+        # Postgres DISTINCT ON (keys): first row per key group under the
+        # statement's ORDER BY (aggregate/distinct.result)
+        m = re.match(
+            r"(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]+)\)\s+(.*?)\s+"
+            r"FROM\s+(\w+)\s+ORDER\s+BY\s+(.+?)\s*;?\s*$", text)
+        if m:
+            keys, sel, tbl, order = (m.group(1).strip(), m.group(2).strip(),
+                                     m.group(3), m.group(4).strip())
+            if sel == "*":
+                sel = "* EXCEPT(__don)"
+            text = (f"SELECT {sel} FROM (SELECT *, row_number() OVER "
+                    f"(PARTITION BY {keys} ORDER BY {order}) AS __don FROM "
+                    f"{tbl}) WHERE __don = 1 ORDER BY {keys}")
+        if not re.match(r"\s*(CREATE|ALTER)\b", text, re.IGNORECASE):
+            # CAST(x AS TIMESTAMP(p)): Spark's TIMESTAMP takes no precision
+            # (declared-column precision is handled at CREATE)
+            text = re.sub(r"(?i)(\bAS\s+TIMESTAMP)\s*\(\s*\d+\s*\)", r"\1",
+                          text)
         # TIMESTAMPTZ ≡ TIMESTAMP here (session-zone rendering); typed
         # timestamp literals tolerate padded whitespace (timestamp.sql)
         if re.search(r"timestamptz", text, re.IGNORECASE):
