@@ -98,7 +98,15 @@ def _parse_result_file(path: str):
         if l.strip().startswith("--"):
             m = _REPLACE_DIRECTIVE.match(l.strip())
             if m:
-                pending.append((m.group(1), m.group(2)))
+                pat = m.group(1)
+                # the reference's sqlness runner uses Rust regex, which
+                # accepts POSIX classes Python's re doesn't (ssts.sql)
+                for posix, py in (("[:blank:]", " \\t"), ("[:space:]", "\\s"),
+                                  ("[:digit:]", "0-9"), ("[:alnum:]", "0-9A-Za-z"),
+                                  ("[:alpha:]", "A-Za-z"),
+                                  ("[:xdigit:]", "0-9A-Fa-f")):
+                    pat = pat.replace(posix, py)
+                pending.append((pat, m.group(2)))
             m = _SLEEP_DIRECTIVE.match(l.strip())
             if m:
                 pending.append(("__SLEEP__", int(m.group(1))))
@@ -273,6 +281,8 @@ def _render_cell(v):
     SQLNESS REPLACE regexes to apply)."""
     if v is None:
         return ""
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
     if isinstance(v, dt.datetime):
         s = v.replace(tzinfo=None).isoformat()
         return s[:-3] if s.endswith("000") and "." in s else s
