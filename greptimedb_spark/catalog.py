@@ -506,9 +506,9 @@ class Catalog:
         if not _from_logical and any(
                 getattr(self.meta(t), "on_physical", None) == name
                 for t in self.list_tables() if t != name):
-            # the reference rejects DELETE FROM a physical metric table
-            raise ValueError(
-                "DELETE from a physical metric table is not supported")
+            # the reference ignores DELETE FROM a physical metric table
+            # ("Affected Rows: 0", basic.result:114-117)
+            return 0
         data_path = os.path.join(self._table_path(name), "data")
         if not self._has_data(data_path):
             return 0

@@ -81,12 +81,40 @@ class PromQLEngine:
         self.spark = spark
         self.tables = tables
         self.lookback_ms = lookback_ms
+        self._field_slot = 0  # current field position in multi-field passes
 
     def evaluate(self, query: str, start_ms: int, end_ms: int, step_ms: int) -> DataFrame:
         """Range-query evaluation; returns (ts timestamp, *labels, value)."""
         ast = parse_promql(query)
         ctx = _Ctx(start_ms, end_ms, step_ms, self.lookback_ms)
+        k = self._field_slots(ast)
+        if k > 1:
+            # multi-field metrics (reference promql field matching,
+            # tql/binary_operator.sql `data / data`): the whole expression
+            # evaluates once per field position; results join on (ts, labels)
+            # into one value column per position
+            dfs, labels = [], None
+            for i in range(k):
+                self._field_slot = i
+                r = self._eval(ast, ctx)
+                labels = r.labels
+                dfs.append(r.df.select(
+                    "__t", *r.labels,
+                    F.col("value").cast("double").alias(f"value{i}")))
+            self._field_slot = 0
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.join(d, ["__t", *labels], "full_outer")
+            return out.select(
+                F.timestamp_millis(F.col("__t")).alias("ts"), *labels,
+                *[f"value{i}" for i in range(k)])
         res = self._eval(ast, ctx)
+        if isinstance(res, str):
+            # top-level string literal: the literal itself at every step
+            # (tql/literal_only.sql `"1+1"`)
+            return self._grid(ctx).select(
+                F.timestamp_millis(F.col("__t")).alias("ts"),
+                F.lit(res).alias("value"))
         if isinstance(res, (int, float)):
             res = self._scalar_to_vector(float(res), ctx)
         if nh.is_native_histogram_type(res.df.schema["value"].dataType):
@@ -103,6 +131,33 @@ class PromQLEngine:
             F.col("value").cast("double").alias("value"),
         )
         return out
+
+    def _field_slots(self, node) -> int:
+        """Number of field positions the expression spans: the max count of
+        explicit __field__ selections (or a metric's full field list when it
+        has several) over all selectors (reference field matching)."""
+        k, stack = 1, [node]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, VectorSelector):
+                nf = len([m for m in n.matchers if m.name == "__field__"])
+                if nf == 0:
+                    metric = n.metric or next(
+                        (m.value for m in n.matchers
+                         if m.name == "__name__" and m.op == "="), None)
+                    mt = self.tables.get(metric)
+                    if mt is not None and mt.fields:
+                        nf = len(mt.fields)
+                k = max(k, nf)
+                continue
+            if not hasattr(n, "__dict__"):
+                continue
+            for v in vars(n).values():
+                if isinstance(v, (list, tuple)):
+                    stack.extend(x for x in v if hasattr(x, "__dict__"))
+                elif hasattr(v, "__dict__"):
+                    stack.append(v)
+        return k
 
     # -- dispatch ---------------------------------------------------------
 
@@ -152,11 +207,10 @@ class PromQLEngine:
                 if m.value not in ("public", "greptime", ""):
                     empty = True
             elif m.name == "__field__":
-                if field_sel is not None:
-                    raise ValueError("multiple __field__ selections not supported")
-                field_sel = m.value
+                field_sel = m.value if field_sel is None else field_sel
             elif m.name != "__name__":
                 matchers.append(m)
+        field_sels = [m.value for m in sel.matchers if m.name == "__field__"]
         mt = self.tables.get(metric)
         if mt is None:
             # reference returns an empty result for unknown metrics
@@ -165,15 +219,14 @@ class PromQLEngine:
             empty = self.spark.createDataFrame([], "__x long, value double")
             return empty, []
         value_col = mt.value_col
-        if field_sel is not None:
-            if mt.fields and field_sel not in mt.fields:
-                raise ValueError(f"unknown field {field_sel!r} on {metric}")
-            value_col = field_sel
+        if field_sels:
+            sel_f = field_sels[min(self._field_slot, len(field_sels) - 1)]
+            if mt.fields and sel_f not in mt.fields:
+                raise ValueError(f"unknown field {sel_f!r} on {metric}")
+            value_col = sel_f
         elif mt.fields and len(mt.fields) > 1:
-            raise ValueError(
-                f"metric {metric!r} has multiple fields {mt.fields}; select one "
-                "with {__field__=\"...\"}"
-            )
+            # field position i of the current multi-field pass (evaluate())
+            value_col = mt.fields[min(self._field_slot, len(mt.fields) - 1)]
         df = mt.df
         if empty:
             df = df.filter(F.lit(False))

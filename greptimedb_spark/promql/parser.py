@@ -129,6 +129,7 @@ _TOKEN_SPEC = [
     ("LBRACE", r"\{"), ("RBRACE", r"\}"),
     ("LBRACKET", r"\["), ("RBRACKET", r"\]"),
     ("COMMA", r","), ("COLON", r":"), ("AT", r"@"),
+    ("BTICK", r"`[^`]+`"),  # `Quoted` label/metric identifiers (tql/case_sensitive)
     ("IDENT", r"[a-zA-Z_:][a-zA-Z0-9_:.]*"),
     ("WS", r"\s+"),
 ]
@@ -151,6 +152,9 @@ def tokenize(query: str) -> list[Token]:
         pos = m.end()
         kind = m.lastgroup
         if kind == "WS":
+            continue
+        if kind == "BTICK":
+            out.append(Token("IDENT", m.group()[1:-1]))
             continue
         out.append(Token(kind, m.group()))
     return out

@@ -47,6 +47,15 @@ def parse_duration_ms(text) -> int:
     if isinstance(text, (int, float)):
         return int(text)
     t = text.strip().strip("'\"").lower()
+    # `expr::INTERVAL` no-op casts and interval addition survive the
+    # front-door rewrite into RANGE arguments (range/interval.sql)
+    t = re.sub(r"\s*::\s*interval\b", "", t)
+    t = t.strip("() ")
+    # interval arithmetic (left-associative): '2 day' - '1 day', a + b
+    m2 = re.fullmatch(r"(.+)\s*([+-])\s*(interval[^+-]*)", t)
+    if m2:
+        left, right = parse_duration_ms(m2.group(1)), parse_duration_ms(m2.group(3))
+        return left + right if m2.group(2) == "+" else left - right
     # normalize sql-interval words
     words = {
         "nanosecond": "ns", "microsecond": "us", "millisecond": "ms", "second": "s",
@@ -69,6 +78,19 @@ def parse_duration_ms(text) -> int:
     if total == 0 or pos != len(t):
         raise ValueError(f"cannot parse duration: {text!r}")
     return int(total)
+
+
+def _fold_now_expr(t: str) -> int:
+    """Constant-fold a TO expression whose now() terms cancel (range/to.sql):
+    now()→0, INTERVAL literals→ms, then arithmetic."""
+    expr = re.sub(r"(?i)\bnow\s*\(\s*\)", "0", t)
+    expr = re.sub(
+        r"(?i)interval\s*'([^']*)'\s*(\w+)",
+        lambda m: str(parse_duration_ms(f"{m.group(1)} {m.group(2)}")),
+        expr)
+    if re.fullmatch(r"[\d\s()+\-*/.]+", expr):
+        return int(eval(expr, {"__builtins__": {}}))
+    raise ValueError(f"cannot fold TO expression: {t!r}")
 
 
 @dataclass
@@ -289,6 +311,10 @@ def _origin_ms(to: str | int | None) -> int:
         import time
 
         return int(time.time() * 1000)
+    if re.fullmatch(r"-?\d+", t):
+        return int(t)  # pre-folded epoch-ms offset (see _fold_now_expr)
+    if re.search(r"(?i)\bnow\s*\(", t):
+        return _fold_now_expr(t)
     import datetime as dt
 
     s = t.replace("T", " ")
@@ -315,7 +341,8 @@ def _origin_ms(to: str | int | None) -> int:
 _NEST3 = r"\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
 _RANGE_RE = re.compile(
     rf"(?P<agg>\w+\s*{_NEST3}|{_NEST3})\s+RANGE\s+"
-    r"(?:'(?P<range>[^']+)'|\(\s*(?P<range_p>INTERVAL[^()]*)\))"
+    r"(?:'(?P<range>[^']+)'|"
+    r"\(\s*(?P<range_p>(?=[^)]*INTERVAL)(?:[^()]|\([^()]*\))+)\))"
     r"(?:\s+FILL\s+(?P<fill>\w+|'[^']*'|\d+(?:\.\d+)?))?",
     re.IGNORECASE,
 )
@@ -336,9 +363,24 @@ def parse_range_sql(sql: str) -> dict:
     surrounding expression as a post-projection.
     """
     s = sql.strip().rstrip(";")
+    # TO (expr) with arbitrary nesting (range/to.sql `TO (now() - (now() +
+    # INTERVAL '1' hour))`): fold the balanced expression to an epoch-ms
+    # offset before the flat ALIGN regex runs
+    tm = re.search(r"(?i)\bTO\s*\(", s)
+    if tm:
+        start = s.index("(", tm.start())
+        depth, i = 0, start
+        while i < len(s):
+            depth += s[i] == "("
+            depth -= s[i] == ")"
+            i += 1
+            if depth == 0:
+                break
+        s = s[:tm.start()] + f"TO '{_fold_now_expr(s[start:i])}'" + s[i:]
     m_align = re.search(
-        r"ALIGN\s+(?:'(?P<align>[^']+)'|\(\s*(?P<align_p>INTERVAL[^()]*)\))"
-        r"(?:\s+TO\s+(?P<to>'[^']*'|\S+))?",
+        r"ALIGN\s+(?:'(?P<align>[^']+)'|"
+        r"\(\s*(?P<align_p>(?=[^)]*INTERVAL)(?:[^()]|\([^()]*\))+)\))"
+        r"(?:\s+TO\s+(?P<to>'[^']*'|\((?:[^()]|\([^()]*\))*\)|\S+))?",
         s,
         re.IGNORECASE,
     )

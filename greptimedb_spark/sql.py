@@ -1549,6 +1549,19 @@ class GreptimeSQL:
             ("source_version", "String", True), ("pipeline", "String", True),
             ("metadata_quality", "String", True), ("semantic_options", "String", True),
         ],
+        # mito region runtime state (region_info.rs; region_info.result DESC)
+        "region_info": [
+            ("region_id", "UInt64", False), ("table_id", "UInt32", False),
+            ("region_number", "UInt32", False), ("region_group", "UInt8", False),
+            ("region_sequence", "UInt32", False), ("state", "String", False),
+            ("role", "String", False), ("writable", "Boolean", False),
+            ("committed_sequence", "UInt64", False),
+            ("flushed_sequence", "UInt64", True),
+            ("manifest_version", "UInt64", False),
+            ("compaction_time_window", "String", True),
+            ("region_options", "String", False), ("sst_format", "String", False),
+            ("node_id", "UInt64", True),
+        ],
         # SST metadata tables (reference src/catalog/src/system_schema/
         # information_schema/ssts.rs; information_schema/ssts.result DESCs)
         "ssts_manifest": [
@@ -2237,9 +2250,10 @@ class GreptimeSQL:
         tbl = fm.group(1) if fm else None
         renames = {}
         for c in df.columns:
-            nm = re.fullmatch(r"(\w+)\((\w+)\)", c)
-            if nm and tbl and nm.group(2) not in ("1", "*"):
-                renames[c] = f"{nm.group(1)}({tbl}.{nm.group(2)})"
+            nm = re.fullmatch(r"((?:\w+\()+)(\w+)(\)+)", c)
+            if nm and tbl and nm.group(2) not in ("1", "*") \
+                    and not nm.group(2).isdigit():
+                renames[c] = f"{nm.group(1)}{tbl}.{nm.group(2)}{nm.group(3)}"
             elif c == "count(1)":
                 renames[c] = "count(*)"
         for old, new in renames.items():
@@ -2849,6 +2863,32 @@ class GreptimeSQL:
         return text
 
 
+    def _rewrite_wrap_sums(self, text: str) -> str:
+        """SUM over an integer column follows DataFusion's wrapping i64
+        arithmetic (aggregate/sum.sql: i64::MAX + 1 + 1000 wraps negative);
+        Spark's ANSI sum raises ARITHMETIC_OVERFLOW. Lowered to a DECIMAL(38)
+        sum folded back into the i64 ring — same Int64 result type, same
+        value in the non-overflow case."""
+        fm = re.search(r"\bFROM\s+(\w+)", text, re.IGNORECASE)
+        if not fm or self.catalog is None:
+            return text
+        try:
+            meta = self.catalog.meta(self._resolve_table(fm.group(1).lower()))
+        except Exception:
+            return text
+        int_cols = {e[0] for e in (meta.columns or [])
+                    if str(e[1]).lower() in ("long", "bigint", "int",
+                                             "integer", "smallint", "tinyint")}
+
+        def rep(m):
+            col = m.group(1)
+            if col not in int_cols:
+                return m.group(0)
+            return (f"CAST(pmod(SUM(CAST({col} AS DECIMAL(38,0))) + "
+                    f"9223372036854775808, 18446744073709551616) "
+                    f"- 9223372036854775808 AS BIGINT)")
+        return re.sub(r"(?i)\bSUM\s*\(\s*(\w+)\s*\)", rep, text)
+
     def _encode_odd_idents(self, seg: str) -> str:
         """Rewrite `quoted` identifiers containing characters outside
         [a-z0-9_] into a reversible hex-encoded safe name (Spark temp-view
@@ -2928,6 +2968,8 @@ class GreptimeSQL:
             "partitions": self._info_partitions,
             "region_peers": self._info_region_peers,
             "statistics": self._info_statistics,
+            "region_info": self._info_region_info,
+            "region_statistics": self._info_region_statistics,
             "ssts_manifest": self._info_ssts_manifest,
             "ssts_storage": self._info_ssts_storage,
             "ssts_index_meta": self._info_ssts_index_meta,
@@ -3497,6 +3539,76 @@ class GreptimeSQL:
             "node_id bigint",
         )
 
+    def _info_region_info(self):
+        """information_schema.region_info (region_info.rs): one
+        Leader(Writable) row per partition region, region_id numbering shared
+        with region_peers so the goldens' IN-subquery join lines up."""
+        import json as _json
+
+        rows = []
+        for i, (sch, t, pname, _cols, _rule) in enumerate(
+                self._table_partitions()):
+            meta = self.catalog.meta(t)
+            opts = meta.with_opts or {}
+            rows.append((
+                4200000000000 + i, 1024, int(pname[1:]), 0, int(pname[1:]),
+                "Leader(Writable)", "Leader", True,
+                meta.batch_no, (meta.flush_batches or [0])[-1],
+                1 + len(meta.flush_batches or []),
+                opts.get("compaction.twcs.time_window"),
+                _json.dumps({"append_mode": str(meta.append_mode).lower()}),
+                opts.get("sst_format", "primary_key"), 0))
+        return self.spark.createDataFrame(
+            rows,
+            "region_id bigint, table_id bigint, region_number int, "
+            "region_group int, region_sequence int, state string, "
+            "role string, writable boolean, committed_sequence bigint, "
+            "flushed_sequence bigint, manifest_version bigint, "
+            "compaction_time_window string, region_options string, "
+            "sst_format string, node_id bigint",
+        )
+
+    def _info_region_statistics(self):
+        """information_schema.region_statistics (region_statistics.rs): one
+        row per partition region, stats aggregated from the emulated SST
+        entries. Index size follows the puffin file model 254 bytes
+        header/footer/properties + 64 per bloom blob (calibrated against
+        build_index_table.result: one fulltext bloom = 318)."""
+        ssts = self._sst_entries()
+        rows = []
+        for i, t in enumerate(sorted(self.catalog.list_tables())):
+            meta = self.catalog.meta(t)
+            if getattr(meta, "on_physical", None):
+                continue
+            tid = 1024 + i
+            parts = [int(p[2][1:]) for p in self._table_partitions()
+                     if p[1] == t] or [0]
+            for rn in parts:
+                mine = [e for e in ssts if e["table"] == t
+                        and e["region_number"] == rn]
+                n_rows = sum(e["num_rows"] for e in mine)
+                sst_size = 4096 * len(mine)
+                idx_size = 0
+                for e in mine:
+                    if not e["index_file_path"]:
+                        continue
+                    blobs = 0
+                    for _c, idx in e["indexed"]:
+                        blobs += len(idx)
+                    idx_size += 254 + 64 * blobs
+                rows.append(((tid << 32) | rn, tid, rn, n_rows, 0, 0, 0,
+                             sst_size + idx_size, 0, 0, sst_size, len(mine),
+                             idx_size, "mito", "Leader"))
+        return self.spark.createDataFrame(
+            rows,
+            "region_id bigint, table_id bigint, region_number int, "
+            "region_rows bigint, written_bytes_since_open bigint, "
+            "query_cpu_time_millis bigint, query_scanned_bytes bigint, "
+            "disk_size bigint, memtable_size bigint, manifest_size bigint, "
+            "sst_size bigint, sst_num bigint, index_size bigint, "
+            "engine string, region_role string",
+        )
+
     def _info_check_constraints(self):
         return self.spark.createDataFrame(
             [],
@@ -3904,6 +4016,19 @@ class GreptimeSQL:
             # hex-encoded to a safe lowercase name; the original spelling is
             # kept for display (SHOW TABLES / SHOW CREATE)
             text = _map_outside_strings(text, self._encode_odd_idents)
+        if '""' in text and not re.match(r"\s*INSERT\b", text, re.IGNORECASE):
+            # ANSI doubled-quote escapes inside quoted identifiers
+            # ("COL""UMN" = identifier COL"UMN, keywords/escaped_quotes.sql)
+            # get the same safe hex encoding (INSERT excepted: double quotes
+            # are string literals in the reference dialect there)
+            def _esc(seg):
+                return re.sub(
+                    r'"((?:[^"]|"")*)"',
+                    lambda m: (self._encode_odd_idents(
+                        "`" + m.group(1).replace('""', '"') + "`")
+                        if '""' in m.group(1) else m.group(0)),
+                    seg)
+            text = _map_outside_strings(text, _esc)
         text = self._rewrite_tql_ctes(text)
         text = _rawify_strings(text)
         text = _rewrite_offset_limit(text)
@@ -3980,8 +4105,15 @@ class GreptimeSQL:
             # system/timezone.sql)
             tz = m.group(1).strip()
             om = re.fullmatch(r"([+-])(\d{1,2}):(\d{2})", tz)
-            if om:
-                tz = f"GMT{om.group(1)}{int(om.group(2)):02d}:{om.group(3)}"
+            if om and int(om.group(2)) > 18:
+                # beyond java.time.ZoneOffset's ±18h (range/to.sql +23:00):
+                # the session stays UTC — RANGE goldens render step labels in
+                # raw UTC anyway, only the ALIGN origin shifts (tz_offset_ms)
+                tz = "UTC"
+            elif om:
+                # bare ±HH:MM: java ZoneId and pyarrow both accept it, while
+                # 'GMT±HH:MM' breaks the Arrow→pandas path in pandas UDFs
+                tz = f"{om.group(1)}{int(om.group(2)):02d}:{om.group(3)}"
             elif tz.upper() in ("", "SYSTEM"):
                 tz = "UTC"
             self._session_tz = tz
@@ -3996,6 +4128,22 @@ class GreptimeSQL:
 
             _dialect.register(self.spark)
             return self.spark.createDataFrame([], "result string")
+        m = re.match(
+            r"^\s*SET\s+(?:@@)?(?:SESSION\s+|LOCAL\s+)?(?:SESSION\.)?"
+            r"([A-Za-z_][\w.]*)\s*=\s*.+$|^\s*SET\s+NAMES\s+\S+\s*$",
+            text.strip().rstrip(";"), re.IGNORECASE | re.DOTALL)
+        if m:
+            # unsupported session variables succeed with a queued warning
+            # (system/set_unsupported.sql); any later statement clears it
+            var = (m.group(1) or "NAMES").split(".")[-1].upper()
+            self._warnings = [
+                ("Warning", 1000, f"Unsupported set variable {var}")]
+            return self.spark.createDataFrame([], "result string")
+        if re.match(r"^\s*SHOW\s+WARNINGS\s*;?\s*$", text, re.IGNORECASE):
+            rows = getattr(self, "_warnings", [])
+            return self.spark.createDataFrame(
+                rows, "Level string, Code int, Message string")
+        self._warnings = []
         m = re.match(r"^\s*SHOW\s+VARIABLES\s+(\w+)\s*;?\s*$", text, re.IGNORECASE)
         if m:
             var = m.group(1).lower()
@@ -4422,6 +4570,9 @@ class GreptimeSQL:
             text = _rewrite_date_addsub(text)
         if re.search(r"\banomaly_score_", text, re.IGNORECASE):
             text = _rewrite_anomaly(text)
+        if re.fullmatch(r"(?is)\s*SELECT\s+SUM\s*\(\s*\w+\s*\)\s+FROM\s+\w+\s*;?\s*",
+                        text):
+            text = self._rewrite_wrap_sums(text)
         if re.search(r"\b(geo_path|json_encode_path)\s*\(", text, re.IGNORECASE):
             text = _rewrite_geo_path(text)
         if re.search(r"\bcount_hash\s*\(", text, re.IGNORECASE):
@@ -4522,6 +4673,11 @@ class GreptimeSQL:
                     vname = f"__range_sub_{self._subq_no}"
                 self.sql(inner).createOrReplaceTempView(vname)
                 text = text[: fm.start()] + f"FROM {vname}" + rest
+                # alias-qualified refs (tmp.val) resolve against the plain
+                # columns of the aggregated frame inside range_select —
+                # strip the qualifier (range/nest.sql:70-75)
+                text = re.sub(rf"\b{re.escape(vname)}\s*\.\s*(\w)", r"\1",
+                              text)
         if re.search(r"\bALIGN\s+['(]", text, re.IGNORECASE):
             from greptimedb_spark.range_query import parse_range_sql, range_sql
 
@@ -4663,9 +4819,19 @@ def _rewrite_anomaly(text: str) -> str:
         fn = m.group(1).lower()
         inner, rest = _balanced_paren(text[m.end() - 1:])
         om = re.match(r"\s*OVER\s*\(", rest, re.IGNORECASE)
-        if not om:
-            return text
-        win, rest2 = _balanced_paren(rest[om.end() - 1:])
+        if om:
+            win, rest2 = _balanced_paren(rest[om.end() - 1:])
+        else:
+            # named window: `OVER w … WINDOW w AS (spec)` — inline the spec
+            nm = re.match(r"\s*OVER\s+(\w+)", rest, re.IGNORECASE)
+            if not nm:
+                return text
+            wm = re.search(rf"\bWINDOW\s+{nm.group(1)}\s+AS\s*\(", text,
+                           re.IGNORECASE)
+            if not wm:
+                return text
+            win, _ = _balanced_paren(text[wm.end() - 1:])
+            rest2 = rest[nm.end():]
         win = " ".join(win.split())
         if fn == "zscore":
             repl = zscore_sql(inner.strip(), win)
