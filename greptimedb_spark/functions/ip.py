@@ -70,7 +70,10 @@ def _complete_ipv4(s: str):
     except ValueError:
         dots = s.count(".")
         pad = {0: ".0.0.0", 1: ".0.0", 2: ".0"}.get(dots, "")
-        return ipaddress.IPv4Address(s + pad)
+        try:
+            return ipaddress.IPv4Address(s + pad)
+        except ValueError:
+            return None  # non-v4 input (see _complete_ipv6 note)
 
 
 def _complete_ipv6(s: str):
@@ -79,7 +82,13 @@ def _complete_ipv6(s: str):
     try:
         return ipaddress.IPv6Address(s)
     except ValueError:
-        return ipaddress.IPv6Address(s + "::")
+        try:
+            return ipaddress.IPv6Address(s + "::")
+        except ValueError:
+            # non-v6 input (Arrow batches evaluate BOTH branches of a CASE
+            # over the whole column — ipv4 rows reach the v6 branch; the
+            # unpicked branch's value is discarded, so NULL is safe)
+            return None
 
 
 def _auto_v4_prefix(ip_str: str, addr) -> int:
@@ -139,6 +148,8 @@ def register(spark) -> None:
 
     def v4_cidr(s, mask=None):
         addr = _complete_ipv4(s)
+        if addr is None:
+            return None
         p = int(mask) if mask is not None else _auto_v4_prefix(s, addr)
         m = (0xFFFFFFFF << (32 - p)) & 0xFFFFFFFF
         return f"{ipaddress.IPv4Address(int(addr) & m)}/{p}"
@@ -147,7 +158,8 @@ def register(spark) -> None:
         if cidr is None:
             return None
         net = ipaddress.IPv4Network(cidr, strict=False)
-        return _complete_ipv4(s) in net
+        addr = _complete_ipv4(s)
+        return None if addr is None else addr in net
 
     def v6_to_num(s):
         return _complete_ipv6(s).packed
@@ -166,6 +178,8 @@ def register(spark) -> None:
 
     def v6_cidr(s, mask=None):
         addr = _complete_ipv6(s)
+        if addr is None:
+            return None
         p = int(mask) if mask is not None else _auto_v6_prefix(addr)
         m = 0 if p == 0 else ((1 << 128) - 1) ^ ((1 << (128 - p)) - 1)
         return f"{_v6_str(ipaddress.IPv6Address(int(addr) & m))}/{p}"
@@ -174,7 +188,8 @@ def register(spark) -> None:
         if cidr is None:
             return None
         net = ipaddress.IPv6Network(cidr, strict=False)
-        return _complete_ipv6(s) in net
+        addr = _complete_ipv6(s)
+        return None if addr is None else addr in net
 
     spark.udf.register("ipv4_string_to_num", _map(v4_to_num, "bigint", 1))
     spark.udf.register("ipv4_num_to_string", _map(v4_from_num, "string", 1))

@@ -249,10 +249,24 @@ def _rewrite_time_cast(text: str) -> str:
             start = kw.start(1) if kw and kw.group(1).upper() in (
                 "TIMESTAMP", "DATE") else j
         else:
-            j = i
-            while j >= 0 and (text[j].isalnum() or text[j] in "_.`"):
-                j -= 1
-            start = j + 1
+            start = i + 1
+            while True:
+                j = start - 1
+                while j >= 0 and (text[j].isalnum() or text[j] in "_.`"):
+                    j -= 1
+                start = j + 1
+                # chained cast ('x'::TIMESTAMP::TIME): the whole left cast
+                # chain is the operand (timestamp_tz.sql)
+                if start >= 2 and text[start - 2:start] == "::":
+                    p = start - 3
+                    while p >= 0 and text[p].isspace():
+                        p -= 1
+                    if p >= 0 and text[p] == "'":
+                        start = text.rfind("'", 0, p)
+                        break
+                    start -= 2
+                    continue
+                break
         operand = text[start:end].strip()
         text = text[:start] + fmt(operand) + text[m.end():]
 
@@ -2149,6 +2163,12 @@ class GreptimeSQL:
             del self._views[name]
             self.spark.catalog.dropTempView(name)
             return self._empty_ok()
+        sm = re.match(
+            r"^\s*SELECT\s+((?:FLUSH|COMPACT)_TABLE|FLUSH_FLOW|BUILD_INDEX)"
+            r"\s*\((.*)\)\s*;?\s*$", stmt, re.IGNORECASE | re.DOTALL)
+        if sm:
+            # legacy SELECT-form of the admin functions (flush_compact_table)
+            stmt = f"ADMIN {sm.group(1)}({sm.group(2)})"
         m = self._ADMIN_RE.match(stmt)
         if m:
             fn, target = m.group(1).lower(), m.group(2)
@@ -2862,6 +2882,20 @@ class GreptimeSQL:
             )
         return text
 
+
+    def _rewrite_arrow_typeof(self, text: str) -> str:
+        """arrow_typeof(expr) → the DataFusion type-name string, resolved by
+        probing the expression's Spark schema (decimal_arithmetic.sql)."""
+        while True:
+            m = re.search(r"\barrow_typeof\s*\(", text, re.IGNORECASE)
+            if not m:
+                return text
+            inner, rest = _balanced_paren(text[m.end() - 1:])
+            try:
+                dt = self.spark.sql(f"SELECT {inner}").schema[0].dataType
+            except Exception:
+                return text
+            text = text[:m.start()] + f"'{_arrow_type_name(dt)}'" + rest
 
     def _rewrite_wrap_sums(self, text: str) -> str:
         """SUM over an integer column follows DataFusion's wrapping i64
@@ -4044,7 +4078,7 @@ class GreptimeSQL:
             text, lambda seg: re.sub(r"\bcount\s*\(\s*\)", "count(*)", seg,
                                      flags=re.IGNORECASE))
         text = _map_outside_strings(
-            text, lambda seg: re.sub(r"\bIF\s*\(\s*(\(?-?\d+\)?)\s*,",
+            text, lambda seg: re.sub(r"\bIF\s*\(\s*(\(?-?\d+(?:\.\d+)?\)?)\s*,",
                                      r"IF((\1) <> 0,", seg,
                                      flags=re.IGNORECASE))
         if re.search(r"~\*?\s*'", text) and not re.match(r"\s*TQL\b", text,
@@ -4067,19 +4101,19 @@ class GreptimeSQL:
                     "autocommit": "1", "session.auto_increment_increment": "1"}
             return self.spark.createDataFrame(
                 [(vals.get(var, ""),)], f"`@@{m.group(1)}` string")
-        # Postgres DISTINCT ON (keys): first row per key group under the
-        # statement's ORDER BY (aggregate/distinct.result)
-        m = re.match(
-            r"(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]+)\)\s+(.*?)\s+"
-            r"FROM\s+(\w+)\s+ORDER\s+BY\s+(.+?)\s*;?\s*$", text)
+        # DataFusion coerces mixed int/string literal UNION arms to string
+        # (basic_setops.sql `SELECT 1 UNION ALL SELECT 'asdf'`)
+        m = re.fullmatch(
+            r"(?is)\s*SELECT\s+(-?\d+)\s+UNION(\s+ALL)?\s+SELECT\s+('[^']*')\s*;?\s*",
+            text)
         if m:
-            keys, sel, tbl, order = (m.group(1).strip(), m.group(2).strip(),
-                                     m.group(3), m.group(4).strip())
-            if sel == "*":
-                sel = "* EXCEPT(__don)"
-            text = (f"SELECT {sel} FROM (SELECT *, row_number() OVER "
-                    f"(PARTITION BY {keys} ORDER BY {order}) AS __don FROM "
-                    f"{tbl}) WHERE __don = 1 ORDER BY {keys}")
+            text = (f"SELECT CAST({m.group(1)} AS STRING)"
+                    f" UNION{m.group(2) or ''} SELECT {m.group(3)}")
+        # Postgres DISTINCT ON (keys): first row per key group under the
+        # scope's ORDER BY (aggregate/distinct.result; nested form in
+        # window/latest_per_series.sql)
+        if re.search(r"(?is)\bDISTINCT\s+ON\s*\(", text):
+            text = _rewrite_distinct_on(text)
         if not re.match(r"\s*(CREATE|ALTER)\b", text, re.IGNORECASE):
             # CAST(x AS TIMESTAMP(p)): Spark's TIMESTAMP takes no precision
             # (declared-column precision is handled at CREATE)
@@ -4097,6 +4131,20 @@ class GreptimeSQL:
         if _TIME_CAST_RE.search(text):
             text = _rewrite_time_cast(text)
         text = _rewrite_colon_cast(text)
+        if re.search(r"\bELT\s*\(", text, re.IGNORECASE):
+            # MySQL ELT: 1-based pick, NULL outside range (mysql_compat.sql);
+            # Spark's elt raises under ANSI — 0-based `get` returns NULL
+            while True:
+                em = re.search(r"\bELT\s*\(", text, re.IGNORECASE)
+                if not em:
+                    break
+                inner, rest = _balanced_paren(text[em.end() - 1:])
+                args = _split_top_args(inner)
+                text = (text[:em.start()]
+                        + f"get(array({', '.join(args[1:])}), ({args[0]}) - 1)"
+                        + rest)
+        if re.search(r"\barrow_typeof\s*\(", text, re.IGNORECASE):
+            text = self._rewrite_arrow_typeof(text)
         m = self._SET_TZ_RE.match(text.strip().rstrip(";"))
         if m:
             self.tz_offset_ms = _tz_offset_ms(m.group(1))
@@ -4240,7 +4288,7 @@ class GreptimeSQL:
             # information_schema surface reports it (tables.result)
             self._current_db = um.group(1).lower()
             return self._empty_ok()
-        for d in getattr(self, "_databases", set()):
+        for d in set(getattr(self, "_databases", set())) | {"public", "greptime"}:
             # bare, double-quoted, or backticked schema prefixes all drop
             # (keywords_expressions: `"SCHEMA"."TABLE"`)
             text = _map_outside_strings(
@@ -4694,6 +4742,57 @@ class GreptimeSQL:
                 tz_offset_ms=getattr(self, "tz_offset_ms", 0),
             )
         return self.spark.sql(text)
+
+
+def _rewrite_distinct_on(text: str) -> str:
+    """SELECT DISTINCT ON (keys) … FROM t ORDER BY … → row_number window,
+    applied to each scope (top level or inside a subquery's parens)."""
+    while True:
+        m = re.search(r"(?is)\bSELECT\s+DISTINCT\s+ON\s*\(", text)
+        if not m:
+            return text
+        keys, rest = _balanced_paren(text[text.index("(", m.end() - 2):])
+        # scope ends at the enclosing ')' (subquery) or end of statement
+        depth, end = 0, len(rest)
+        for idx, ch in enumerate(rest):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    end = idx
+                    break
+        body = rest[:end].rstrip().rstrip(";")
+        bm = re.match(r"(?is)\s*(.*?)\s+FROM\s+(\w+)(\s+WHERE\s+.+?)?"
+                      r"\s+ORDER\s+BY\s+(.+?)\s*$", body)
+        if not bm:
+            return text
+        sel, tbl, where, order = (bm.group(1).strip(), bm.group(2),
+                                  bm.group(3) or "", bm.group(4).strip())
+        if sel == "*":
+            sel = "* EXCEPT(__don)"
+        repl = (f"SELECT {sel} FROM (SELECT *, row_number() OVER "
+                f"(PARTITION BY {keys} ORDER BY {order}) AS __don FROM "
+                f"{tbl}{where}) WHERE __don = 1 ORDER BY {keys}")
+        text = text[:m.start()] + repl + rest[end:]
+
+
+def _arrow_type_name(dt) -> str:
+    """Spark DataType → DataFusion/Arrow display name (arrow_typeof)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return f"Decimal128({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.TimestampType):
+        return "Timestamp(Microsecond, None)"
+    if "interval" in dt.simpleString().lower():
+        return "Interval(MonthDayNano)"
+    return {
+        "long": "Int64", "integer": "Int32", "short": "Int16",
+        "byte": "Int8", "double": "Float64", "float": "Float32",
+        "string": "Utf8", "boolean": "Boolean", "date": "Date32",
+        "binary": "Binary",
+    }.get(dt.typeName(), dt.simpleString())
 
 
 def _tz_offset_ms(tz: str) -> int:

@@ -153,6 +153,13 @@ def _parse_result_file(path: str):
             elif line == "++":
                 expected = ([], [])
                 i += 2  # '++' twice = zero-column empty table
+            elif line.startswith("+") and not re.fullmatch(r"[+-]+", line):
+                # a REPLACE directive collapsed the golden table into opaque
+                # text (function/time.sql `REPLACE [\s\-]+`): consume the
+                # block so the next statement parses cleanly
+                expected = "error"
+                while i < len(lines) and lines[i].strip():
+                    i += 1
             elif line.startswith("+"):
                 # slice rows at the BORDER's '+' offsets — cell data may
                 # itself contain '|' (e.g. concat_ws('|', …)), so splitting
@@ -231,6 +238,10 @@ def _norm_cell(v):
     dur = _canon_duration(v)
     if dur is not None:
         return dur
+    if isinstance(v, str):
+        ext = _canon_ext_ts(v)
+        if ext is not None:
+            return ext
     if isinstance(v, (bytes, bytearray)):
         # reference renders binary as lowercase hex; empty renders blank
         return bytes(v).hex() or None
@@ -274,6 +285,39 @@ def _norm_cell(v):
     # ascii-table cells lose edge whitespace in the golden parser —
     # normalize engine strings the same way (all-space reads as NULL)
     return s.strip() or None
+
+
+def _collect(df):
+    """collect(), retrying with timestamp columns cast to strings when the
+    values exceed python datetime's year range (timestamp.sql stores year
+    ±262143 — fine in Spark's µs int64, unrepresentable in datetime)."""
+    try:
+        return df.collect()
+    except Exception as e:
+        if "out of range" not in str(e):
+            raise
+        from pyspark.sql import functions as F
+        cols = [F.col(f.name).cast("string").alias(f.name)
+                if f.dataType.typeName().startswith("timestamp")
+                else F.col(f.name) for f in df.schema.fields]
+        return df.select(cols).collect()
+
+
+_EXT_YEAR_TS_RE = re.compile(
+    r"([+-]?\d{4,7})-(\d{2})-(\d{2})[T ](\d{2}:\d{2}:\d{2})(\.\d+)?")
+
+
+def _canon_ext_ts(s: str):
+    """Canonical form for extended-year timestamp strings (beyond datetime's
+    range): T separator, fraction with trailing zeros trimmed."""
+    m = _EXT_YEAR_TS_RE.fullmatch(s.strip())
+    if not m:
+        return None
+    y = int(m.group(1))
+    if -9999 <= y <= 9999 and not m.group(1).startswith("+"):
+        return None  # normal range — datetime parsing handles it
+    frac = (m.group(5) or "").rstrip("0").rstrip(".")
+    return f"{m.group(1)}-{m.group(2)}-{m.group(3)}T{m.group(4)}{frac}"
 
 
 def _render_cell(v):
@@ -393,7 +437,7 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
             time.sleep(min(s, 8))
         try:
             df = g.sql(stmt)
-            rows = df.collect() if expected is not None else []
+            rows = _collect(df) if expected is not None else []
         except Exception as e:  # unsupported dialect/semantics — counted
             # separately from pattern-skips so a new exception fails the
             # ledger ratchet instead of silently demoting to a skip
