@@ -190,6 +190,88 @@ def register_udd(spark) -> None:
     spark.udf.register("uddsketch_merge", _udd_merge_agg)
     spark.udf.register("uddsketch_calc", _udd_calc)
 
+def register_weighted_pct(spark) -> None:
+    """approx_percentile_cont[_with_weight] / approx_median as pure-SQL temp
+    functions over a sorted (value, weight) array — stays in whole-stage
+    codegen and composes with any other aggregate in the same SELECT (a
+    pandas GROUPED_AGG UDAF cannot).
+
+    Reproduces DataFusion's t-digest EXACTLY (single-node, single-batch
+    semantics, which is what the sqlness goldens pin): the centroid
+    compression fold of merge_sorted_f64 with max_size=100 and the k_to_q
+    scale function, then estimate_quantile's neighbour interpolation clamped
+    to the branch-specific [min, max]
+    (datafusion physical-expr tdigest.rs, ported from the tdigest crate;
+    verified against aggregate/approx_percentile_cont{,_with_weight}.result
+    and aggregate/approx_median.result incl. the 1000-row compressed case)."""
+    # merge_sorted_f64's compression loop as an aggregate() fold: state =
+    # (cs compressed, cm/cw current centroid, wsf weight_so_far, k k_limit,
+    # sm/wm sums-and-weights pending merge into the current centroid)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gt_td_compress("
+        "a ARRAY<STRUCT<v: DOUBLE, w: DOUBLE>>, W DOUBLE) "
+        "RETURNS ARRAY<STRUCT<m: DOUBLE, w: DOUBLE>> RETURN "
+        "aggregate(slice(a, 2, greatest(size(a) - 1, 0)), "
+        "struct(CAST(array() AS ARRAY<STRUCT<m: DOUBLE, w: DOUBLE>>) AS cs, "
+        "get(a, 0).v AS cm, get(a, 0).w AS cw, get(a, 0).w AS wsf, 1D AS k, "
+        "0D AS sm, 0D AS wm), "
+        "(st, x) -> CASE WHEN st.wsf + x.w <= "
+        "(CASE WHEN st.k / 100D >= 0.5D "
+        "THEN 1D - 2D * pow(1D - st.k / 100D, 2) "
+        "ELSE 2D * pow(st.k / 100D, 2) END) * W THEN "
+        "struct(st.cs AS cs, st.cm AS cm, st.cw AS cw, st.wsf + x.w AS wsf, "
+        "st.k AS k, st.sm + x.v * x.w AS sm, st.wm + x.w AS wm) "
+        "ELSE struct(array_append(st.cs, "
+        "struct((st.sm + st.cw * st.cm) / (st.cw + st.wm) AS m, "
+        "st.cw + st.wm AS w)) AS cs, x.v AS cm, x.w AS cw, "
+        "st.wsf + x.w AS wsf, st.k + 1D AS k, 0D AS sm, 0D AS wm) END, "
+        "st -> array_append(st.cs, "
+        "struct((st.sm + st.cw * st.cm) / (st.cw + st.wm) AS m, "
+        "st.cw + st.wm AS w)))")
+    # estimate_quantile: pos = largest centroid whose exclusive weight
+    # prefix <= rank (equivalent to both of the reference's scan
+    # directions); interpolate against the neighbour means, clamp to the
+    # branch min/max
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gt_td_cums("
+        "cs ARRAY<STRUCT<m: DOUBLE, w: DOUBLE>>) RETURNS ARRAY<DOUBLE> "
+        "RETURN aggregate(cs, array(0D), "
+        "(ac, x) -> array_append(ac, ac[size(ac)-1] + x.w))")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gt_td_pos("
+        "cs ARRAY<STRUCT<m: DOUBLE, w: DOUBLE>>, rank DOUBLE) RETURNS INT "
+        "RETURN size(filter(sequence(1, size(cs)), "
+        "i -> element_at(gt_td_cums(cs), i) <= rank))")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gt_td_interp("
+        "cs ARRAY<STRUCT<m: DOUBLE, w: DOUBLE>>, rank DOUBLE, p INT, "
+        "mn DOUBLE, mx DOUBLE) RETURNS DOUBLE RETURN "
+        "least(greatest("
+        "element_at(cs, p).m + ((rank - element_at(gt_td_cums(cs), p)) "
+        "/ element_at(cs, p).w - 0.5D) * CASE WHEN size(cs) <= 1 THEN 0D "
+        "WHEN p = 1 THEN element_at(cs, 2).m - element_at(cs, 1).m "
+        "WHEN p = size(cs) THEN element_at(cs, p).m - element_at(cs, p-1).m "
+        "ELSE (element_at(cs, p+1).m - element_at(cs, p-1).m) / 2D END, "
+        "CASE WHEN size(cs) <= 1 OR p = 1 THEN mn "
+        "ELSE element_at(cs, p-1).m END), "
+        "CASE WHEN size(cs) <= 1 OR p = size(cs) THEN mx "
+        "ELSE element_at(cs, p+1).m END)")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gt_td_est("
+        "cs ARRAY<STRUCT<m: DOUBLE, w: DOUBLE>>, q DOUBLE, W DOUBLE, "
+        "mn DOUBLE, mx DOUBLE) RETURNS DOUBLE RETURN "
+        "gt_td_interp(cs, q * W, gt_td_pos(cs, q * W), mn, mx)")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gt_apcw("
+        "a ARRAY<STRUCT<v: DOUBLE, w: DOUBLE>>, q DOUBLE) RETURNS DOUBLE "
+        "RETURN CASE WHEN a IS NULL OR size(a) = 0 THEN NULL "
+        "WHEN q >= 1D THEN get(a, size(a)-1).v "
+        "WHEN q <= 0D THEN get(a, 0).v "
+        "ELSE gt_td_est("
+        "gt_td_compress(a, aggregate(a, 0D, (ac, x) -> ac + x.w)), q, "
+        "aggregate(a, 0D, (ac, x) -> ac + x.w), "
+        "get(a, 0).v, get(a, size(a)-1).v) END")
+
 
 def count_hash(*cols) -> Column:
     """count(distinct hash(tuple)) — sampling-friendly distinct counter."""

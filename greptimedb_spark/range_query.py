@@ -335,10 +335,21 @@ def _origin_ms(to: str | int | None) -> int:
 # same effect, no engine hooks needed).
 # ---------------------------------------------------------------------------
 
-# three nesting levels inside the aggregate call (min(floor(CAST(v AS
+# bounded nesting inside the aggregate call (min(floor(CAST(v AS
 # double)))); a parenthesized group before RANGE distributes the range to
-# every aggregate inside ((min(val)+max(val)) RANGE '20s', range/calculate)
-_NEST3 = r"\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
+# every aggregate inside ((min(val)+max(val)) RANGE '20s', range/calculate).
+# Depth 6 covers the approx_percentile_cont lowering
+# (gt_apcw(array_sort(collect_list(CASE … struct(CAST(…)) …)), q)).
+
+
+def _nest_pat(depth: int) -> str:
+    pat = r"[^()]*"
+    for _ in range(depth - 1):
+        pat = rf"(?:[^()]|\({pat}\))*"
+    return rf"\({pat}\)"
+
+
+_NEST3 = _nest_pat(6)
 _RANGE_RE = re.compile(
     rf"(?P<agg>\w+\s*{_NEST3}|{_NEST3})\s+RANGE\s+"
     r"(?:'(?P<range>[^']+)'|"

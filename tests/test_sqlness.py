@@ -61,9 +61,8 @@ def _record_ledger(case: str, checked: int, skipped: int, errored: int,
 
 # reference-dialect fragments our shim does not translate (skipped, counted)
 _SKIP_PATTERNS = [
-    r"TO\s+NOW",      # nondeterministic origin
+    r"TO\s+NOW\b",    # nondeterministic origin (RANGE … ALIGN … TO NOW)
     r"\bgcd\b",       # DataFusion-only scalar in calculate.sql
-    r"median\s*\([^)]*\)\s*::",  # DataFusion int-median returns int (no interp)
     # approximate-sketch ESTIMATES differ by engine (Spark HLL vs DataFusion
     # HLL) once the input exceeds the exact range — values can't match
     r"APPROX_DISTINCT\(a\).*FROM\s+large_test",
@@ -140,10 +139,15 @@ def _parse_result_file(path: str):
         expected = None
         if i < len(lines):
             line = lines[i].strip()
-            if line.startswith("Affected Rows"):
+            if line.startswith("Affected Rows") or \
+                    line.startswith("affected_rows"):
+                # second spelling: mysql-protocol transcript (mysql_insert)
                 expected = None
                 i += 1
-            elif line.startswith("Error"):
+            elif line.startswith("Error") or line.startswith(
+                    "Failed to execute query"):
+                # "Failed to execute query, err: MySqlError…" is the
+                # mysql-protocol error transcript form (read_preference.sql)
                 expected = "error"
                 i += 1
                 # multi-line error bodies ("Candidate functions:" etc.)
@@ -617,13 +621,18 @@ _CONFORMANCE_CASES = [
     ("window/percent_functions", 3),
     ("aggregate/avg", 4),
     ("aggregate/approx_distinct", 2),
+    # t-digest compression + estimate reproduced exactly (functions/sketch.py
+    # register_weighted_pct) — zero known-diffs since round 4
+    ("aggregate/approx_median", 11),
+    ("aggregate/approx_percentile_cont", 16),
+    ("aggregate/approx_percentile_cont_with_weight", 11),
     ("aggregate/bit_operations", 7),
     ("aggregate/corr", 4),
     ("aggregate/covar", 5),
     ("aggregate/distinct", 7),
     ("aggregate/distinct_order_by", 4),
     ("aggregate/first_last", 15),
-    ("aggregate/median", 4),
+    ("aggregate/median", 10),
     ("aggregate/regression", 8),
     ("aggregate/stddev", 18),
     ("order/order_by", 25),
@@ -881,15 +890,46 @@ _CONFORMANCE_CASES = [
     ("types/timestamp/timestamp_limits", 1),
     ("types/timestamp/timestamp_tz", 1),
     ("window/latest_per_series", 4),
+    # round-4 additions: previously uncovered reference files now green
+    ("aggregate/multi_regions", 0),
+    ("alter/alter_append_mode", 4),
+    ("alter/alter_table_default", 3),
+    ("alter/alter_physical_table", 4),
+    ("alter/change_col_fulltext_options", 19),
+    ("create/create_if_not_exists", 0),
+    ("create/create_with_options", 0),
+    ("create/metric_engine_partition", 7),
+    ("flow/flow_more_usecase", 0),
+    ("flow/flow_scheduled_late_overlap", 1),
+    ("flow/flow_scheduled_now_boundary", 1),
+    ("flow/flow_sink_schema_mismatch", 0),
+    ("flow/flow_view", 3),
+    ("function/admin/build_index_table_error", 0),
+    ("function/system", 2),
+    ("information_schema/procedure_info", 1),
+    ("information_schema/region_peers", 1),
+    ("information_schema/region_statistics", 2),
+    ("insert/mysql_insert", 1),
+    ("insert/nullable_tag", 1),
+    ("insert/physical_metric_table_insert", 0),
+    ("range/error", 1),
+    ("show/show_process_list", 2),
+    ("show/show_region", 3),
+    ("system/max_execution_time", 1),
+    ("system/read_preference", 1),
+    ("system/semantic_graph", 7),
+    ("types/timestamp/incorrect_timestamp", 0),
+    ("types/timestamp/timestamp_precision_display", 0),
 ]
-# flow files NOT in the battery (every checkable statement skips): flow_view
-# (flows over CREATE VIEW sources), flow_sink_schema_mismatch /
-# flow_scheduled_* (error-text goldens), flow_more_usecase (SHOW CREATE
-# TABLE only).  flow/flow_status IS in the battery (partial statement set).
+# flow files NOT in the battery: (none left — flow_view, the flow_scheduled_*
+# pair, flow_sink_schema_mismatch, flow_more_usecase and flow_advance_ttl
+# joined in round 4; scheduled EVAL INTERVAL flows evaluate lazily at sink
+# read).  flow/flow_status IS in the battery (partial statement set).
 # DDL files NOT in the battery, with reasons:
-# - alter/alter_table, alter/alter_table_default, alter/alter_append_mode:
-#   pin greptime's lazy-cast internals ("wired behavior due to underlying
-#   column data is unchanged") — the Spark design rewrites on ALTER instead
+# - alter/alter_table: pins greptime's lazy-cast internals ("wired behavior
+#   due to underlying column data is unchanged") — the Spark design rewrites
+#   on ALTER instead (alter_table_default + alter_append_mode joined the
+#   battery in round 4)
 # - alter/alter_metric_table, create/create_metric_table,
 #   insert/logical_metric_table, ttl/metric_engine_ttl and
 #   ttl/database_ttl_with_metric_engine ARE in the battery now
@@ -924,9 +964,6 @@ _CONFORMANCE_CASES = [
 # Files verified end-to-end but carrying a handful of statements whose golden
 # output the exact engine cannot reproduce — each with the reason, skipped via
 # known_diffs rather than dropped from the battery:
-# - aggregate/approx_*: DataFusion's t-digest centroid artifacts (e.g.
-#   approx_median of [1,2,4,5] → 3 from interpolation, grouped medians off by
-#   one) — our approx_percentile is rank-based and exact on these sizes
 # - subquery/offset: scalar subquery with OFFSET and no ORDER BY returns zero
 #   rows in DataFusion; Spark returns the NULL scalar
 # - create/create_metric_table + insert/logical_metric_table: all metric
@@ -961,12 +998,6 @@ _CONFORMANCE_CASES_KNOWN_DIFFS = [
         "ts_ns_bug WHERE ts <= '2026-06-02 03:50:00' ORDER BY ts",
         "ts_ns_bug WHERE ts = '2026-06-02 03:50:00.000000195'",
         "ts_ns_bug WHERE ts > '2026-06-02 03:50:00' ORDER BY ts")),
-    ("aggregate/approx_median", 9, (
-        "approx_median(i) FROM even_test",
-        "SELECT median(val), approx_median(val) FROM dup_test")),
-    ("aggregate/approx_percentile_cont", 12, (
-        "ORDER BY d",
-        "FROM approx_groups GROUP BY grp")),
     ("subquery/offset", 2, ("FROM temp_values OFFSET 1)",)),
     # flow_advance_ttl's goldens carry a newer auto-sink comment string
     # ('Sink table for flow flow-id=N') than flow_basic's ('Auto created
