@@ -7,7 +7,8 @@ Each processor here rewrites columns with JVM expressions only, so a whole
 pipeline stays inside the scan stage — the natural Spark shape for a
 write-path ETL that must keep up with ingest at 100 TB.
 
-cmcd/vrl are intentionally out of scope (CDN-specific / embedded scripting).
+vrl is intentionally out of scope (an embedded scripting language);
+cmcd is implemented as typed column extraction (17/18 processors).
 """
 
 from __future__ import annotations
@@ -156,6 +157,44 @@ def urlencoding(col: str, method: str = "decode") -> Processor:
 
     def proc(df: DataFrame) -> DataFrame:
         return df.withColumn(col, fn(F.col(col)))
+
+    return proc
+
+
+# CMCD (Common Media Client Data, CTA-5004) reserved keys and their value
+# types (reference processor/cmcd.rs CMCD_KEYS): int kbps/ms counters,
+# presence-booleans, raw tokens/quoted strings, the url-encoded `nor`
+# path, and the decimal playback rate.
+_CMCD_INT_KEYS = ("br", "bl", "d", "dl", "mtp", "rtp", "tb")
+_CMCD_BOOL_KEYS = ("bs", "su")
+_CMCD_STR_KEYS = ("cid", "nrr", "ot", "sf", "sid", "st", "v")
+
+
+def cmcd(src: str) -> Processor:
+    """Parse a CMCD payload (already url-decoded, as the reference's
+    processor receives it) into typed `{src}_{key}` columns
+    (processor/cmcd.rs parse()): `k=v` pairs split on commas; boolean keys
+    are true by presence alone; string values keep their quotes; `nor` gets
+    one extra url-decode; unknown/custom keys are not resolved. Columnar
+    deviation: absent keys surface as NULL columns rather than missing map
+    entries, and unparseable ints become NULL instead of failing the row."""
+
+    def _val(k: str) -> Column:
+        ex = F.regexp_extract(F.col(src), rf"(?:^|,)\s*{k}=([^,]*)", 1)
+        return F.when(ex != "", ex)
+
+    def proc(df: DataFrame) -> DataFrame:
+        for k in _CMCD_INT_KEYS:
+            df = df.withColumn(f"{src}_{k}", _val(k).cast("long"))
+        for k in _CMCD_BOOL_KEYS:
+            df = df.withColumn(
+                f"{src}_{k}",
+                F.when(F.col(src).rlike(rf"(?:^|,)\s*{k}(?:=|,|$)"),
+                       F.lit(True)))
+        for k in _CMCD_STR_KEYS:
+            df = df.withColumn(f"{src}_{k}", _val(k))
+        df = df.withColumn(f"{src}_nor", F.url_decode(_val("nor")))
+        return df.withColumn(f"{src}_pr", _val("pr").cast("double"))
 
     return proc
 

@@ -1240,6 +1240,18 @@ class GreptimeSQL:
                 skip_wal_since=0 if str(opts.get("skip_wal", "")
                                         ).lower() == "true" else None,
             )
+            try:
+                clash = self.catalog.meta(name)
+            except FileNotFoundError:
+                clash = None
+            if clash is not None and (
+                    getattr(clash, "schema_name", "public") or "public"
+            ) != getattr(self, "_current_db", "public"):
+                # same table name in a DIFFERENT schema: store under a
+                # schema-scoped key; displays strip the prefix
+                # (information_schema/tables.sql: abc.t and abcde.t coexist)
+                meta.name = f"__{getattr(self, '_current_db', 'public')}__{name}"
+                name = meta.name
             self.catalog.create_table(meta, if_not_exists="IF NOT EXISTS" in text.upper())
             if phys:
                 # metric-engine logical table: the physical table auto-grows
@@ -1740,8 +1752,18 @@ class GreptimeSQL:
     )
 
     def _resolve_table(self, name: str) -> str:
-        """Resolve a table reference: exact, then case-insensitive (unquoted
-        identifiers are lowercased by the reference's parser)."""
+        """Resolve a table reference: the current schema's scoped key first
+        (same-named tables in different schemas store under
+        ``__{schema}__{name}``, information_schema/tables.sql), then exact,
+        then case-insensitive (unquoted identifiers are lowercased by the
+        reference's parser)."""
+        cur = getattr(self, "_current_db", "public")
+        if cur != "public" and not name.startswith("__"):
+            try:
+                self.catalog.meta(f"__{cur}__{name}")
+                return f"__{cur}__{name}"
+            except FileNotFoundError:
+                pass
         try:
             self.catalog.meta(name)
             return name
@@ -1750,6 +1772,21 @@ class GreptimeSQL:
                 if t.lower() == name.lower():
                     return t
             raise
+
+    def _display_name(self, key: str, meta=None) -> str:
+        """Catalog key → user-facing table name (strips the
+        ``__{schema}__`` prefix of schema-scoped keys)."""
+        if key.startswith("__"):
+            sch, sep, rest = key[2:].partition("__")
+            if sep and rest:
+                if meta is None:
+                    try:
+                        meta = self.catalog.meta(key)
+                    except FileNotFoundError:
+                        return key
+                if (getattr(meta, "schema_name", "public") or "public") == sch:
+                    return rest
+        return key
 
     def _col_entries(self, name: str) -> list:
         """Declared column entries [name, spark_type, decl, default, not_null]
@@ -1984,8 +2021,9 @@ class GreptimeSQL:
                                      and tdb not in getattr(
                                          self, "_databases", {})):
                         rows_src.append(
-                            (n, getattr(self.catalog.meta(n), "engine",
-                                        "mito")))
+                            (self._display_name(n),
+                             getattr(self.catalog.meta(n), "engine",
+                                     "mito")))
             if m.group(2):
                 pat = ("^" + m.group(2).replace("%", ".*")
                        .replace("_", ".") + "$")
@@ -2028,7 +2066,7 @@ class GreptimeSQL:
                     if tdb != "public" and tdb not in known_dbs:
                         tdb = "public"
                     if tdb == db:
-                        kinds[n] = "BASE TABLE"
+                        kinds[self._display_name(n)] = "BASE TABLE"
                 if db == "public":
                     kinds["numbers"] = "LOCAL TEMPORARY"  # built-in table
                     for v in getattr(self, "_views", {}):
@@ -2439,13 +2477,12 @@ class GreptimeSQL:
                 append_mode=False,
                 columns=entries,
                 # pre-quoted key: flow-created comments render as a quoted
-                # WITH option ('comment' = '…'). Scheduled flows (EVAL
-                # INTERVAL) stamp the flow id (flow_advance_ttl goldens);
-                # plain flows use the generic string (flow_basic goldens)
-                with_opts={"'comment'": (
-                    "Sink table for flow flow-id=1024"
-                    if re.search(r"EVAL\s+INTERVAL", stmt or "", re.IGNORECASE)
-                    else "Auto created table by flow engine")},
+                # WITH option ('comment' = '…'). Always the generic string:
+                # flow_advance_ttl's goldens carry a newer per-flow-id
+                # comment one engine version can't emit alongside
+                # flow_basic's — that statement stays under known_diffs
+                with_opts={"'comment'":
+                           "Auto created table by flow engine"},
             )
             self.catalog.create_table(meta, if_not_exists=True)
             self.catalog.read(sink).createOrReplaceTempView(sink)
@@ -3266,7 +3303,8 @@ class GreptimeSQL:
         for i, t in enumerate(sorted(self.catalog.list_tables())):
             meta = self.catalog.meta(t)
             rows.append(row(
-                getattr(meta, "schema_name", "public") or "public", t,
+                getattr(meta, "schema_name", "public") or "public",
+                self._display_name(t, meta),
                 "BASE TABLE", 1024 + i,
                 "metric" if _is_metric_engine(meta) else "mito",
                 meta.comment, "N",
@@ -3313,7 +3351,7 @@ class GreptimeSQL:
                 sem = "TIMESTAMP" if is_ti else ("TAG" if is_tag else "FIELD")
                 key = ("TIME INDEX" if is_ti else ("PRI" if is_tag else ""))
                 rows.append((
-                    "greptime", sch, t, c, pos,
+                    "greptime", sch, self._display_name(t, meta), c, pos,
                     _gt_sql_type(decl).lower(), _gt_display_type(decl), sem,
                     "NO" if (not_null or is_ti) else "YES",
                     _canon_default(default) if default else None,
@@ -3964,21 +4002,6 @@ class GreptimeSQL:
                 _from_logical=True)
             self._refresh_table_view(t)
         self._refresh_views()
-        # scheduled-flow auto-sinks recover under the flow engine's generic
-        # comment after a restart (flow_advance_ttl.result: pre-restart
-        # 'Sink table for flow flow-id=N', post-restart 'Auto created …')
-        for fl in getattr(self, "_flows", {}).values():
-            sink = fl.get("sink")
-            if not fl.get("auto_sink") or not sink:
-                continue
-            try:
-                meta = self.catalog.meta(sink)
-            except FileNotFoundError:
-                continue
-            opts = dict(meta.with_opts or {})
-            if "flow-id=" in str(opts.get("'comment'", "")):
-                opts["'comment'"] = "Auto created table by flow engine"
-                self.catalog._update_meta(sink, with_opts=opts)
 
     def _show_create_table(self, name: str):
         """Render the reference's SHOW CREATE TABLE output (reference

@@ -189,6 +189,35 @@ def test_pipeline_processors(spark):
     assert out.route == "GET /v1/users"
 
 
+def test_pipeline_cmcd(spark):
+    """Vectors from the reference's cmcd.rs test_cmcd (inputs url-decoded
+    first, exactly as the reference harness does)."""
+    from urllib.parse import unquote
+
+    rows = [
+        (unquote("br%3D3200%2Cbs%2Cd%3D4004%2Cmtp%3D25400%2Cot%3Dv%2C"
+                 "rtp%3D15000%2Csid%3D%226e2fb550-c457-11e9-bb97-0800200c9a66"
+                 "%22%2Ctb%3D6000"),),
+        (unquote("bs%2Csu"),),
+        (unquote("nor%3D%22..%252F300kbps%252Fsegment35.m4v%22%2C"
+                 "sid%3D%226e2fb550-c457-11e9-bb97-0800200c9a66%22"),),
+        (unquote("d%3D4004%2Ccom.example-myNumericKey%3D500"),),
+    ]
+    df = spark.createDataFrame(rows, "c string")
+    out = P.cmcd("c")(df).collect()
+    r0, r1, r2, r3 = out
+    assert (r0.c_br, r0.c_d, r0.c_mtp, r0.c_rtp, r0.c_tb) == (
+        3200, 4004, 25400, 15000, 6000)
+    assert r0.c_bs is True and r0.c_su is None
+    assert r0.c_ot == "v"
+    assert r0.c_sid == '"6e2fb550-c457-11e9-bb97-0800200c9a66"'
+    assert r1.c_bs is True and r1.c_su is True and r1.c_br is None
+    assert r2.c_nor == '"../300kbps/segment35.m4v"'
+    assert r2.c_sid == '"6e2fb550-c457-11e9-bb97-0800200c9a66"'
+    # custom keys are not resolved (no c_com… column; d still parses)
+    assert r3.c_d == 4004
+
+
 def test_pipeline_csv(spark):
     df = spark.createDataFrame([("a|b|c",)], "line string")
     out = P.csv_parse("line", ["x", "y", "z"], sep="|")(df).collect()[0]

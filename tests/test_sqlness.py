@@ -434,6 +434,25 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
         if any(k in stmt for k in known_diffs):
             skipped += 1
             continue
+        if expected == "error" and re.match(
+                r"^\s*(SELECT|WITH|VALUES)\b", stmt, re.IGNORECASE) and \
+                not any(re.search(p, stmt, re.IGNORECASE)
+                        for p in _SKIP_PATTERNS):
+            # error-parity check for read-only statements: the reference
+            # rejects this statement, so must we. Statements our ANSI-off
+            # engine is deliberately lenient on (e.g. 'nan'::DECIMAL casts
+            # return NULL where DataFusion raises) count as skips, not
+            # failures. DDL/DML error-goldens stay skipped — executing one
+            # that our engine accepts would mutate state the later goldens
+            # depend on.
+            try:
+                df = g.sql(stmt)
+                if df is not None:
+                    _collect(df)
+                skipped += 1  # lenient where the reference errors
+            except Exception:
+                checked += 1  # error parity verified
+            continue
         if any(re.search(p, stmt, re.IGNORECASE) for p in _SKIP_PATTERNS) or expected == "error":
             skipped += 1
             continue
@@ -887,6 +906,13 @@ _CONFORMANCE_CASES = [
     ("types/string/unicode", 6),
     ("types/string/unicode_extended", 7),
     ("types/timestamp/timestamp_join", 1),
+    # scan_big_varchar doubles the table with ts = to_unixtime(ts) * prime
+    # until the second-precision values pass the i64-MICROsecond ceiling
+    # Spark timestamps store — the tail INSERTs (×53 onward) overflow at the
+    # parquet write and the following COUNT goldens can't be reached (13
+    # errored pinned in the ledger; same µs-int64 class as
+    # ts_precision_comparison's known-diffs)
+    ("types/string/scan_big_varchar", 8),
     ("types/timestamp/timestamp_limits", 1),
     ("types/timestamp/timestamp_tz", 1),
     ("window/latest_per_series", 4),
@@ -907,6 +933,7 @@ _CONFORMANCE_CASES = [
     ("function/admin/build_index_table_error", 0),
     ("function/system", 2),
     ("information_schema/procedure_info", 1),
+    ("information_schema/tables", 1),
     ("information_schema/region_peers", 1),
     ("information_schema/region_statistics", 2),
     ("insert/mysql_insert", 1),
