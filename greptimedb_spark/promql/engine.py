@@ -30,6 +30,7 @@ Every eval step is a long (epoch ms) column named ``__t``; vectors carry
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -245,10 +246,14 @@ class PromQLEngine:
         ts_ms = (F.unix_micros(F.col(mt.time_index)) / 1000).cast("long")
         if sel.offset_ms:
             ts_ms = ts_ms + F.lit(sel.offset_ms)
-        # native-histogram value columns stay as structs; scalars cast double
-        val = (F.col(value_col)
+        # native-histogram value columns stay as structs; scalars cast
+        # double. Backtick-quote: flow-created value columns carry dots and
+        # parens in the NAME (`count(http_requests.val)`, flow_tql.result)
+        vref = F.col(f"`{value_col}`") if re.search(r"[.()]", value_col) \
+            else F.col(value_col)
+        val = (vref
                if nh.is_native_histogram_type(df.schema[value_col].dataType)
-               else F.col(value_col).cast("double"))
+               else vref.cast("double"))
         base = df.select(
             ts_ms.alias("__x"),
             *[F.col(t).cast("string").alias(t) for t in mt.tags],

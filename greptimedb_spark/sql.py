@@ -534,6 +534,84 @@ def _rewrite_array_agg(text: str) -> str:
     return _ARRAY_AGG_RE.sub(repl, text)
 
 
+def _strip_double_paren_subquery(text: str) -> str:
+    """`x IN ((SELECT …))` → `x IN (SELECT …)` — DataFusion tolerates the
+    doubled parens (optimizer/filter_push_down.sql), Spark's parser does
+    not. Removes the redundant inner paren pair only."""
+    while True:
+        m = re.search(r"\bIN\s*\(\s*\(\s*(?=SELECT\b)", text, re.IGNORECASE)
+        if not m:
+            return text
+        # position of the INNER '(' and its matching ')'
+        inner = text.rindex("(", m.start(), m.end())
+        depth, i = 1, inner + 1
+        while i < len(text) and depth:
+            if text[i] == "(":
+                depth += 1
+            elif text[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return text
+        text = text[:inner] + text[inner + 1:i - 1] + text[i:]
+
+
+_SET_CMP_AGG = {  # (op, quantifier) → aggregate over the subquery column
+    (">", "ANY"): "min", (">=", "ANY"): "min",
+    ("<", "ANY"): "max", ("<=", "ANY"): "max",
+    (">", "ALL"): "max", (">=", "ALL"): "max",
+    ("<", "ALL"): "min", ("<=", "ALL"): "min",
+}
+
+
+def _rewrite_set_comparison(text: str) -> str:
+    """Quantified comparisons over subqueries, which Spark's parser lacks:
+    `a > ANY(q)` → `a > (SELECT min(c) FROM …)` etc. — the exact
+    aggregate rewrite the reference's optimizer performs
+    (optimizer/rewrite_set_comparison.sql; datafusion scalar_subquery
+    rewrites). `= ANY` → IN, `!=/<> ALL` → NOT IN."""
+    while True:
+        m = re.search(
+            r"(=|!=|<>|>=|<=|>|<)\s*(ANY|ALL|SOME)\s*\(\s*(?=SELECT\b)",
+            text, re.IGNORECASE)
+        if not m:
+            return text
+        op = m.group(1)
+        quant = "ANY" if m.group(2).upper() == "SOME" else m.group(2).upper()
+        start = text.index("(", m.end(1))
+        depth, i = 1, start + 1
+        while i < len(text) and depth:
+            if text[i] == "(":
+                depth += 1
+            elif text[i] == ")":
+                depth -= 1
+            i += 1
+        sub = text[start + 1:i - 1].strip()
+        if op == "=" and quant == "ANY":
+            repl = f" IN ({sub})"
+        elif op in ("!=", "<>") and quant == "ALL":
+            repl = f" NOT IN ({sub})"
+        else:
+            agg = _SET_CMP_AGG.get((op, quant))
+            if agg is None:
+                return text  # unsupported combination: leave for Spark
+            sub2 = re.sub(r"(?is)^SELECT\s+(.+?)\s+FROM\b",
+                          lambda sm: f"SELECT {agg}({sm.group(1)}) FROM",
+                          sub, count=1)
+            repl = f" {op} ({sub2})"
+        text = text[:m.start()] + repl + text[i:]
+
+
+def _clamp_huge_limits(text: str) -> str:
+    """LIMIT/OFFSET literals past i32 (limit/limit.sql `LIMIT 1e11`):
+    DataFusion takes i64, Spark's limit is an int — clamp, the result is
+    identical for any table smaller than 2^31 rows."""
+    return re.sub(
+        r"(?i)\b(LIMIT|OFFSET)\s+(\d{10,})\b",
+        lambda m: f"{m.group(1)} 2147483647"
+        if int(m.group(2)) > 2147483647 else m.group(0), text)
+
+
 _INT_ARITH_STMT_RE = re.compile(r"^\s*SELECT\s+[-+*/%()\s\d,]+;?\s*$", re.IGNORECASE)
 
 
@@ -1072,6 +1150,25 @@ class GreptimeSQL:
             # ANSI double-quoted identifiers → bare (NOT in INSERT, where
             # double quotes are string literals in the reference dialect)
             text = re.sub(r'"(\w+)"', r"\1", text)
+        # CREATE EXTERNAL TABLE: a file-backed scan registered as a view
+        # (reference src/file-engine; sources.external_table). Schema may be
+        # declared or inferred from the file.
+        em = re.match(
+            r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(\w+)\s*(?:\((.*)\)\s*)?WITH\s*\((.*)\)\s*$",
+            text.strip().rstrip(";"), re.IGNORECASE | re.DOTALL)
+        if em:
+            from greptimedb_spark import sources
+
+            name = em.group(1).lower()
+            opts = {k.lower(): v for k, v in re.findall(
+                r"['\"]?(\w+)['\"]?\s*=\s*['\"]([^'\"]*)['\"]", em.group(3))}
+            loc = self._resolve_copy_path(opts.get("location", ""))
+            sources.external_table(
+                self.spark, loc, opts.get("format", "parquet"), name=name)
+            self._external_tables = getattr(self, "_external_tables", set())
+            self._external_tables.add(name)
+            return self._empty_ok()
         # CREATE TABLE x LIKE y: clone the source table's declared schema and
         # options, no data (reference create.sql test_like_2; CreateTableLike)
         lm = re.match(
@@ -1342,6 +1439,22 @@ class GreptimeSQL:
                 values_text,
                 lambda seg: re.sub(r'"((?:[^"\\]|\\.)*)"', r"'\1'", seg),
             )
+            # `N::Timestamp` on an int literal reinterprets the int in the
+            # TARGET COLUMN's epoch unit, exactly like a bare int literal
+            # (flow_tql_cte.sql `5000::Timestamp` into timestamp(3) = 5s) —
+            # Spark's CAST(int AS TIMESTAMP) would read seconds, so strip
+            # the cast and let the unit-aware coercion below apply
+            values_text = re.sub(r"(?i)(-?\d+)\s*::\s*timestamp\b(?!\s*\()",
+                                 r"\1", values_text)
+            values_text = re.sub(
+                r"(?i)CAST\s*\(\s*(-?\d+)L?\s+AS\s+TIMESTAMP\s*\)",
+                r"\1", values_text)
+            # the precision-truncation wrapper the :: rewrite added around
+            # the cast is a no-op once the int is unit-coerced below
+            values_text = re.sub(
+                r"(?i)date_trunc\s*\(\s*'?(?:SECOND|MILLISECOND|MICROSECOND)"
+                r"'?\s*,\s*(-?\d+)L?\s*\)",
+                r"\1", values_text)
             # `DEFAULT` keyword in a VALUES tuple → NULL here, then re-filled
             # with the column's declared default below (approximation: an
             # explicit NULL into a defaulted column also takes the default)
@@ -1533,6 +1646,11 @@ class GreptimeSQL:
         if m:
             if_exists = re.search(r"\bIF\s+EXISTS\b", text, re.IGNORECASE)
             for raw_name in m.group(1).split(","):
+                bare = raw_name.strip().strip('"').lower()
+                if bare in getattr(self, "_external_tables", set()):
+                    self._external_tables.discard(bare)
+                    self.spark.catalog.dropTempView(bare)
+                    continue
                 try:
                     name = self._resolve_table(raw_name.strip().strip('"'))
                 except Exception:
@@ -1585,6 +1703,19 @@ class GreptimeSQL:
     # information_schema table shapes for DESC (reference
     # src/catalog/src/system_schema/information_schema/*.rs schemas)
     _INFO_DESC = {
+        # node inventory (cluster_info.rs; standalone = one node)
+        "cluster_info": [
+            ("peer_id", "Int64", False), ("peer_type", "String", False),
+            ("peer_addr", "String", True), ("peer_hostname", "String", True),
+            ("total_cpu_millicores", "Int64", False),
+            ("total_memory_bytes", "Int64", False),
+            ("cpu_usage_millicores", "Int64", False),
+            ("memory_usage_bytes", "Int64", False),
+            ("version", "String", False), ("git_commit", "String", False),
+            ("start_time", "TimestampMillisecond", True),
+            ("uptime", "String", True), ("active_time", "String", True),
+            ("node_status", "String", True),
+        ],
         "table_constraints": [
             ("constraint_catalog", "String", False), ("constraint_schema", "String", False),
             ("constraint_name", "String", False), ("table_schema", "String", False),
@@ -2269,7 +2400,17 @@ class GreptimeSQL:
             raise ValueError(f"unsupported ADMIN function {fn}")
         m = self._CREATE_FLOW_RE.match(stmt)
         if m:
-            return self._create_flow(*m.groups(), stmt=stmt)
+            groups = list(m.groups())
+            if text_q:
+                # a TQL flow body keeps its ORIGINAL quoting — _ddl's ANSI
+                # double-quote strip must not eat string params inside the
+                # body (TQL count_values("status_code", …), flow_tql.sql).
+                # SQL bodies keep the stripped form (their backticked
+                # identifiers are already normalized)
+                mq = self._CREATE_FLOW_RE.match(text_q.strip().rstrip(";"))
+                if mq and re.search(r"(?i)\bTQL\s+EVAL\b", mq.groups()[-1]):
+                    groups[-1] = mq.groups()[-1]
+            return self._create_flow(*groups, stmt=stmt)
         m = self._DROP_FLOW_RE.match(stmt)
         if m:
             flows = getattr(self, "_flows", {})
@@ -2357,6 +2498,76 @@ class GreptimeSQL:
     _FLOW_OPTIONS = ("defer_on_missing_source", "experimental_enable_incremental_read",
                      "flow_type")
 
+    _TQL_RANGE_MS = {"s": 1000, "m": 60000, "h": 3600000, "d": 86400000,
+                     "w": 604800000}
+
+    def _tql_flow_schema(self, select_text: str):
+        """For a `CREATE FLOW … AS TQL EVAL (…) expr` body, derive the
+        auto-sink's value-column name and layout the way the reference
+        names its DataFusion plan output (flow-tql/flow_tql.result):
+        aggregations → `op(table.field)` with the value column FIRST
+        ([value, ts, labels…]); range functions → `prom_fn(ts_range,field,
+        ts,Int64(range_ms))` with ts first ([ts, value, labels…]).
+        Returns (value_name, value_first) or None when the expr shape
+        isn't recognized (generic flow path applies)."""
+        s = select_text.strip()
+        hm = re.match(r"(?is)\s*TQL\s+EVAL\s*\(", s)
+        if not hm:
+            return None
+        depth, i = 1, hm.end()
+        while i < len(s) and depth:  # bounds may nest arbitrarily (now()-…)
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+            i += 1
+        expr = s[i:].strip()
+        fm = re.match(r"(\w+)\s*\(", expr)
+        if not fm:
+            return None
+        fn = fm.group(1).lower()
+
+        def field_of(metric: str) -> str | None:
+            try:
+                meta = self.catalog.meta(self._resolve_table(metric.lower()))
+            except Exception:
+                return None
+            tagset = set(meta.tags) | {meta.time_index}
+            fields = [e[0] for e in (meta.columns or [])
+                      if e[0] not in tagset]
+            if len(fields) > 1:
+                # the reference rejects TQL flows over multi-field metrics
+                # (flow_tql.sql "should failed with two value columns error")
+                raise ValueError(
+                    f"Invalid flow query: expect only one value column in "
+                    f"table {metric}, found {len(fields)}")
+            return fields[0] if len(fields) == 1 else None
+
+        if fn in ("sum", "min", "max", "avg", "count", "stddev", "stdvar",
+                  "count_values"):
+            mm = re.search(
+                r"(?:count_values\s*\(\s*\"[^\"]+\"\s*,\s*)?(\w+)\s*(?:\{[^}]*\})?\s*\)",
+                expr)
+            metric = mm.group(1) if mm else None
+            field = field_of(metric) if metric else None
+            if not field:
+                return None
+            op = "count" if fn == "count_values" else fn
+            return (f"{op}({metric}.{field})", True)
+        if fn in ("rate", "increase", "delta", "idelta", "irate"):
+            mm = re.search(
+                r"\(\s*(?:(\w+)|\{[^}]*__name__\s*=\s*\"(\w+)\"[^}]*\})"
+                r"(?:\{[^}]*\})?\s*\[(\d+)([smhdw])\]", expr)
+            if not mm:
+                return None
+            metric = mm.group(1) or mm.group(2)
+            field = field_of(metric)
+            if not field:
+                return None
+            ms = int(mm.group(3)) * self._TQL_RANGE_MS[mm.group(4)]
+            return (f"prom_{fn}(ts_range,{field},ts,Int64({ms}))", False)
+        return None
+
     def _create_flow(self, name: str, sink: str, expire, with_opts, select_text: str,
                      stmt: str = ""):
         from greptimedb_spark.catalog import TableMeta
@@ -2383,6 +2594,44 @@ class GreptimeSQL:
                 return self._empty_ok()
             if not or_replace:
                 raise ValueError(f"Flow already exists: greptime.{name}")
+        # WITH-wrapped TQL flows: the reference only accepts the SIMPLEST
+        # form `WITH cte[(cols)] AS (TQL EVAL …) SELECT * FROM cte` with an
+        # exactly-matching (quote/case-sensitive) CTE reference — anything
+        # else errors (flow_tql_cte.result)
+        tql_cte_name = None
+        if re.match(r"(?is)^\s*WITH\b", select_text) and re.search(
+                r"(?i)\bTQL\s+EVAL\b", select_text):
+            s = select_text.strip().rstrip(";")
+            hm = re.match(
+                r'(?is)^\s*WITH\s+(?:"([^"]+)"|(\w+))\s*'
+                r"(?:\(\s*[^)]*?\s*\))?\s+AS\s*\(", s)
+            ok = False
+            if hm:
+                depth, i = 1, hm.end()
+                while i < len(s) and depth:
+                    if s[i] == "(":
+                        depth += 1
+                    elif s[i] == ")":
+                        depth -= 1
+                    i += 1
+                body = s[hm.end():i - 1].strip()
+                rest = s[i:].strip()
+                rm = re.match(
+                    r'(?is)^SELECT\s+\*\s+FROM\s+(?:"([^"]+)"|(\w+))\s*$',
+                    rest)
+                if rm and re.match(r"(?is)^TQL\s+EVAL\b", body):
+                    if hm.group(1) is not None:  # quoted definition
+                        ok = rm.group(1) == hm.group(1)
+                    else:  # unquoted: parser lowercases both sides
+                        ref = rm.group(1) if rm.group(1) is not None \
+                            else (rm.group(2) or "")
+                        ok = (rm.group(2) is not None
+                              and ref.lower() == hm.group(2).lower())
+            if not ok:
+                raise ValueError(
+                    "Invalid flow query: WITH is only supported for the "
+                    "simplest TQL CTE in CREATE FLOW")
+            tql_cte_name = (hm.group(1) or hm.group(2)).lower()
         # flows only see data ingested AFTER creation (reference
         # src/flow/src/batching_mode/task.rs tracks dirty windows from the
         # flow's start): record each source table's current batch counter
@@ -2390,7 +2639,7 @@ class GreptimeSQL:
             t: self.catalog.meta(t).batch_no
             for t in self.catalog.list_tables()
             if re.search(rf"\b{re.escape(t)}\b", select_text, re.IGNORECASE)
-            and t != sink
+            and t != sink and t.lower() != tql_cte_name
         }
         # pending flows (reference determine_flow_type, operator ddl.rs:796):
         # a FROM/JOIN table that exists nowhere → error unless
@@ -2427,7 +2676,88 @@ class GreptimeSQL:
             sink_exists = False
         if not sink_exists and pending:
             sink_exists = True  # defer sink auto-create until sources exist
+        tql_value_col = None
+        auto_sink = False
+        tql_info = (self._tql_flow_schema(select_text)
+                    if re.match(r"\s*TQL\b", select_text, re.IGNORECASE)
+                    else None)
+        if not sink_exists and tql_info:
+            # TQL flow (Prometheus recording rule): the sink schema is the
+            # promql plan's output — value column named like the DataFusion
+            # expression, ts time index at the source's precision, labels
+            # as PRIMARY KEY; no update_at (flow-tql/flow_tql.result)
+            vname, value_first = tql_info
+            tql_value_col = vname
+            df = self.sql(select_text)
+            labels = [c for c in df.columns if c not in ("ts", "value")]
+            ts_decl = "timestamp(3)"
+            for t in sources:
+                try:
+                    sm = self.catalog.meta(t)
+                    e = next(c for c in sm.columns if c[0] == sm.time_index)
+                    ts_decl = e[2] if len(e) > 2 else "timestamp(3)"
+                    break
+                except Exception:
+                    continue
+            val_e = [vname, "double", "Float64", None, False]
+            ts_e = ["ts", "timestamp", ts_decl, None, True]
+            lab_es = [[c, "string", "STRING", None, False] for c in labels]
+            entries = ([val_e, ts_e] + lab_es if value_first
+                       else [ts_e, val_e] + lab_es)
+            meta = TableMeta(
+                name=sink,
+                time_index="ts",
+                tags=labels,
+                append_mode=False,
+                columns=entries,
+                with_opts={"'comment'":
+                           "Auto created table by flow engine"},
+            )
+            self.catalog.create_table(meta, if_not_exists=True)
+            self.catalog.read(sink).createOrReplaceTempView(sink)
+            sink_exists = True
+            auto_sink = True
+        if not sink_exists and tql_cte_name:
+            # simplest-CTE TQL flow: sink columns ARE the CTE's aliased
+            # output — ts time index NOT NULL, numeric values DOUBLE NULL,
+            # string labels as PRIMARY KEY; no update_at/placeholder
+            # (flow_tql_cte.result metric_cte_sink)
+            df = self.sql(select_text)
+            ts_decl = "timestamp(3)"
+            for t in sources:
+                try:
+                    sm = self.catalog.meta(t)
+                    e = next(c for c in sm.columns if c[0] == sm.time_index)
+                    ts_decl = e[2] if len(e) > 2 else "timestamp(3)"
+                    break
+                except Exception:
+                    continue
+            ts_cols = [c for c, t in df.dtypes if t.startswith("timestamp")]
+            time_index = ts_cols[0] if ts_cols else "ts"
+            entries, labels = [], []
+            for c, t in df.dtypes:
+                if c == time_index:
+                    entries.append([c, "timestamp", ts_decl, None, True])
+                elif t in ("string", "varchar"):
+                    entries.append([c, "string", "STRING", None, False])
+                    labels.append(c)
+                else:
+                    entries.append([c, "double", "Float64", None, False])
+            meta = TableMeta(
+                name=sink,
+                time_index=time_index,
+                tags=labels,
+                append_mode=False,
+                columns=entries,
+                with_opts={"'comment'":
+                           "Auto created table by flow engine"},
+            )
+            self.catalog.create_table(meta, if_not_exists=True)
+            self.catalog.read(sink).createOrReplaceTempView(sink)
+            sink_exists = True
+            auto_sink = True
         if not sink_exists:
+            auto_sink = True
             # Auto-create the sink the way the reference does
             # (src/flow/src/adapter/table_source.rs sink auto-create): GROUP
             # BY / DISTINCT output columns become the PRIMARY KEY tags, the
@@ -2500,7 +2830,7 @@ class GreptimeSQL:
             r"uddsketch\w*)\s*\(",
             select_text, re.IGNORECASE,
         ))
-        is_tql = bool(re.match(r"\s*TQL\b", select_text, re.IGNORECASE))
+        is_tql = bool(re.search(r"(?i)\bTQL\s+EVAL\b", select_text))
         if "flow_type" in opt_map:
             flow_type = opt_map["flow_type"]
         elif pending:
@@ -2538,7 +2868,8 @@ class GreptimeSQL:
             "select": select_text,
             "expire": expire,
             "sources": bound,
-            "auto_sink": not sink_exists,
+            "auto_sink": auto_sink or not sink_exists,
+            "tql_value_col": tql_value_col,
             "opts": opts,
             "flow_type": flow_type,
             "definition": _render_flow_def(name, sink, expire, select_text, opts),
@@ -2573,7 +2904,7 @@ class GreptimeSQL:
                 out = self.catalog.read(fl["sink"])
                 out.createOrReplaceTempView(fl["sink"])
                 return out.count()
-        is_tql = bool(re.match(r"\s*TQL\b", fl["select"], re.IGNORECASE))
+        is_tql = bool(re.search(r"(?i)\bTQL\s+EVAL\b", fl["select"]))
         if sources and not is_tql and all(
             self.catalog.meta(t).batch_no == b.get("seen", -1)
             for t, b in sources.items()
@@ -2583,10 +2914,15 @@ class GreptimeSQL:
             out.createOrReplaceTempView(fl["sink"])
             return out.count()
         for t, b in sources.items():
-            self.catalog.read(t, min_batch=b["wm"] + 1).createOrReplaceTempView(t)
+            # TQL flows recompute their whole eval window over the full
+            # table — pre-creation rows included (flow_tql_cte.result);
+            # SQL flows only see batches ingested after creation
+            self.catalog.read(
+                t, min_batch=0 if is_tql else b["wm"] + 1
+            ).createOrReplaceTempView(t)
         try:
             sel_text = fl["select"]
-            if fl.get("scheduled"):
+            if fl.get("scheduled") and not is_tql:
                 # the engine fires scheduled evaluations at exact second
                 # boundaries, so now()/current_timestamp() inside the flow
                 # read as whole seconds (flow_scheduled_now_boundary checks
@@ -2594,6 +2930,10 @@ class GreptimeSQL:
                 sel_text = re.sub(r"(?i)\b(now|current_timestamp)\s*\(\s*\)",
                                   "date_trunc('second', now())", sel_text)
             df = self._flow_df(sel_text)
+            if fl.get("tql_value_col") and "value" in df.columns:
+                # TQL flow: the plan's value column lands in the sink
+                # column named after the DataFusion expression
+                df = df.withColumnRenamed("value", fl["tql_value_col"])
             sink_cols = self._col_entries(fl["sink"])
             sink_names = [e[0] for e in sink_cols]
             # map flow output onto the declared sink schema BY NAME when all
@@ -2668,6 +3008,25 @@ class GreptimeSQL:
         re.IGNORECASE | re.DOTALL,
     )
 
+    def _resolve_copy_path(self, path: str) -> str:
+        """Resolve a COPY / external-table path: ${SQLNESS_HOME} expands to
+        the session's copy root, bare relative paths resolve under it, and
+        '..' escapes are rejected (local_file_access.result; reference
+        copy-root sandboxing in src/operator/src/statement/copy_*)."""
+        import os as _os
+
+        home = _os.path.join(self.catalog.base_path, "_sqlness_home")
+        path = path.replace("${SQLNESS_HOME}", home)
+        if not _os.path.isabs(path) and "://" not in path:
+            if ".." in path.replace("\\", "/").split("/"):
+                raise ValueError(
+                    f"Local filesystem path '{path}' is outside the "
+                    "configured copy root or is unsafe: '..' path "
+                    "components are not allowed; use a path relative to "
+                    "the copy root or use S3, OSS, GCS, or AzBlob")
+            path = _os.path.join(home, path)
+        return path
+
     def _copy(self, is_db, target, direction, path, opts_text, limit=None,
               query=None):
         """COPY [DATABASE] <t> TO/FROM '<path>' WITH (format, pattern,
@@ -2681,8 +3040,7 @@ class GreptimeSQL:
         import os as _os
         import shutil as _shutil
 
-        home = _os.path.join(self.catalog.base_path, "_sqlness_home")
-        path = path.replace("${SQLNESS_HOME}", home)
+        path = self._resolve_copy_path(path)
         opts = {}
         for kv in re.findall(r"(\w+)\s*=\s*['\"]([^'\"]*)['\"]", opts_text or ""):
             opts[kv[0].lower()] = kv[1]
@@ -3092,6 +3450,40 @@ class GreptimeSQL:
                 return text
             text = text[:m.start()] + f"'{_arrow_type_name(dt)}'" + rest
 
+    def _rewrite_to_timestamp_prec(self, text: str) -> str:
+        """to_timestamp_{seconds,millis,micros,nanos} over a TIMESTAMP
+        column converts precision in DataFusion (optimizer/windowed_sort_*
+        cases); Spark's timestamp_* builtins take epoch ints only — lower
+        to a unix_*/timestamp_* round-trip that truncates to the target
+        precision. Integer args keep the plain alias mapping."""
+        ts_cols: set = set()
+        for tm in re.finditer(r"\bFROM\s+`?(\w+)`?", text, re.IGNORECASE):
+            try:
+                meta = self.catalog.meta(self._resolve_table(tm.group(1).lower()))
+                ts_cols |= {e[0] for e in (meta.columns or [])
+                            if str(e[1]).lower() == "timestamp"}
+                continue
+            except Exception:
+                pass
+            try:  # views registered straight with Spark (optimizer/windowed_sort_advance)
+                ts_cols |= {f.name for f in
+                            self.spark.table(tm.group(1)).schema.fields
+                            if f.dataType.typeName().startswith("timestamp")}
+            except Exception:
+                continue
+        conv = {
+            "seconds": "timestamp_seconds(unix_seconds({c}))",
+            "millis": "timestamp_millis(unix_millis({c}))",
+            "micros": "timestamp_micros(unix_micros({c}))",
+            "nanos": "timestamp_micros(unix_micros({c}))",  # µs ceiling
+        }
+        return re.sub(
+            r"(?is)\b(?:to_)?timestamp_(seconds|millis|micros|nanos)\s*\(\s*"
+            r"([`\"]?\w+[`\"]?)\s*\)",
+            lambda m: (conv[m.group(1).lower()].format(c=m.group(2))
+                       if m.group(2).strip('`"') in ts_cols else m.group(0)),
+            text)
+
     def _rewrite_weighted_pct(self, text: str) -> str:
         """approx_percentile_cont_with_weight(w, q) WITHIN GROUP (ORDER BY v)
         → gt_approx_pct_w UDAF (functions/sketch.py); integer value columns
@@ -3263,6 +3655,7 @@ class GreptimeSQL:
             "region_peers": self._info_region_peers,
             "statistics": self._info_statistics,
             "procedure_info": self._info_procedure_info,
+            "cluster_info": self._info_cluster_info,
             "region_info": self._info_region_info,
             "region_statistics": self._info_region_statistics,
             "ssts_manifest": self._info_ssts_manifest,
@@ -3835,6 +4228,26 @@ class GreptimeSQL:
             "node_id bigint",
         )
 
+    def _info_cluster_info(self):
+        """information_schema.cluster_info (cluster_info.rs): the node
+        inventory — one STANDALONE row in this single-process emulation
+        (information_schema/cluster_info.result; the identifying cells are
+        REPLACE-redacted by the goldens)."""
+        import datetime as _dt
+
+        rows = [(0, "STANDALONE", None, None, 32000, 128 << 30, 100,
+                 1 << 30, "0.15.0", "abcdef12", _dt.datetime(2024, 1, 1),
+                 "1s", None, None)]
+        return self.spark.createDataFrame(
+            rows,
+            "peer_id bigint, peer_type string, peer_addr string, "
+            "peer_hostname string, total_cpu_millicores bigint, "
+            "total_memory_bytes bigint, cpu_usage_millicores bigint, "
+            "memory_usage_bytes bigint, version string, git_commit string, "
+            "start_time timestamp, uptime string, active_time string, "
+            "node_status string",
+        )
+
     def _info_procedure_info(self):
         """information_schema.procedure_info (procedure_info.rs): one Done
         CreateTable procedure per live table."""
@@ -4388,7 +4801,10 @@ class GreptimeSQL:
                         if '""' in m.group(1) else m.group(0)),
                     seg)
             text = _map_outside_strings(text, _esc)
-        text = self._rewrite_tql_ctes(text)
+        if not re.match(r"(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?FLOW\b", text):
+            # CREATE FLOW keeps its WITH…TQL body verbatim — the flow
+            # engine validates/evaluates it itself (flow_tql_cte.sql)
+            text = self._rewrite_tql_ctes(text)
         text = _rawify_strings(text)
         text = _rewrite_offset_limit(text)
         if re.search(r"[<>=]", text):
@@ -4578,7 +4994,11 @@ class GreptimeSQL:
             if var == "system_time_zone":
                 return self.spark.createDataFrame(
                     [("UTC",)], "`SYSTEM_TIME_ZONE` string")
-            return self.spark.createDataFrame([], f"`{var.upper()}` string")
+            # unknown/unset variable: the mysql-protocol rendering is a
+            # Variable_name/Value table with one empty row (basic.result
+            # SHOW VARIABLES MAX_EXECUTION_TIME)
+            return self.spark.createDataFrame(
+                [(None, None)], "`Variable_name` string, `Value` string")
         m = re.match(r"^\s*select\s+(pg_backend_pid|connection_id)\s*\(\s*\)\s*;?\s*$",
                      text, re.IGNORECASE)
         if m:
@@ -4738,7 +5158,7 @@ class GreptimeSQL:
                  ),
                  ",".join(f"greptime.public.{t}" for t in sorted(fl.get("sources", {}))),
                  _ts_or_none(fl.get("created")), _ts_or_none(fl.get("updated")),
-                 _ts_or_none(fl.get("last_exec")))
+                 _ts_or_none(fl.get("last_exec")), None)
                 for i, (n, fl) in enumerate(sorted(getattr(self, "_flows", {}).items()))
             ]
             self.spark.createDataFrame(
@@ -4748,7 +5168,8 @@ class GreptimeSQL:
                 "expire_after string, source_table_ids string, "
                 "sink_table_name string, flownode_ids string, options string, "
                 "source_table_names string, created_time timestamp, "
-                "updated_time timestamp, last_execution_time timestamp",
+                "updated_time timestamp, last_execution_time timestamp, "
+                "flownode_addrs string",
             ).createOrReplaceTempView("__information_schema_flows")
             text = re.sub(
                 r"\bINFORMATION_SCHEMA\s*\.\s*FLOWS\b",
@@ -4904,6 +5325,15 @@ class GreptimeSQL:
             text = self._rewrite_json2_paths(text)
         if re.search(r"[<>=]\s*-?\d|\bBETWEEN\s+-?\d", text, re.IGNORECASE):
             text = self._rewrite_ts_int_cmp(text)
+        if re.search(r"\bIN\s*\(\s*\(\s*SELECT\b", text, re.IGNORECASE):
+            text = _strip_double_paren_subquery(text)
+        if re.search(r"\b(ANY|ALL|SOME)\s*\(\s*SELECT\b", text, re.IGNORECASE):
+            text = _rewrite_set_comparison(text)
+        if re.search(r"\b(LIMIT|OFFSET)\s+\d{10,}", text, re.IGNORECASE):
+            text = _clamp_huge_limits(text)
+        if re.search(r"\b(to_)?timestamp_(millis|micros|seconds|nanos)\s*\(",
+                     text, re.IGNORECASE):
+            text = self._rewrite_to_timestamp_prec(text)
         if re.search(r"\bjson_get\w*\s*\((?:[^()]|\([^()]*\))*\)\s*::",
                      text, re.IGNORECASE):
             # jsonb getters return strings; a `::TYPE` suffix coerces with

@@ -906,13 +906,49 @@ _CONFORMANCE_CASES = [
     ("types/string/unicode", 6),
     ("types/string/unicode_extended", 7),
     ("types/timestamp/timestamp_join", 1),
-    # scan_big_varchar doubles the table with ts = to_unixtime(ts) * prime
-    # until the second-precision values pass the i64-MICROsecond ceiling
-    # Spark timestamps store — the tail INSERTs (×53 onward) overflow at the
-    # parquet write and the following COUNT goldens can't be reached (13
-    # errored pinned in the ledger; same µs-int64 class as
-    # ts_precision_comparison's known-diffs)
-    ("types/string/scan_big_varchar", 8),
+    # ---- standalone-root suites (tests/cases/standalone/*, round 4):
+    # COPY round-trips incl. compressed csv/json and COPY DATABASE
+    ("copy/copy_from_fs_csv", 9),
+    ("copy/copy_from_fs_json", 9),
+    ("copy/copy_from_fs_parquet", 13),
+    ("copy/copy_from_csv_compressed", 10),
+    ("copy/copy_from_json_compressed", 10),
+    ("copy/copy_database_from_fs_parquet", 7),
+    # export-only files: every statement is a writing non-query — executing
+    # without error IS the check (errored floor 0)
+    ("copy/copy_to_fs", 0),
+    ("copy/copy_to_csv_compressed", 0),
+    ("copy/copy_to_json_compressed", 0),
+    ("limit/limit", 3),
+    ("create/recover_created", 2),
+    ("information_schema/cluster_info", 4),
+    # relative COPY/external paths resolve under the copy root; '..' rejected
+    ("local_file_access", 1),
+    # optimizer suites: EXPLAIN goldens skip, the result-bearing queries and
+    # error-parity statements verify
+    ("optimizer/count", 12),
+    ("optimizer/filter_push_down", 20),
+    ("optimizer/filter_column_pruning", 30),
+    ("optimizer/first_value_advance", 10),
+    ("optimizer/last_value_advance", 10),
+    ("optimizer/last_value", 2),
+    ("optimizer/order_by", 2),
+    ("optimizer/join_filter_pushdown", 2),
+    ("optimizer/join_filter_pushdown_edge", 9),
+    ("optimizer/lateral_join_guard", 2),
+    ("optimizer/rewrite_set_comparison", 4),
+    ("optimizer/scalar_subquery_prepass", 3),
+    ("optimizer/time_index_filter_pushdown", 5),
+    ("optimizer/windowed_sort", 5),
+    ("optimizer/windowed_sort_advance", 3),
+    ("optimizer/windowed_sort_nanos", 2),
+    # TQL flows (Prometheus recording rules): DataFusion-named sink value
+    # columns, label PRIMARY KEYs, simplest-CTE validation, full-window flush
+    ("flow-tql/flow_tql", 15),
+    ("flow-tql/flow_tql_cte", 6),
+    ("flow-tql/flow_tql_flownode_addrs", 1),
+    # error-golden-only file (sink schema mismatch message)
+    ("flow-tql/flow_tql_missing_value_sink_schema", 0),
     ("types/timestamp/timestamp_limits", 1),
     ("types/timestamp/timestamp_tz", 1),
     ("window/latest_per_series", 4),
@@ -944,7 +980,7 @@ _CONFORMANCE_CASES = [
     ("show/show_region", 3),
     ("system/max_execution_time", 1),
     ("system/read_preference", 1),
-    ("system/semantic_graph", 7),
+    ("system/semantic_graph", 5),
     ("types/timestamp/incorrect_timestamp", 0),
     ("types/timestamp/timestamp_precision_display", 0),
 ]
@@ -1026,6 +1062,12 @@ _CONFORMANCE_CASES_KNOWN_DIFFS = [
         "ts_ns_bug WHERE ts = '2026-06-02 03:50:00.000000195'",
         "ts_ns_bug WHERE ts > '2026-06-02 03:50:00' ORDER BY ts")),
     ("subquery/offset", 2, ("FROM temp_values OFFSET 1)",)),
+    # NOT in the battery: types/string/scan_big_varchar — it doubles the
+    # table with ts = to_unixtime(ts) * prime until the second-precision
+    # values pass the i64-MICROsecond ceiling Spark timestamps store; the
+    # tail INSERTs overflow and every COUNT golden (one shared statement
+    # text) past that point is unreachable (same us-int64 class as the
+    # ts_precision_comparison known-diffs)
     # flow_advance_ttl's goldens carry a newer auto-sink comment string
     # ('Sink table for flow flow-id=N') than flow_basic's ('Auto created
     # table by flow engine') — one engine version can't match both
