@@ -908,6 +908,17 @@ def _fold_tql_time_expr(text: str) -> int:
                     "year": {"month": 1, "day": 1, "hour": 0, "minute": 0,
                              "second": 0, "microsecond": 0}}[unit]
             return (0, int(d.replace(**repl).timestamp() * 1000))
+        m = re.compile(r"TIMESTAMP\s+'([^']*)'", re.IGNORECASE
+                       ).match(text, pos)
+        if m:
+            # TIMESTAMP '2026-01-23 03:30:00+00' literal (distributed
+            # flow-tql/tsid_on_phy.sql bounds)
+            pos = m.end()
+            lit = m.group(1).replace("T", " ").replace("Z", "+00:00")
+            d = dt.datetime.fromisoformat(lit)
+            if d.tzinfo is None:
+                d = d.replace(tzinfo=dt.timezone.utc)
+            return (0, int(d.timestamp() * 1000))
         m = re.compile(r"CAST\s*\(\s*'([^']*)'\s+AS\s+TIMESTAMP\s*\)",
                        re.IGNORECASE).match(text, pos)
         if m:
@@ -1866,7 +1877,7 @@ class GreptimeSQL:
         r"^\s*ADMIN\s+(\w+)\s*\(\s*'(\w+)'\s*(?:,\s*'[^']*'\s*)*\)\s*$",
         re.IGNORECASE)
     _CREATE_FLOW_RE = re.compile(
-        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FLOW\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+SINK\s+TO\s+(\w+)\s*"
+        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FLOW\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+SINK\s+TO\s+['\"]?(\w+)['\"]?\s*"
         r"(?:EVAL\s+INTERVAL\s+'[^']*'\s*)?(?:EXPIRE\s+AFTER\s+('[^']*'|[\w\s]+?)\s+)?"
         r"(?:WITH\s*\(([^)]*)\)\s*)?"
         r"(?:COMMENT\s+'[^']*'\s*)?AS\s+(.*)$",
@@ -2717,11 +2728,15 @@ class GreptimeSQL:
             self.catalog.read(sink).createOrReplaceTempView(sink)
             sink_exists = True
             auto_sink = True
-        if not sink_exists and tql_cte_name:
-            # simplest-CTE TQL flow: sink columns ARE the CTE's aliased
-            # output — ts time index NOT NULL, numeric values DOUBLE NULL,
-            # string labels as PRIMARY KEY; no update_at/placeholder
-            # (flow_tql_cte.result metric_cte_sink)
+        if not sink_exists and (
+                tql_cte_name
+                or re.match(r"\s*TQL\b", select_text, re.IGNORECASE)):
+            # simplest-CTE TQL flow, or a TQL body whose expr shape
+            # _tql_flow_schema doesn't recognize (histogram_quantile over a
+            # sum-by, distributed flow-tql/tsid_on_phy): sink columns ARE
+            # the query's own output in its own order — ts time index NOT
+            # NULL, numeric values DOUBLE NULL, string labels as PRIMARY
+            # KEY; no update_at/placeholder (flow_tql_cte.result)
             df = self.sql(select_text)
             ts_decl = "timestamp(3)"
             for t in sources:
@@ -2880,10 +2895,25 @@ class GreptimeSQL:
             "last_exec": prev.get("last_exec"),
             "scheduled": bool(re.search(r"EVAL\s+INTERVAL", stmt or "",
                                         re.IGNORECASE)),
+            "eval_every_s": self._parse_eval_interval_s(stmt or ""),
         }
         return self._empty_ok()
 
-    def _flush_flow(self, name: str) -> int:
+    @staticmethod
+    def _parse_eval_interval_s(stmt: str) -> float | None:
+        m = re.search(r"EVAL\s+INTERVAL\s+'([^']*)'", stmt, re.IGNORECASE)
+        if not m:
+            return None
+        im = re.match(r"\s*(\d+(?:\.\d+)?)\s*(s|sec|second|m|min|minute|"
+                      r"h|hour|d|day)s?\s*$", m.group(1), re.IGNORECASE)
+        if not im:
+            return None
+        mult = {"s": 1, "sec": 1, "second": 1, "m": 60, "min": 60,
+                "minute": 60, "h": 3600, "hour": 3600, "d": 86400,
+                "day": 86400}[im.group(2).lower()]
+        return float(im.group(1)) * mult
+
+    def _flush_flow(self, name: str, now_override: float | None = None) -> int:
         flows = getattr(self, "_flows", {})
         if name not in flows:
             raise ValueError(f"flow {name} does not exist")
@@ -2905,7 +2935,7 @@ class GreptimeSQL:
                 out.createOrReplaceTempView(fl["sink"])
                 return out.count()
         is_tql = bool(re.search(r"(?i)\bTQL\s+EVAL\b", fl["select"]))
-        if sources and not is_tql and all(
+        if sources and not is_tql and now_override is None and all(
             self.catalog.meta(t).batch_no == b.get("seen", -1)
             for t, b in sources.items()
         ):
@@ -2922,7 +2952,19 @@ class GreptimeSQL:
             ).createOrReplaceTempView(t)
         try:
             sel_text = fl["select"]
-            if fl.get("scheduled") and not is_tql:
+            if now_override is not None and not is_tql:
+                # a scheduled tick: now() is the tick's own fire time
+                # (second-aligned), replayed exactly even when the lazy
+                # evaluation runs later (flow_eval_interval_schedule checks
+                # count(DISTINCT ts) >= 2 across ticks)
+                import datetime as _dt
+
+                iso = _dt.datetime.fromtimestamp(
+                    int(now_override), _dt.timezone.utc
+                ).strftime("%Y-%m-%d %H:%M:%S")
+                sel_text = re.sub(r"(?i)\b(now|current_timestamp)\s*\(\s*\)",
+                                  f"timestamp '{iso}'", sel_text)
+            elif fl.get("scheduled") and not is_tql:
                 # the engine fires scheduled evaluations at exact second
                 # boundaries, so now()/current_timestamp() inside the flow
                 # read as whole seconds (flow_scheduled_now_boundary checks
@@ -5186,7 +5228,23 @@ class GreptimeSQL:
             if fl.get("scheduled") and fl.get("sink") and re.search(
                     rf"\b{re.escape(fl['sink'])}\b", text):
                 try:
-                    self._flush_flow(fname)
+                    import time as _time
+
+                    every = fl.get("eval_every_s")
+                    base = fl.get("last_exec") or fl.get("created") or 0
+                    ticks = (int((_time.time() - base) // every)
+                             if every else 0)
+                    if 1 <= ticks <= 64:
+                        # replay each missed scheduled firing with now()
+                        # pinned to its own second-aligned fire time (the
+                        # reference scheduler ran them live); cap the
+                        # replay burst to the most recent 8 ticks
+                        base_s = int(base)
+                        for k in range(max(1, ticks - 7), ticks + 1):
+                            self._flush_flow(
+                                fname, now_override=base_s + k * every)
+                    else:
+                        self._flush_flow(fname)
                 except Exception:
                     pass
         tql_groups = None

@@ -406,11 +406,16 @@ def _normalize_f32(df, rows):
 
 def _case_path(case: str) -> str:
     """Most cases live under standalone/common; a few suites (copy/…) sit
-    directly under standalone."""
+    directly under standalone; a handful exist only under distributed
+    (tsid_on_phy, flow_eval_interval_schedule, …)."""
     p = f"{REF}/{case}.result"
     if os.path.exists(p):
         return p
-    return f"{os.path.dirname(REF)}/{case}.result"
+    sa = f"{os.path.dirname(REF)}/{case}.result"
+    if os.path.exists(sa):
+        return sa
+    cases_root = os.path.dirname(os.path.dirname(REF))
+    return f"{cases_root}/distributed/{case}.result"
 
 
 def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
@@ -967,6 +972,13 @@ _CONFORMANCE_CASES = [
     ("flow/flow_more_usecase", 0),
     ("flow/flow_scheduled_late_overlap", 1),
     ("flow/flow_scheduled_now_boundary", 1),
+    # distributed-only case files (no standalone sibling): scheduled-tick
+    # replay, TQL flow over a metric physical table, region admin fns,
+    # dictionary-label regex pushdown
+    ("flow-tql/flow_eval_interval_schedule", 1),
+    ("flow-tql/tsid_on_phy", 2),
+    ("function/admin/flush_compact_region", 2),
+    ("optimizer/metric_dictionary_regex_filter", 4),
     ("flow/flow_sink_schema_mismatch", 0),
     ("flow/flow_view", 3),
     ("function/admin/build_index_table_error", 0),
