@@ -4534,6 +4534,37 @@ class GreptimeSQL:
 
     def _alter(self, name: str, action: str):
         self.catalog.meta(name)  # raises if missing
+        rm = re.match(r"(?is)^(REPARTITION|MERGE\s+PARTITION)\s*\((.*)$",
+                      action)
+        if rm:
+            # Online repartition is a metasrv region-split/merge procedure
+            # (reference src/meta-srv/src/procedure/repartition); without
+            # metasrv GC it is rejected up front — reproduce the parser and
+            # precondition errors verbatim (distributed repartition.sql)
+            body = rm.group(2)
+            if rm.group(1).upper() == "REPARTITION":
+                if re.match(r"\s*\)", body):
+                    raise ValueError(
+                        "Invalid SQL syntax: sql parser error: Expected "
+                        "expression inside REPARTITION clause, found: )")
+                depth, i = 1, 0
+                while i < len(body) and depth:
+                    if body[i] == "(":
+                        depth += 1
+                    elif body[i] == ")":
+                        depth -= 1
+                    i += 1
+                rest = body[i:].strip()
+                im = re.match(r"(?is)^INTO\s*\(", rest)
+                if im:
+                    inner, rest2 = _balanced_paren(rest[im.end() - 1:])
+                    if rest2.strip().startswith(","):
+                        raise ValueError(
+                            "Invalid SQL syntax: sql parser error: Expected "
+                            "end of REPARTITION clause, found: ,")
+            raise ValueError(
+                "Invalid arguments: Repartition requires metasrv GC to be "
+                "enabled")
         am = re.match(r"ADD\s+COLUMNS?\s+(.*)$", action, re.IGNORECASE | re.DOTALL)
         if am:
             # two-phase: validate every clause, then apply — a failing clause

@@ -440,7 +440,12 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
             skipped += 1
             continue
         if expected == "error" and re.match(
-                r"^\s*(SELECT|WITH|VALUES)\b", stmt, re.IGNORECASE) and \
+                r"^\s*(SELECT|WITH|VALUES"
+                # ALTER…REPARTITION is rejected up front by both engines
+                # (metasrv GC precondition) — parity-checkable without any
+                # state mutation, unlike general DDL error-goldens
+                r"|ALTER\s+TABLE\s+\S+\s+(?:REPARTITION|MERGE\s+PARTITION))"
+                r"\b", stmt, re.IGNORECASE) and \
                 not any(re.search(p, stmt, re.IGNORECASE)
                         for p in _SKIP_PATTERNS):
             # error-parity check for read-only statements: the reference
@@ -979,6 +984,9 @@ _CONFORMANCE_CASES = [
     ("flow-tql/tsid_on_phy", 2),
     ("function/admin/flush_compact_region", 2),
     ("optimizer/metric_dictionary_regex_filter", 4),
+    ("optimizer/pass_distribution_partition_subset_join", 3),
+    ("optimizer/range_select_projection", 1),
+    ("repartition/repartition", 16),
     ("flow/flow_sink_schema_mismatch", 0),
     ("flow/flow_view", 3),
     ("function/admin/build_index_table_error", 0),
@@ -1050,6 +1058,9 @@ _CONFORMANCE_CASES = [
 # - query/type_conversion_traversal: string-timestamp literals compared under
 #   SET TIME_ZONE; session-timezone literal parsing not yet wired
 _CONFORMANCE_CASES_KNOWN_DIFFS = [
+    # COUNT(DISTINCT node_id) > 1: the distributed golden runs on multiple
+    # datanodes; a single engine (like greptime standalone) has one node
+    ("information_schema/ssts_limit", 3, ("has_multi_datanodes",)),
     # metric physical-region SHOW INDEX pins the engine-internal primary-key
     # layout (host, __table_id, __tsid, job ordering + auto skipping
     # indexes); user-table SHOW INDEX verifies in show/show_index
