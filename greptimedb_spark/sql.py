@@ -4532,36 +4532,103 @@ class GreptimeSQL:
         return self.spark.createDataFrame(
             [(name, text)], "`Table` string, `Create Table` string")
 
+    @staticmethod
+    def _check_partition_checkpoints(rules: list) -> None:
+        """Single-column integer-range checker for the resulting partition
+        rule set (reference MultiDimPartitionRule checker): every boundary
+        checkpoint must be covered by exactly one partition. Rules it can't
+        parse (multi-column, strings, other operators) are left to the
+        metasrv-GC precondition error."""
+        INF = float("inf")
+        col = None
+        intervals = []
+        for r in rules:
+            lo, hi = -INF, INF
+            for term in re.split(r"(?i)\s+AND\s+", r):
+                tm = re.match(r"^\s*(\w+)\s*(<|>=)\s*(-?\d+)\s*$", term)
+                if not tm:
+                    return
+                if col is None:
+                    col = tm.group(1)
+                elif tm.group(1) != col:
+                    return
+                v = int(tm.group(3))
+                if tm.group(2) == "<":
+                    hi = min(hi, v)
+                else:
+                    lo = max(lo, v)
+            intervals.append((lo, hi))
+        bounds = sorted({b for iv in intervals for b in iv if b != INF
+                         and b != -INF})
+        for i, b in enumerate(bounds):
+            nxt = bounds[i + 1] if i + 1 < len(bounds) else INF
+            probe = b if nxt == INF else (b + nxt) / 2
+            n = sum(1 for lo, hi in intervals if lo <= probe < hi)
+            if n == 0:
+                raise ValueError(f"Checkpoint `{col}={b}` is not covered")
+            if n > 1:
+                raise ValueError(f"Checkpoint `{col}={b}` is overlapped")
+
     def _alter(self, name: str, action: str):
         self.catalog.meta(name)  # raises if missing
-        rm = re.match(r"(?is)^(REPARTITION|MERGE\s+PARTITION)\s*\((.*)$",
-                      action)
+        rm = re.match(
+            r"(?is)^(REPARTITION|SPLIT\s+PARTITION|MERGE\s+PARTITION)"
+            r"\s*\((.*)$", action)
         if rm:
             # Online repartition is a metasrv region-split/merge procedure
-            # (reference src/meta-srv/src/procedure/repartition); without
-            # metasrv GC it is rejected up front — reproduce the parser and
-            # precondition errors verbatim (distributed repartition.sql)
+            # (reference src/meta-srv/src/procedure/repartition). Reproduce
+            # its validation chain verbatim: parser errors, logical-table
+            # rejection, partition-column lookup, source-expr existence,
+            # checkpoint coverage (alter/repartition_error.sql), and the
+            # metasrv-GC precondition last (distributed repartition.sql)
+            kind = re.sub(r"\s+", " ", rm.group(1).upper())
             body = rm.group(2)
-            if rm.group(1).upper() == "REPARTITION":
-                if re.match(r"\s*\)", body):
+            if re.match(r"\s*\)", body):
+                raise ValueError(
+                    "Invalid SQL syntax: sql parser error: Expected "
+                    "expression inside REPARTITION clause, found: )")
+            src_txt, rest = _balanced_paren("(" + body)
+            rest = rest.strip()
+            into_txt = None
+            im = re.match(r"(?is)^INTO\s*\(", rest)
+            if im:
+                into_txt, rest2 = _balanced_paren(rest[im.end() - 1:])
+                if rest2.strip().startswith(","):
                     raise ValueError(
                         "Invalid SQL syntax: sql parser error: Expected "
-                        "expression inside REPARTITION clause, found: )")
-                depth, i = 1, 0
-                while i < len(body) and depth:
-                    if body[i] == "(":
-                        depth += 1
-                    elif body[i] == ")":
-                        depth -= 1
-                    i += 1
-                rest = body[i:].strip()
-                im = re.match(r"(?is)^INTO\s*\(", rest)
-                if im:
-                    inner, rest2 = _balanced_paren(rest[im.end() - 1:])
-                    if rest2.strip().startswith(","):
+                        "end of REPARTITION clause, found: ,")
+            if (self.catalog.meta(name).with_opts or {}).get(
+                    "on_physical_table"):
+                raise ValueError(
+                    "Not supported: REPARTITION on logical tables")
+            norm = lambda e: re.sub(r"\s+", " ", e.strip())
+            srcs = [norm(e) for e in _split_columns(src_txt) if e.strip()]
+            intos = ([norm(e) for e in _split_columns(into_txt)
+                      if e.strip()] if into_txt else [])
+            parts = [(pc, rule) for sch, t, _p, pc, rule in
+                     self._table_partitions() if t == name]
+            pcols = {c.strip() for pc, _r in parts if pc
+                     for c in pc.split(",")}
+            for e in srcs + intos:
+                for ident in re.findall(r"[A-Za-z_]\w*",
+                                        re.sub(r"'[^']*'", "", e)):
+                    if ident.upper() in ("AND", "OR", "NOT", "TRUE",
+                                         "FALSE", "NULL"):
+                        continue
+                    if ident not in pcols:
                         raise ValueError(
-                            "Invalid SQL syntax: sql parser error: Expected "
-                            "end of REPARTITION clause, found: ,")
+                            f"Cannot find column by name: {ident}")
+            rules = [norm(r) for _pc, r in parts if r]
+            for e in srcs:
+                if e not in rules:
+                    sch = getattr(self.catalog.meta(name), "schema_name",
+                                  "public") or "public"
+                    raise ValueError(
+                        f"Invalid partition rule: partition expression "
+                        f"'{e}' does not exist in table "
+                        f"greptime.{sch}.{name}")
+            self._check_partition_checkpoints(
+                [r for r in rules if r not in srcs] + intos)
             raise ValueError(
                 "Invalid arguments: Repartition requires metasrv GC to be "
                 "enabled")

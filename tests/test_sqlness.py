@@ -444,7 +444,8 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
                 # ALTER…REPARTITION is rejected up front by both engines
                 # (metasrv GC precondition) — parity-checkable without any
                 # state mutation, unlike general DDL error-goldens
-                r"|ALTER\s+TABLE\s+\S+\s+(?:REPARTITION|MERGE\s+PARTITION))"
+                r"|ALTER\s+TABLE\s+\S+\s+(?:REPARTITION|SPLIT\s+PARTITION"
+                r"|MERGE\s+PARTITION))"
                 r"\b", stmt, re.IGNORECASE) and \
                 not any(re.search(p, stmt, re.IGNORECASE)
                         for p in _SKIP_PATTERNS):
@@ -987,6 +988,7 @@ _CONFORMANCE_CASES = [
     ("optimizer/pass_distribution_partition_subset_join", 3),
     ("optimizer/range_select_projection", 1),
     ("repartition/repartition", 16),
+    ("alter/repartition_error", 12),
     ("flow/flow_sink_schema_mismatch", 0),
     ("flow/flow_view", 3),
     ("function/admin/build_index_table_error", 0),
