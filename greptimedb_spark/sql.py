@@ -5725,7 +5725,27 @@ class GreptimeSQL:
                 self.spark, text, time_index=time_index, default_by=default_by,
                 tz_offset_ms=getattr(self, "tz_offset_ms", 0),
             )
-        return self.spark.sql(text)
+        try:
+            return self.spark.sql(text)
+        except Exception as e:
+            # DataFusion resolves an unqualified column that exists on both
+            # sides of a self-join to the first (left) relation instead of
+            # erroring (optimizer/filter_push_down.sql `WHERE i IN (…)` over
+            # integers i1, integers i2) — qualify with the first candidate
+            # and retry once
+            em = re.search(
+                r"Reference `(\w+)` is ambiguous, could be: \[`(\w+)`\."
+                r".*?line (\d+) pos (\d+)", str(e), re.DOTALL)
+            if not em:
+                raise
+            col, alias = em.group(1), em.group(2)
+            lines = text.split("\n")
+            ln, pos = int(em.group(3)) - 1, int(em.group(4))
+            if ln >= len(lines) or not lines[ln][pos:].startswith(col):
+                raise
+            lines[ln] = (lines[ln][:pos] + f"{alias}."
+                         + lines[ln][pos:])
+            return self.spark.sql("\n".join(lines))
 
 
 def _rewrite_distinct_on(text: str) -> str:

@@ -941,7 +941,7 @@ _CONFORMANCE_CASES = [
     # 1 errored pinned: `WHERE i IN ((SELECT i FROM integers)) AND i1.i=i2.i`
     # over a self-join — DataFusion resolves the bare `i`, Spark calls it
     # ambiguous (A column or function parameter with name `i` is ambiguous)
-    ("optimizer/filter_push_down", 20),
+    ("optimizer/filter_push_down", 21),
     ("optimizer/filter_column_pruning", 30),
     ("optimizer/first_value_advance", 10),
     ("optimizer/last_value_advance", 10),
