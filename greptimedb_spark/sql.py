@@ -1327,6 +1327,17 @@ class GreptimeSQL:
             # DATABASE ttl affects existing tables
             _dbo = getattr(self, "_databases", {}).get(
                 getattr(self, "_current_db", "public"), {}) or {}
+            j2col = next((c[0] for c in cols
+                          if len(c) > 2 and str(c[2]).lower() == "json2"),
+                         None)
+            if j2col is not None and opts.get(
+                    "append_mode",
+                    _dbo.get("append_mode", "false")).lower() != "true":
+                # flat-format variant columns only exist in append-mode SSTs
+                # (reference RFC json2; types/json/json2_limit.sql)
+                raise ValueError(
+                    f"Invalid SQL, error: JSON2 column `{j2col}` requires "
+                    "append_mode='true'")
             meta = TableMeta(
                 name=name,
                 time_index=time_index or cols[0][0],

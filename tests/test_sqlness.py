@@ -481,10 +481,22 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
         if expected is None:
             continue
         if any("\\n" in pat for pat, _rep in replaces):
-            # table-spanning REPLACE (e.g. FLUSH_FLOW row-count redaction)
-            # can't be applied at cell granularity: statement executed for
-            # its side effects, comparison skipped
-            skipped += 1
+            # table-spanning REPLACE: the FLUSH_FLOW row-count redaction
+            # (the only such directive in the corpus) leaves exactly this
+            # checkable: one column named ADMIN FLUSH_FLOW('<flow>'), one
+            # row, a non-negative integer — verify that shape
+            if (all(pat.startswith(r"(ADMIN\sFLUSH_FLOW")
+                    for pat, _rep in replaces if "\\n" in pat)
+                    and len(df.columns) == 1
+                    and re.fullmatch(r"ADMIN FLUSH_FLOW\('\w+'\)",
+                                     df.columns[0])
+                    and len(rows) == 1 and len(rows[0]) == 1
+                    and isinstance(rows[0][0], int) and rows[0][0] >= 0):
+                checked += 1
+            else:
+                # any other table-spanning REPLACE can't be applied at cell
+                # granularity: executed for side effects, comparison skipped
+                skipped += 1
             continue
         exp_header, exp_rows = expected
         rows = _normalize_f32(df, rows)
