@@ -143,11 +143,65 @@ FROM a JOIN b USING (ts_ms)
 """
 
 
-# -- q65: rate with Prometheus extrapolation (golden-tested; rows-only here) -----
+# -- q65: rate with Prometheus extrapolation ------------------------------------
+# The extrapolation formula (src/promql/src/functions/extrapolate_rate.rs:
+# 244-281) is plain arithmetic, so the DuckDB oracle reimplements it directly:
+# per-series running counter-reset correction, then per (grid step, series)
+# first/last sample stats and the boundary-extrapolation factor, evaluated in
+# the same IEEE-754 operation order as the Spark column expressions.
 
 def q65_promql_rate(spark: SparkSession, sf: str) -> DataFrame:
     eng = _engine(spark, sf)
     return _out(eng.evaluate("rate(events_value[1d])", START, END, STEP), 6)
+
+
+Q65_SQL = """
+WITH grid AS (
+  SELECT CAST(epoch_ms(unnest(generate_series(
+           TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-08', INTERVAL 6 HOUR))) AS BIGINT) AS t
+), lagged AS (
+  SELECT event_type, ts, CAST(epoch_us(ts) // 1000 AS BIGINT) AS x, value AS v,
+         lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS prev_v
+  FROM events
+), o AS (
+  SELECT event_type, x, v,
+         SUM(CASE WHEN v < prev_v THEN prev_v ELSE 0 END)
+             OVER (PARTITION BY event_type ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_corr
+  FROM lagged
+), wnd AS (
+  SELECT t, event_type,
+         COUNT(*) AS n,
+         CAST(MIN(x) AS DOUBLE) AS first_ts, CAST(MAX(x) AS DOUBLE) AS last_ts,
+         arg_min(v, x) AS first_val, arg_max(v, x) AS last_val,
+         arg_max(cum_corr, x) - arg_min(cum_corr, x) AS corr
+  FROM grid JOIN o ON o.x > t - 86400000 AND o.x <= t
+  GROUP BY 1, 2
+), calc AS (
+  SELECT t, event_type, n,
+         last_val - first_val + corr AS result,
+         last_ts - first_ts AS sampled,
+         (last_ts - first_ts) / (n - 1) AS avg_int,
+         first_ts - (t - 86400000) AS dur_start0,
+         t - last_ts AS dur_end,
+         (last_ts - first_ts) * (first_val / (last_val - first_val + corr)) AS dur_zero,
+         first_val
+  FROM wnd WHERE n >= 2
+), ext AS (
+  SELECT t, event_type, result, sampled,
+         sampled
+         + (CASE WHEN (CASE WHEN result > 0 AND first_val >= 0 AND dur_zero < dur_start0
+                            THEN dur_zero ELSE dur_start0 END) < avg_int * 1.1
+                 THEN (CASE WHEN result > 0 AND first_val >= 0 AND dur_zero < dur_start0
+                            THEN dur_zero ELSE dur_start0 END)
+                 ELSE avg_int / 2 END)
+         + (CASE WHEN dur_end < avg_int * 1.1 THEN dur_end ELSE avg_int / 2 END) AS extended
+  FROM calc
+)
+SELECT t AS ts_ms, event_type,
+       ROUND(result * ((extended / sampled) / 86400.0), 6) AS value
+FROM ext
+"""
 
 
 QUERIES = {
@@ -156,5 +210,5 @@ QUERIES = {
     "q62_promql_instant": QuerySpec(q62_promql_instant, Q62_SQL, "instant selector + lookback"),
     "q63_promql_topk": QuerySpec(q63_promql_topk, Q63_SQL, "topk over count vector"),
     "q64_promql_binary": QuerySpec(q64_promql_binary, Q64_SQL, "vector/vector binary op"),
-    "q65_promql_rate": QuerySpec(q65_promql_rate, None, "rate w/ extrapolation (rows-only)"),
+    "q65_promql_rate": QuerySpec(q65_promql_rate, Q65_SQL, "rate w/ extrapolation"),
 }

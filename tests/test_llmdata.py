@@ -137,3 +137,48 @@ def test_brute_force_topk_selfmatch(spark, sf_dir):
     out = sim.brute_force_topk(e, queries, k=1).collect()
     for r in out:
         assert r.query_id == r.vec_id and r.rank == 1 and abs(r.sim - 1.0) < 1e-5
+
+
+def test_sparkhash_matches_spark_xxhash64(spark):
+    """tools/sparkhash (the independent hash primitive behind the committed
+    q52/q53/q57 oracle fixtures) must agree with Spark's xxhash64 on strings,
+    string+int chains, and long+string chains."""
+    from tools.sparkhash import spark_xxhash64
+
+    vals = ["", "a", "the quick brown fox", "x" * 100, "1704412800000", "42,17,9"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = df.select(
+        "s",
+        F.xxhash64("s").alias("h1"),
+        F.xxhash64("s", F.lit(5)).alias("h2"),
+        F.xxhash64(F.lit(987654321098765), "s").alias("h3"),
+    ).collect()
+    for r in rows:
+        assert r.h1 == spark_xxhash64(r.s)
+        assert r.h2 == spark_xxhash64(r.s, 5)
+        assert r.h3 == spark_xxhash64(("long", 987654321098765), r.s)
+
+
+def test_oracle_fixtures_fresh():
+    """The committed gate fixtures must equal what the independent generator
+    produces from the gate-scale data — catches stale fixtures after any
+    change to the operators' hash/banding parameters."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    gate_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(gate_dir):
+        pytest.skip("gate-scale testdata unavailable")
+    os.environ["SPARK_GRAFT_SF_DIR"] = gate_dir
+    from tools import gen_oracle_fixtures as gen
+
+    docs = pq.read_table(os.path.join(gate_dir, "documents.parquet"))
+    doc_ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    fresh52 = gen.gen_q52(doc_ids, texts)
+    committed52 = pq.read_table("/root/repo/tests/fixtures/oracle_q52_sf001.parquet")
+    assert fresh52.equals(committed52)
+    fresh53 = gen.gen_q53(doc_ids, texts)
+    committed53 = pq.read_table("/root/repo/tests/fixtures/oracle_q53_sf001.parquet")
+    assert fresh53.equals(committed53)

@@ -1,0 +1,316 @@
+"""Generate committed oracle fixtures for the hash-based gate queries.
+
+q52 (MinHash+LSH), q53 (SimHash), q55 (hyperplane-LSH ANN) and q57 (IVF-flat
+ANN) are deterministic but use engine hash functions DuckDB cannot evaluate,
+so their oracles are expected-output parquet fixtures at the gate scale
+(sf0.01), produced HERE by an independent pure-Python/numpy reimplementation
+of the same public algorithm specs:
+
+- the hash primitive is tools/sparkhash.py (XXH64 re-derived from the public
+  spec, validated against Spark's xxhash64 in tests/test_llmdata.py);
+- shingling / banding / signatures / Lloyd steps are re-implemented from the
+  algorithm definitions (not by calling the Spark operators), so a bug in the
+  Spark pipeline cannot cancel out in the oracle;
+- float math follows the same IEEE-754 left-fold evaluation order the Spark
+  column expressions use, and rounding replicates Spark's HALF_UP-on-shortest-
+  repr semantics, so doubles match bit-for-bit.
+
+Usage: python tools/gen_oracle_fixtures.py  (rewrites tests/fixtures/*.parquet)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.sparkhash import spark_xxhash64, xxh64_bytes  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "tests", "fixtures")
+
+_WS = re.compile(r"\s+", re.ASCII)  # Java \s is ASCII-only by default
+
+
+def spark_round(x: float, d: int = 6) -> float:
+    """Spark's round(double, d): HALF_UP on the shortest decimal repr."""
+    if x != x or math.isinf(x):
+        return x
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-d), rounding=ROUND_HALF_UP))
+
+
+def cos_sim(a, b) -> float:
+    """cosine_similarity as the Spark column expression folds it: sequential
+    left-fold dot and squared norms in element order, then dot/(sqrt*sqrt)."""
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot = dot + float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na = na + float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb = nb + float(y) * float(y)
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _tokens_collapsed(text: str) -> list[str]:
+    """split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' ')."""
+    return _WS.sub(" ", text.strip(" ").lower()).split(" ")
+
+
+def _tokens_ws(text: str) -> list[str]:
+    """split(lower(trim(text)), '\\s+')."""
+    return _WS.split(text.strip(" ").lower())
+
+
+def _read(table: str) -> pa.Table:
+    return pq.read_table(os.path.join(SF_DIR, f"{table}.parquet"))
+
+
+# -- q52: MinHash + LSH near-dup pairs -------------------------------------------
+
+def gen_q52(doc_ids, texts, num_hashes=64, bands=16, k=3, threshold=0.12):
+    rows_per_band = num_hashes // bands
+    a_mul = np.array([((2 * i + 1) * 0x9E3779B9) & 0x7FFFFFFF | 1
+                      for i in range(num_hashes)], dtype=np.uint64)
+    b_add = np.array([(i * 0x27D4EB4F) & 0x7FFFFFFF for i in range(num_hashes)],
+                     dtype=np.uint64)
+
+    hsets: dict[int, frozenset[int]] = {}
+    sigs: dict[int, np.ndarray] = {}
+    buckets: dict[int, set[int]] = {}  # bucket value -> doc ids
+    for did, text in zip(doc_ids, texts):
+        toks = _tokens_collapsed(text)
+        if len(toks) >= k:
+            shs = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+        else:
+            shs = {" ".join(toks)}
+        hs = frozenset(xxh64_bytes(s.encode(), 42) & 0xFFFFFFFF for s in shs)
+        hsets[did] = hs
+        harr = np.fromiter(hs, dtype=np.uint64)
+        # (h*a + b) mod 2^32, columnwise min — the universal-hash permutation
+        perm = (harr[:, None] * a_mul[None, :] + b_add[None, :]) & np.uint64(0xFFFFFFFF)
+        sig = perm.min(axis=0)
+        sigs[did] = sig
+        for b in range(bands):
+            band = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            key = spark_xxhash64(",".join(str(int(v)) for v in band), b)
+            buckets.setdefault(key, set()).add(did)
+
+    cand: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ordered = sorted(ids)
+        for i, x in enumerate(ordered):
+            for y in ordered[i + 1 :]:
+                cand.add((x, y))
+
+    out = []
+    for ia, ib in sorted(cand):
+        inter = len(hsets[ia] & hsets[ib])
+        na, nb = len(hsets[ia]), len(hsets[ib])
+        jacc = spark_round(inter / (na + nb - inter), 6)
+        if jacc >= threshold:
+            est = spark_round(int((sigs[ia] == sigs[ib]).sum()) / num_hashes, 6)
+            out.append((ia, ib, est, jacc))
+    return pa.table({
+        "id_a": pa.array([r[0] for r in out], pa.int64()),
+        "id_b": pa.array([r[1] for r in out], pa.int64()),
+        "est_jaccard": pa.array([r[2] for r in out], pa.float64()),
+        "jaccard": pa.array([r[3] for r in out], pa.float64()),
+    })
+
+
+# -- q53: SimHash near-dup pairs --------------------------------------------------
+
+def gen_q53(doc_ids, texts, max_hamming=3):
+    sigs: dict[int, int] = {}
+    for did, text in zip(doc_ids, texts):
+        toks = _tokens_ws(text)
+        n = len(toks)
+        counts = [0] * 64
+        for t in toks:
+            h = xxh64_bytes(t.encode(), 42)
+            for b in range(64):
+                counts[b] += (h >> b) & 1
+        sig = 0
+        for b in range(64):
+            if counts[b] * 2 > n:
+                sig |= 1 << b
+        sigs[did] = sig
+
+    # banding: any pair with hamming <= 3 shares one of the 4 16-bit bands
+    # (pigeonhole), but stay faithful: candidates come from band collisions
+    buckets: dict[tuple[int, int], set[int]] = {}
+    for did, sig in sigs.items():
+        for band in range(4):
+            buckets.setdefault((band, (sig >> (band * 16)) & 0xFFFF), set()).add(did)
+    cand: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ordered = sorted(ids)
+        for i, x in enumerate(ordered):
+            for y in ordered[i + 1 :]:
+                cand.add((x, y))
+    out = []
+    for ia, ib in sorted(cand):
+        ham = bin(sigs[ia] ^ sigs[ib]).count("1")
+        if ham <= max_hamming:
+            out.append((ia, ib, ham))
+    return pa.table({
+        "id_a": pa.array([r[0] for r in out], pa.int64()),
+        "id_b": pa.array([r[1] for r in out], pa.int64()),
+        "hamming": pa.array([r[2] for r in out], pa.int32()),
+    })
+
+
+# -- hyperplane LSH machinery (q55) ------------------------------------------------
+
+def plane_coeffs(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """blake2b-derived deterministic planes in [-1, 1] — the published spec of
+    operators/similarity._plane_coeffs, re-evaluated here."""
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for i in range(dim):
+            h = int.from_bytes(
+                hashlib.blake2b(f"{seed}:{p}:{i}".encode(), digest_size=8).digest(),
+                "big",
+            )
+            out[p, i] = (h % 2_000_001 - 1_000_000) / 1_000_000.0
+    return out
+
+
+def _signatures(vecs: np.ndarray, dim: int, n_planes: int, seeds: list[int]) -> np.ndarray:
+    planes = np.stack([plane_coeffs(dim, n_planes, s) for s in seeds])  # (T,P,D)
+    flat = planes.reshape(-1, dim).T  # (D, T*P)
+    pows = (2 ** np.arange(n_planes)).astype("int64")
+    bits = (vecs @ flat) >= 0
+    return (bits.reshape(len(vecs), len(seeds), n_planes) * pows).sum(axis=2)  # (n,T)
+
+
+def _topk_table(per_query: dict[int, list[tuple[int, object]]], k: int) -> pa.Table:
+    """Rank candidates (qid -> [(vec_id, vec)]) by rounded cosine desc, id asc."""
+    rows = []
+    for qid, items in per_query.items():
+        scored = [(vid, spark_round(cos_sim(vec, items_q), 6))
+                  for vid, vec, items_q in items]
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (vid, sim) in enumerate(scored[:k], start=1):
+            rows.append((qid, vid, sim, rank))
+    rows.sort()
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+        "sim": pa.array([r[2] for r in rows], pa.float64()),
+        "rank": pa.array([r[3] for r in rows], pa.int32()),
+    })
+
+
+def gen_q55(vec_ids, vecs: np.ndarray, raw_vecs, dim=64, k=5, n_planes=4, n_tables=20):
+    qmask = vec_ids % 100 == 0
+    qids = vec_ids[qmask]
+    csigs = _signatures(vecs, dim, n_planes, list(range(n_tables)))
+    qsigs = csigs[qmask]
+    per_query: dict[int, list] = {int(q): [] for q in qids}
+    seen: dict[int, set[int]] = {int(q): set() for q in qids}
+    for qi, qid in enumerate(qids):
+        for ci, cid in enumerate(vec_ids):
+            if any(csigs[ci, t] == qsigs[qi, t] for t in range(n_tables)):
+                if cid not in seen[int(qid)]:
+                    seen[int(qid)].add(int(cid))
+                    per_query[int(qid)].append(
+                        (int(cid), raw_vecs[ci], raw_vecs[np.where(vec_ids == qid)[0][0]])
+                    )
+    return _topk_table(per_query, k)
+
+
+# -- q57: IVF-flat ---------------------------------------------------------------
+
+def gen_q57(vec_ids, raw_vecs, k=5, n_centroids=16, n_probe=8, iters=1):
+    n = len(vec_ids)
+    # deterministic init: n_centroids ids with the smallest xxhash64(str(id)),
+    # then centroid_id = rank of id ascending
+    hashed = sorted(range(n), key=lambda i: spark_xxhash64(str(int(vec_ids[i]))))
+    sample = sorted(hashed[:n_centroids], key=lambda i: vec_ids[i])
+    cents = [[float(x) for x in raw_vecs[i]] for i in sample]
+
+    def assign(cents):
+        cells = []
+        for i in range(n):
+            best, best_sim = -1, -math.inf
+            for cidx, cv in enumerate(cents):
+                s = cos_sim(raw_vecs[i], cv)
+                if s > best_sim:
+                    best, best_sim = cidx, s
+            cells.append(best)
+        return cells
+
+    for _ in range(iters):
+        cells = assign(cents)
+        sums = [[0.0] * len(raw_vecs[0]) for _ in range(n_centroids)]
+        cnts = [0] * n_centroids
+        for i, c in enumerate(cells):
+            cnts[c] += 1
+            for p, x in enumerate(raw_vecs[i]):
+                sums[c][p] += float(x)
+        cents = [
+            [s / cnts[c] for s in sums[c]] for c in range(n_centroids) if cnts[c] > 0
+        ]
+    cells = assign(cents)
+
+    qmask = vec_ids % 100 == 0
+    per_query: dict[int, list] = {}
+    for qi in np.where(qmask)[0]:
+        qid = int(vec_ids[qi])
+        scored = sorted(
+            ((cos_sim(raw_vecs[qi], cv), cidx) for cidx, cv in enumerate(cents)),
+            key=lambda t: (-t[0], t[1]),
+        )
+        probe = {cidx for _, cidx in scored[:n_probe]}
+        per_query[qid] = [
+            (int(vec_ids[ci]), raw_vecs[ci], raw_vecs[qi])
+            for ci in range(n) if cells[ci] in probe
+        ]
+    return _topk_table(per_query, k)
+
+
+def main() -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    docs = _read("documents")
+    doc_ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+
+    t52 = gen_q52(doc_ids, texts)
+    pq.write_table(t52, os.path.join(OUT_DIR, "oracle_q52_sf001.parquet"))
+    print(f"q52: {t52.num_rows} rows")
+
+    t53 = gen_q53(doc_ids, texts)
+    pq.write_table(t53, os.path.join(OUT_DIR, "oracle_q53_sf001.parquet"))
+    print(f"q53: {t53.num_rows} rows")
+
+    emb = _read("embeddings")
+    vec_ids = np.array(emb.column("vec_id").to_pylist(), dtype=np.int64)
+    raw_vecs = [np.array(v, dtype=np.float32) for v in emb.column("embedding").to_pylist()]
+    vecs = np.stack([v.astype(np.float64) for v in raw_vecs])
+
+    t55 = gen_q55(vec_ids, vecs, raw_vecs)
+    pq.write_table(t55, os.path.join(OUT_DIR, "oracle_q55_sf001.parquet"))
+    print(f"q55: {t55.num_rows} rows")
+
+    t57 = gen_q57(vec_ids, raw_vecs)
+    pq.write_table(t57, os.path.join(OUT_DIR, "oracle_q57_sf001.parquet"))
+    print(f"q57: {t57.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
