@@ -273,6 +273,100 @@ def register_weighted_pct(spark) -> None:
         "get(a, 0).v, get(a, size(a)-1).v) END")
 
 
+def register_tdigest_merge(spark) -> None:
+    """The merge half of the distributed t-digest: combine per-partition
+    partial states (each ≤100 centroids) into one estimate — DataFusion's
+    merge_digests (concatenate centroids sorted by mean, recompress with
+    merge_sorted_f64, estimate with the global min/max/weight). Requires
+    register_weighted_pct (gt_td_compress / gt_td_est)."""
+    register_weighted_pct(spark)
+    # a partial: cs = compressed centroids, w = total weight, mn/mx = group
+    # value bounds (needed for the estimate's clamp branches)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gt_td_partial("
+        "a ARRAY<STRUCT<v: DOUBLE, w: DOUBLE>>) RETURNS "
+        "STRUCT<cs: ARRAY<STRUCT<m: DOUBLE, w: DOUBLE>>, w: DOUBLE, "
+        "mn: DOUBLE, mx: DOUBLE> RETURN "
+        "CASE WHEN a IS NULL OR size(a) = 0 THEN NULL ELSE "
+        "struct(gt_td_compress(a, aggregate(a, 0D, (ac, x) -> ac + x.w)) AS cs, "
+        "aggregate(a, 0D, (ac, x) -> ac + x.w) AS w, "
+        "get(a, 0).v AS mn, get(a, size(a)-1).v AS mx) END")
+    # merged estimate: centroids re-enter compression as weighted values
+    # (struct<v,w> array_sort orders by v = mean first — merge_sorted_f64's
+    # sort-by-mean), W/mn/mx fold across partials
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gt_td_final("
+        "parts0 ARRAY<STRUCT<cs: ARRAY<STRUCT<m: DOUBLE, w: DOUBLE>>, "
+        "w: DOUBLE, mn: DOUBLE, mx: DOUBLE>>, q DOUBLE) RETURNS DOUBLE "
+        "RETURN CASE WHEN size(filter(parts0, p -> p IS NOT NULL)) = 0 "
+        "THEN NULL "
+        "WHEN q <= 0D THEN aggregate(filter(parts0, p -> p IS NOT NULL), "
+        "CAST(NULL AS DOUBLE), (ac, p) -> least(coalesce(ac, p.mn), p.mn)) "
+        "WHEN q >= 1D THEN aggregate(filter(parts0, p -> p IS NOT NULL), "
+        "CAST(NULL AS DOUBLE), (ac, p) -> greatest(coalesce(ac, p.mx), p.mx)) "
+        "ELSE gt_td_est("
+        "gt_td_compress(array_sort(flatten(transform("
+        "filter(parts0, p -> p IS NOT NULL), "
+        "p -> transform(p.cs, c -> struct(c.m AS v, c.w AS w))))), "
+        "aggregate(filter(parts0, p -> p IS NOT NULL), 0D, (ac, p) -> ac + p.w)), "
+        "q, "
+        "aggregate(filter(parts0, p -> p IS NOT NULL), 0D, (ac, p) -> ac + p.w), "
+        "aggregate(filter(parts0, p -> p IS NOT NULL), CAST(NULL AS DOUBLE), "
+        "(ac, p) -> least(coalesce(ac, p.mn), p.mn)), "
+        "aggregate(filter(parts0, p -> p IS NOT NULL), CAST(NULL AS DOUBLE), "
+        "(ac, p) -> greatest(coalesce(ac, p.mx), p.mx))) END")
+
+
+def percentile_cont_bounded(
+    df,
+    group_cols: list,
+    value_col: str,
+    q: float,
+    weight_col: str | None = None,
+):
+    """approx_percentile_cont with BOUNDED per-group state — the 100-TB path.
+
+    The single-batch lowering in sql.py (gt_apcw over a full collect_list)
+    reproduces the reference goldens exactly but materializes every group
+    row in one aggregate buffer. This variant is the honest distributed
+    t-digest (DataFusion physical-expr tdigest.rs partial aggregation):
+
+      stage 1  groupBy(keys, spark_partition_id): sort + compress each
+               partition's slice of the group to ≤100 centroids (the
+               collect_list here is bounded by the PARTITION, which fits
+               executor memory by definition);
+      stage 2  groupBy(keys): concatenate the ≤100-centroid partials sorted
+               by mean, recompress once, estimate against the global
+               min/max/weight.
+
+    State per group at the final aggregate = (#partitions holding the
+    group) × 100 centroids — independent of row count. Estimates differ
+    from the single-batch path only within t-digest error bounds
+    (tests/test_sql_functions.py::test_percentile_bounded_vs_exact).
+
+    Returns one row per group with column ``pct``.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    register_tdigest_merge(spark)
+    w = weight_col or "1D"
+    pair = (f"CASE WHEN {value_col} IS NOT NULL AND {w} IS NOT NULL THEN "
+            f"struct(CAST({value_col} AS DOUBLE) AS v, "
+            f"CAST({w} AS DOUBLE) AS w) END")
+    partials = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy(*group_cols, "__pid")
+        .agg(F.expr(
+            f"gt_td_partial(array_sort(collect_list({pair})))"
+        ).alias("__part"))
+    )
+    return (
+        partials.groupBy(*group_cols)
+        .agg(F.expr(f"gt_td_final(collect_list(__part), {q!r}D)").alias("pct"))
+    )
+
+
 def count_hash(*cols) -> Column:
     """count(distinct hash(tuple)) — sampling-friendly distinct counter."""
     return F.count_distinct(F.xxhash64(*cols))

@@ -180,7 +180,10 @@ def cmcd(src: str) -> Processor:
     entries, and unparseable ints become NULL instead of failing the row."""
 
     def _val(k: str) -> Column:
-        ex = F.regexp_extract(F.col(src), rf"(?:^|,)\s*{k}=([^,]*)", 1)
+        # quoted values may contain commas (CTA-5004 allows them inside
+        # quoted cid/sid/nor) — match a full "..." token before falling back
+        # to comma-delimited
+        ex = F.regexp_extract(F.col(src), rf'(?:^|,)\s*{k}=("[^"]*"|[^,]*)', 1)
         return F.when(ex != "", ex)
 
     def proc(df: DataFrame) -> DataFrame:

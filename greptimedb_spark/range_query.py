@@ -88,8 +88,14 @@ def _fold_now_expr(t: str) -> int:
         r"(?i)interval\s*'([^']*)'\s*(\w+)",
         lambda m: str(parse_duration_ms(f"{m.group(1)} {m.group(2)}")),
         expr)
-    if re.fullmatch(r"[\d\s()+\-*/.]+", expr):
-        return int(eval(expr, {"__builtins__": {}}))
+    # `**` (adjacent `*`) would turn eval into exponentiation — a hostile
+    # TO (9**9**9) hangs the driver; 1/0 must surface as 'cannot fold', not
+    # an uncaught ZeroDivisionError
+    if re.fullmatch(r"[\d\s()+\-*/.]+", expr) and "**" not in expr:
+        try:
+            return int(eval(expr, {"__builtins__": {}}))
+        except (ZeroDivisionError, SyntaxError, ValueError, OverflowError):
+            pass
     raise ValueError(f"cannot fold TO expression: {t!r}")
 
 
@@ -188,6 +194,12 @@ def range_select(
     by = [a for _, a in by_specs]
     align_ms = parse_duration_ms(align)
     to_ms = _origin_ms(to)
+    if not aggs:
+        # e.g. `RANGE (now() - INTERVAL '1' day)` — a non-constant range
+        # expression parses to no aggregates; the reference rejects it with
+        # "Illegal argument … in range select query" (range/to.result)
+        raise ValueError("Illegal argument in range select query: "
+                         "no constant RANGE aggregate")
     for a in aggs:
         if a.range_ms is None:
             raise ValueError(f"agg {a.alias} missing RANGE")

@@ -197,7 +197,10 @@ def _bump_subus_literals(text: str) -> str:
         base = _dt.datetime.fromisoformat(
             m.group(2).replace("T", " ")) + _dt.timedelta(
                 microseconds=int(frac[:6]) + 1)
-        return (f"{m.group(1)} '{base.strftime('%Y-%m-%d %H:%M:%S')}"
+        # both `>` and `>=` against an unrepresentable instant t are
+        # `x >= trunc(t)+1µs` for a µs column — a `>` here would wrongly
+        # exclude a row stored exactly at that next microsecond
+        return (f">= '{base.strftime('%Y-%m-%d %H:%M:%S')}"
                 f".{base.microsecond:06d}'")
 
     return _SUBUS_CMP_RE.sub(repl, text)
@@ -3221,21 +3224,30 @@ class GreptimeSQL:
         to_ts = {"s": "timestamp_seconds({v})", "ms": "timestamp_millis({v})",
                  "us": "timestamp_micros({v})",
                  "ns": "timestamp_micros(CAST({v} / 1000 AS BIGINT))"}
-        for t in self.catalog.list_tables():
-            if not re.search(rf"\b{re.escape(t)}\b", text):
-                continue
+        referenced = [t for t in self.catalog.list_tables()
+                      if re.search(rf"\b{re.escape(t)}\b", text)]
+        for t in referenced:
             for e in self._col_entries(t):
                 if len(e) < 2 or e[1] != "timestamp":
                     continue
+                # if another referenced table has a NON-timestamp column of
+                # the same name, an unqualified ref could resolve to it —
+                # only rewrite refs explicitly qualified with this table
+                ambiguous = any(
+                    len(e2) >= 2 and e2[0] == e[0] and e2[1] != "timestamp"
+                    for t2 in referenced if t2 != t
+                    for e2 in self._col_entries(t2)
+                )
                 tpl = to_ts[_ts_unit(e[2] if len(e) > 2 else "timestamp")]
                 c = re.escape(e[0])
+                qual = rf"{re.escape(t)}\." if ambiguous else r"(?:\w+\.)?"
 
                 def repl(m: "re.Match[str]") -> str:
                     return (f"{m.group(1)} {m.group(2)} "
                             + tpl.format(v=m.group(3)))
 
                 text = _map_outside_strings(text, lambda seg: re.sub(
-                    rf"((?:\w+\.)?`?{c}`?)\s*(<=|>=|!=|<>|=|<|>)\s*"
+                    rf"({qual}`?{c}`?)\s*(<=|>=|!=|<>|=|<|>)\s*"
                     rf"(-?\d+)\b(?!\s*[\d.eE])",
                     repl, seg))
 
@@ -3245,7 +3257,7 @@ class GreptimeSQL:
                             + tpl.format(v=m.group(3)))
 
                 text = _map_outside_strings(text, lambda seg: re.sub(
-                    rf"((?:\w+\.)?`?{c}`?)\s+BETWEEN\s+(-?\d+)\s+AND\s+"
+                    rf"({qual}`?{c}`?)\s+BETWEEN\s+(-?\d+)\s+AND\s+"
                     rf"(-?\d+)\b(?!\s*[\d.eE])",
                     repl_between, seg, flags=re.IGNORECASE))
         # registered views expose timestamp columns under their own (possibly
@@ -3402,13 +3414,35 @@ class GreptimeSQL:
         from `greptime.semantic.entity.<type>.{id,scope,descriptive}` table
         options and implicitly from trace-v1 tables' service names;
         relationships derive client→server span pairs into `calls` edges.
-        Derivation window: the trailing hour."""
+        Derivation window: the trailing hour.
+
+        Fully DataFrame-side: each contributing table yields a lazy
+        select/distinct/aggregate plan and the registered views are their
+        unions — no per-row driver collect, so derivation scales with the
+        cluster instead of driver memory."""
         import datetime as _dt
-        import json as _json
 
         now = _dt.datetime.utcnow()
         lo = now - _dt.timedelta(hours=1)
-        ent_rows, rel_rows = [], []
+        ENT_SCHEMA = (
+            "observed_at timestamp, entity_type string, entity_id string, "
+            "entity_id_attrs string, scope string, descriptive string, "
+            "source_tables string")
+        REL_SCHEMA = (
+            "observed_at timestamp, src_type string, src_id string, "
+            "dst_type string, dst_id string, rel_type string, "
+            "provenance string, confidence int, request_count bigint, "
+            "error_count bigint, duration_sum bigint, duration_count bigint, "
+            "attributes string")
+
+        def _sorted_json(cols: list) -> "Column":
+            # {"k":v,...} with sorted keys, nulls kept — the compact
+            # rendering the reference emits for id_attrs/descriptive
+            return F.to_json(
+                F.struct(*[F.col(c).alias(c) for c in sorted(cols)]),
+                {"ignoreNullFields": "false"})
+
+        ent_parts, rel_parts = [], []
         for t in sorted(self.catalog.list_tables()):
             meta = self.catalog.meta(t)
             opts = meta.with_opts or {}
@@ -3429,30 +3463,39 @@ class GreptimeSQL:
                           if c.strip()]
                 if not idcols:
                     continue
-                extra = ([d["scope"]] if d.get("scope") else []) + \
-                    [c.strip() for c in d.get("descriptive", "").split(",")
-                     if c.strip()]
-                for r in df.select(*dict.fromkeys(idcols + extra)) \
-                        .distinct().collect():
-                    if len(idcols) == 1:
-                        eid, attrs = str(r[idcols[0]]), ""
-                    else:
-                        pairs = sorted((c, r[c]) for c in idcols)
-                        eid = ",".join(f"{c}={v}" for c, v in pairs)
-                        attrs = _json.dumps(dict(pairs), sort_keys=True,
-                                            separators=(",", ":"))
-                    scope = str(r[d["scope"]]) if d.get("scope") else ""
-                    desc_cols = [c.strip() for c in
-                                 d.get("descriptive", "").split(",")
-                                 if c.strip()]
-                    desc = _json.dumps({c: r[c] for c in desc_cols},
-                                       sort_keys=True, separators=(",", ":")) \
-                        if desc_cols else ""
-                    ent_rows.append((now, etype, eid, attrs, scope, desc, src))
+                desc_cols = [c.strip() for c in
+                             d.get("descriptive", "").split(",") if c.strip()]
+                extra = ([d["scope"]] if d.get("scope") else []) + desc_cols
+                dist = df.select(*dict.fromkeys(idcols + extra)).distinct()
+                if len(idcols) == 1:
+                    eid = F.col(idcols[0]).cast("string")
+                    attrs = F.lit("")
+                else:
+                    eid = F.concat_ws(",", *[
+                        F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+                        for c in sorted(idcols)])
+                    attrs = _sorted_json(idcols)
+                scope = (F.coalesce(F.col(d["scope"]).cast("string"), F.lit(""))
+                         if d.get("scope") else F.lit(""))
+                desc = _sorted_json(desc_cols) if desc_cols else F.lit("")
+                ent_parts.append(dist.select(
+                    F.lit(now).alias("observed_at"),
+                    F.lit(etype).alias("entity_type"),
+                    eid.alias("entity_id"),
+                    attrs.alias("entity_id_attrs"),
+                    scope.alias("scope"),
+                    desc.alias("descriptive"),
+                    F.lit(src).alias("source_tables")))
             if is_trace:
-                for r in df.select("service_name").distinct().collect():
-                    ent_rows.append((now, "service", str(r[0]), "", "", "",
-                                     src))
+                ent_parts.append(
+                    df.select("service_name").distinct().select(
+                        F.lit(now).alias("observed_at"),
+                        F.lit("service").alias("entity_type"),
+                        F.col("service_name").cast("string").alias("entity_id"),
+                        F.lit("").alias("entity_id_attrs"),
+                        F.lit("").alias("scope"),
+                        F.lit("").alias("descriptive"),
+                        F.lit(src).alias("source_tables")))
                 cli = df.filter(F.col("span_kind") == "SPAN_KIND_CLIENT") \
                     .select(F.col("trace_id").alias("c_trace"),
                             F.col("span_id").alias("c_span"),
@@ -3464,30 +3507,41 @@ class GreptimeSQL:
                 pairs = cli.join(
                     srv, (cli.c_trace == srv.trace_id)
                     & (srv.parent_span_id == cli.c_span))
-                for r in pairs.groupBy("src_id", "dst_id").agg(
-                        F.count("*").alias("n"),
-                        F.sum(F.when(F.col("span_status_code")
-                                     == "STATUS_CODE_ERROR", 1)
-                              .otherwise(0)).alias("errs"),
-                        F.sum("duration_nano").alias("dur_ns")).collect():
-                    rel_rows.append((
-                        now, "service", r["src_id"], "service", r["dst_id"],
-                        "calls", "trace", 1, r["n"], int(r["errs"]),
-                        int(round(float(r["dur_ns"] or 0) / 1e9)), r["n"], ""))
-        self.spark.createDataFrame(
-            ent_rows,
-            "observed_at timestamp, entity_type string, entity_id string, "
-            "entity_id_attrs string, scope string, descriptive string, "
-            "source_tables string",
-        ).createOrReplaceTempView("__gp_semantic_entities")
-        self.spark.createDataFrame(
-            rel_rows,
-            "observed_at timestamp, src_type string, src_id string, "
-            "dst_type string, dst_id string, rel_type string, "
-            "provenance string, confidence int, request_count bigint, "
-            "error_count bigint, duration_sum bigint, duration_count bigint, "
-            "attributes string",
-        ).createOrReplaceTempView("__gp_semantic_relationships")
+                agg = pairs.groupBy("src_id", "dst_id").agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.when(F.col("span_status_code")
+                                 == "STATUS_CODE_ERROR", 1)
+                          .otherwise(0)).alias("errs"),
+                    F.sum("duration_nano").alias("dur_ns"))
+                rel_parts.append(agg.select(
+                    F.lit(now).alias("observed_at"),
+                    F.lit("service").alias("src_type"),
+                    F.col("src_id").cast("string").alias("src_id"),
+                    F.lit("service").alias("dst_type"),
+                    F.col("dst_id").cast("string").alias("dst_id"),
+                    F.lit("calls").alias("rel_type"),
+                    F.lit("trace").alias("provenance"),
+                    F.lit(1).alias("confidence"),
+                    F.col("n").cast("long").alias("request_count"),
+                    F.col("errs").cast("long").alias("error_count"),
+                    F.round(F.coalesce(F.col("dur_ns").cast("double"),
+                                       F.lit(0.0)) / 1e9)
+                    .cast("long").alias("duration_sum"),
+                    F.col("n").cast("long").alias("duration_count"),
+                    F.lit("").alias("attributes")))
+
+        def _union(parts: list, schema: str) -> DataFrame:
+            if not parts:
+                return self.spark.createDataFrame([], schema)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionAll(p)
+            return out
+
+        _union(ent_parts, ENT_SCHEMA).createOrReplaceTempView(
+            "__gp_semantic_entities")
+        _union(rel_parts, REL_SCHEMA).createOrReplaceTempView(
+            "__gp_semantic_relationships")
 
     def _rewrite_arrow_typeof(self, text: str) -> str:
         """arrow_typeof(expr) → the DataFusion type-name string, resolved by
@@ -4123,33 +4177,87 @@ class GreptimeSQL:
                 if p != lg and p in raw.columns:
                     raw = raw.withColumnRenamed(p, lg)
             sel = [c for c in ([meta.time_index] + meta.tags) if c in raw.columns]
-            rows = raw.select(SEQ_COL, *sel).collect()
             indexed = [(e[0], e[6]) for e in cols
                        if len(e) > 6 and isinstance(e[6], dict) and e[6]]
+
+            # per-file stats via TWO bounded aggregations (one per (flush
+            # batch, region), one per flush batch) — never a full-row
+            # collect; the driver only receives #batches x #regions rows
+            raw2 = raw.select(SEQ_COL, *sel)
+            seqb = F.shiftright(F.col(SEQ_COL), 33)
+            fi_col = F.lit(None).cast("int")
+            for fi in range(len(fbs) - 1, -1, -1):
+                lo_b = fbs[fi - 1] if fi else 0
+                fi_col = F.when((seqb > lo_b) & (seqb <= fbs[fi]),
+                                fi).otherwise(fi_col)
+            rn_col = F.lit(None).cast("int")
+            for rn, rule in reversed(parts):
+                rn_col = F.when(self._part_rule_col(raw2, rule),
+                                rn).otherwise(rn_col)
+            tagged = raw2.withColumn("__fi", fi_col).withColumn("__rn", rn_col)
+
+            def _enc_pk_col(tag: str, ty: str):
+                # memcomparable piece: \x00 for NULL, else \x01 + big-endian
+                # sign-flipped int bytes / UTF-8 text (matches _enc_pk)
+                c = F.col(tag)
+                if ty in ("int", "integer", "long", "bigint", "smallint",
+                          "tinyint"):
+                    n = 8 if ty in ("long", "bigint") else 4
+                    if n == 8:
+                        flipped = F.hex(c.cast("long").bitwiseXOR(
+                            F.lit(-(1 << 63))))
+                    else:
+                        flipped = F.hex(c.cast("long")
+                                        .bitwiseXOR(F.lit(1 << 31))
+                                        .bitwiseAND(F.lit((1 << 32) - 1)))
+                    body = F.unhex(F.lpad(flipped, n * 2, "0"))
+                else:
+                    body = F.encode(c.cast("string"), "UTF-8")
+                return F.when(c.isNull(), F.lit(b"\x00")).otherwise(
+                    F.concat(F.lit(b"\x01"), body))
+
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            if meta.tags:
+                pk = F.concat(*[_enc_pk_col(tag, ty) for tag, ty
+                                in zip(meta.tags, tag_types)])
+                aggs += [
+                    F.min(pk).alias("__pk_min"), F.max(pk).alias("__pk_max"),
+                    F.count_distinct(F.struct(*meta.tags)).alias("__series"),
+                ]
+            for c, _ in indexed:
+                if c in sel:
+                    # distinct-with-null like len({r[c]}): count_distinct
+                    # skips NULLs, so add one when any NULL exists
+                    aggs.append(
+                        (F.count_distinct(F.col(c))
+                         + F.max(F.when(F.col(c).isNull(), 1).otherwise(0))
+                         ).alias(f"__nd_{c}"))
+            per_region = {
+                (r["__fi"], r["__rn"]): r
+                for r in tagged.filter(F.col("__fi").isNotNull()
+                                       & F.col("__rn").isNotNull())
+                .groupBy("__fi", "__rn").agg(*aggs).collect()}
+            per_batch = {
+                r["__fi"]: r
+                for r in tagged.filter(F.col("__fi").isNotNull())
+                .groupBy("__fi").agg(
+                    F.min(meta.time_index).alias("__mn"),
+                    F.max(meta.time_index).alias("__mx")).collect()}
+
+            def _iso(v):
+                if isinstance(v, _dt.datetime):
+                    return v.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3]
+                return "1970-01-01T00:00:00.000"
+
             for fi, fb in enumerate(fbs):
-                lo = fbs[fi - 1] if fi else 0
                 for rn, rule in parts:
-                    grp = [r for r in rows
-                           if lo < (r[SEQ_COL] >> 33) <= fb
-                           and (rule is None or self._part_rule_match(r, rule))]
-                    if not grp:
+                    g = per_region.get((fi, rn))
+                    if g is None:
                         continue
                     rid = (tid << 32) | rn
                     fid = str(_uuid.uuid5(_uuid.NAMESPACE_DNS,
                                           f"{t}/{rn}/{fb}"))
-                    tss = [r[meta.time_index] for r in rows
-                           if lo < (r[SEQ_COL] >> 33) <= fb] or [None]
-                    pks = sorted(
-                        _enc_pk([r[tag] for tag in meta.tags], tag_types)
-                        for r in grp) if meta.tags else [b""]
-                    series = len({tuple(r[tag] for tag in meta.tags)
-                                  for r in grp}) if meta.tags else 1
-
-                    def _iso(v):
-                        if isinstance(v, _dt.datetime):
-                            return v.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3]
-                        return "1970-01-01T00:00:00.000"
-                    ts_in = [r[meta.time_index] for r in grp]
+                    b = per_batch.get(fi)
                     out.append({
                         "table": t, "table_dir": f"data/greptime/public/{tid}/",
                         "region_id": rid, "table_id": tid,
@@ -4160,34 +4268,40 @@ class GreptimeSQL:
                         "index_file_path": (
                             f"data/greptime/public/{tid}/{rid}_{rn}"
                             f"/index/{fid}.puffin") if indexed else None,
-                        "num_rows": len(grp), "num_series": series,
-                        "min_ts": _iso(min(ts_in)), "max_ts": _iso(max(ts_in)),
-                        "sequence": fb, "pk_min": pks[0], "pk_max": pks[-1],
+                        "num_rows": g["__n"],
+                        "num_series": g["__series"] if meta.tags else 1,
+                        "min_ts": _iso(b["__mn"] if b else None),
+                        "max_ts": _iso(b["__mx"] if b else None),
+                        "sequence": fb,
+                        "pk_min": bytes(g["__pk_min"]) if meta.tags else b"",
+                        "pk_max": bytes(g["__pk_max"]) if meta.tags else b"",
                         "indexed": indexed, "col_pos": col_pos,
                         "distinct": {
-                            c: len({r[c] for r in grp if c in sel})
+                            c: (g[f"__nd_{c}"] if c in sel else 0)
                             for c, _ in indexed},
-                        "grp_rows": grp,
                     })
         return out
 
-    def _part_rule_match(self, row, rule):
-        """Evaluate a PARTITION ON COLUMNS rule ('a < 1000 AND b >= 2')
-        against a collected Row — simple comparisons only, the reference's
-        partition rules are conjunctions of column-vs-literal predicates."""
-        ok = True
+    def _part_rule_col(self, df, rule):
+        """PARTITION ON COLUMNS rule ('a < 1000 AND b >= 2') as a boolean
+        Column — simple conjunctions of column-vs-literal predicates (the
+        reference's partition-rule grammar). NULL column values never match
+        (NULL comparisons propagate to NULL → filtered false)."""
+        if rule is None:
+            return F.lit(True)
+        cond = F.lit(True)
         for m in re.finditer(
                 r"(\w+)\s*(<>|!=|>=|<=|=|<|>)\s*('[^']*'|-?[\d.]+)", rule):
             c, op, lit = m.group(1), m.group(2), m.group(3)
-            v = row[c] if c in row.__fields__ else None
-            if v is None:
-                return False
+            if c not in df.columns:
+                return F.lit(False)
             lv = lit.strip("'") if lit.startswith("'") else (
                 float(lit) if "." in lit else int(lit))
-            ok = ok and {"<": v < lv, ">": v > lv, "<=": v <= lv,
-                         ">=": v >= lv, "=": v == lv,
-                         "<>": v != lv, "!=": v != lv}[op]
-        return ok
+            col = F.col(c)
+            cond = cond & {"<": col < lv, ">": col > lv, "<=": col <= lv,
+                           ">=": col >= lv, "=": col == lv,
+                           "<>": col != lv, "!=": col != lv}[op]
+        return cond
 
     def _info_ssts_manifest(self):
         rows = [(e["table_dir"], e["region_id"], e["table_id"],

@@ -284,3 +284,17 @@ def test_flow_session_window(spark, tmp_path):
     got = {(r.k, int(r.session_start.timestamp())): r.n for r in eng.read_sink("sessions").collect()}
     assert got[("a", 0)] == 3
     assert got[("a", 1000)] == 2
+
+
+def test_pipeline_cmcd_quoted_commas(spark):
+    """CTA-5004 allows commas inside quoted string values — the value match
+    must consume the full quoted token (ADVICE r4)."""
+    import greptimedb_spark.pipeline as P
+
+    df = spark.createDataFrame(
+        [('cid="a,b,c",br=100,sid="s,1",su',)], "c string")
+    out = P.cmcd("c")(df).collect()[0]
+    assert out.c_cid == '"a,b,c"'
+    assert out.c_sid == '"s,1"'
+    assert out.c_br == 100
+    assert out.c_su is True

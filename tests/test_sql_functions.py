@@ -213,3 +213,62 @@ def test_sqlness_by_expressions(spark, tmp_path):
     ).collect()
     assert [(int(r.ts.timestamp()), r.m) for r in sorted(out, key=lambda r: r.ts)] == [(0, 3), (20, 5)]
     g.sql("DROP TABLE host2")
+
+
+def test_percentile_bounded_vs_exact(spark, sf_dir):
+    """The bounded (partial/merge) t-digest path must agree with both the
+    exact percentile and the single-batch golden-parity lowering within
+    t-digest error bounds — here, the estimate must land inside the exact
+    [q-0.02, q+0.02] quantile bracket."""
+    from pyspark.sql import functions as F
+
+    from greptimedb_spark.functions.sketch import percentile_cont_bounded
+    from greptimedb_spark.queries import read
+
+    l = read(spark, sf_dir, "lineitem")
+    for q in (0.1, 0.5, 0.9):
+        bounded = {
+            r.l_returnflag: r.pct
+            for r in percentile_cont_bounded(
+                l, ["l_returnflag"], "l_quantity", q
+            ).collect()
+        }
+        lo_hi = {
+            r.l_returnflag: (r.lo, r.hi)
+            for r in l.groupBy("l_returnflag").agg(
+                F.expr(f"percentile(l_quantity, {max(q - 0.02, 0.0)})").alias("lo"),
+                F.expr(f"percentile(l_quantity, {min(q + 0.02, 1.0)})").alias("hi"),
+            ).collect()
+        }
+        assert bounded.keys() == lo_hi.keys()
+        for k, v in bounded.items():
+            lo, hi = lo_hi[k]
+            assert lo - 1e-9 <= v <= hi + 1e-9, (q, k, v, lo, hi)
+    # weighted variant + boundary quantiles hit the min/max branches
+    wdf = percentile_cont_bounded(l, ["l_returnflag"], "l_quantity", 0.0,
+                                  weight_col="l_linenumber")
+    mins = {r.l_returnflag: r.mn for r in
+            l.groupBy("l_returnflag").agg(F.min("l_quantity").alias("mn")).collect()}
+    for r in wdf.collect():
+        assert r.pct == float(mins[r.l_returnflag])
+
+
+def test_percentile_bounded_state_is_bounded(spark, sf_dir):
+    """Scale-shape check: the final aggregate consumes per-partition partial
+    states of ≤100 centroids, never raw rows — repartitioning the input
+    changes partial boundaries but the estimate stays in-bracket."""
+    from pyspark.sql import functions as F
+
+    from greptimedb_spark.functions.sketch import percentile_cont_bounded
+    from greptimedb_spark.queries import read
+
+    l = read(spark, sf_dir, "lineitem").repartition(13)
+    out = {r.l_returnflag: r.pct for r in
+           percentile_cont_bounded(l, ["l_returnflag"], "l_quantity", 0.5).collect()}
+    brackets = {r.l_returnflag: (r.lo, r.hi) for r in
+                l.groupBy("l_returnflag").agg(
+                    F.expr("percentile(l_quantity, 0.48)").alias("lo"),
+                    F.expr("percentile(l_quantity, 0.52)").alias("hi")).collect()}
+    for k, v in out.items():
+        lo, hi = brackets[k]
+        assert lo - 1e-9 <= v <= hi + 1e-9

@@ -461,8 +461,18 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
                 if df is not None:
                     _collect(df)
                 skipped += 1  # lenient where the reference errors
-            except Exception:
-                checked += 1  # error parity verified
+            except Exception as e:
+                # only a deliberate rejection counts as parity — an internal
+                # shim crash (AttributeError, re.error, KeyError…) on an
+                # expected-error statement must surface in the ledger, not
+                # masquerade as a verified check
+                if isinstance(e, ValueError) or type(e).__module__.startswith(
+                        ("pyspark", "py4j")):
+                    checked += 1  # error parity verified
+                else:
+                    errored += 1
+                    errs.append((stmt.replace("\n", " ")[:80],
+                                 f"errparity:{type(e).__name__}"))
             continue
         if any(re.search(p, stmt, re.IGNORECASE) for p in _SKIP_PATTERNS) or expected == "error":
             skipped += 1
@@ -1018,6 +1028,10 @@ _CONFORMANCE_CASES = [
     ("system/max_execution_time", 1),
     ("system/read_preference", 1),
     ("system/semantic_graph", 5),
+    # round 5: the read-only error goldens verify via the error-parity path
+    # (SELECT-form rejects must reject here too); CREATE/DROP scaffolding
+    # verifies by affected-rows
+    ("error/incorrect_sql", 10),
     ("types/timestamp/incorrect_timestamp", 0),
     ("types/timestamp/timestamp_precision_display", 0),
 ]
@@ -1102,6 +1116,14 @@ _CONFORMANCE_CASES_KNOWN_DIFFS = [
         "ts_ns_bug WHERE ts = '2026-06-02 03:50:00.000000195'",
         "ts_ns_bug WHERE ts > '2026-06-02 03:50:00' ORDER BY ts")),
     ("subquery/offset", 2, ("FROM temp_values OFFSET 1)",)),
+    # alter_table joins the battery (round 5): the test_alt_table /
+    # metric-engine / grpc_latencies slices verify end-to-end; the three
+    # default-value tables pin greptime's LAZY column casts (a value written
+    # while the column was Float64 re-renders from its original f64 bits
+    # after MODIFY COLUMN … STRING — "wired behavior due to underlying
+    # column data is unchanged"), unreproducible for an eager-rewrite engine
+    ("alter/alter_table", 12, ("test_alt_table_default",
+                              "test_alt_table_col_ty")),
     # NOT in the battery: types/string/scan_big_varchar — it doubles the
     # table with ts = to_unixtime(ts) * prime until the second-precision
     # values pass the i64-MICROsecond ceiling Spark timestamps store; the
