@@ -298,3 +298,60 @@ def test_pipeline_cmcd_quoted_commas(spark):
     assert out.c_sid == '"s,1"'
     assert out.c_br == 100
     assert out.c_su is True
+
+
+def test_flow_sql_vs_native_streaming_parity(spark, tmp_path):
+    """VERDICT r4 item 5: the SQL front door's batch-emulated flush and the
+    native Structured Streaming path (readStream -> withWatermark(EXPIRE
+    AFTER) -> window() -> writeStream) must agree on the same fixture.
+
+    Reference semantics: src/flow/src/batching_mode/task.rs:147 (periodic
+    dirty-window recomputation) == Spark's incremental watermark/window
+    state. The far-future pusher row closes every fixture window on the
+    streaming side (append mode emits closed windows only) and is excluded
+    from the comparison on both sides."""
+    from greptimedb_spark.catalog import Catalog
+    from greptimedb_spark.sql import GreptimeSQL
+    from greptimedb_spark.streaming import FlowEngine
+
+    rows = [(0, "a", 1.0), (1000, "a", 2.0), (4000, "b", 3.0),
+            (5000, "a", 4.0), (9000, "b", 5.0), (12000, "a", 6.0),
+            (7_200_000, "z", 0.0)]  # watermark pusher (2h)
+
+    # -- batch-emulated SQL flow --------------------------------------------
+    g = GreptimeSQL(spark, catalog=Catalog(spark, str(tmp_path / "cat_flow")))
+    g.sql("CREATE TABLE fsrc (ts timestamp(3) time index, k STRING PRIMARY KEY, v DOUBLE)")
+    g.sql("CREATE TABLE fout (time_window timestamp(3) time index, k STRING PRIMARY KEY, total DOUBLE)")
+    g.sql("CREATE FLOW fpar SINK TO fout EXPIRE AFTER '1h' AS "
+          "SELECT date_bin(INTERVAL '5 seconds', ts) AS time_window, k, "
+          "sum(v) AS total FROM fsrc GROUP BY time_window, k")
+    g.sql("INSERT INTO fsrc VALUES " + ", ".join(
+        f"({t}, '{k}', {v})" for t, k, v in rows))
+    g.sql("ADMIN FLUSH_FLOW('fpar')")
+    batch = {(int(r.time_window.timestamp()), r.k): r.total
+             for r in g.sql("SELECT * FROM fout").collect() if r.k != "z"}
+
+    # -- native Structured Streaming flow -----------------------------------
+    src = str(tmp_path / "fsrc_stream")
+    spark.createDataFrame(rows, "t long, k string, v double").selectExpr(
+        "timestamp_millis(t) AS ts", "k", "v"
+    ).write.mode("overwrite").parquet(src)
+    eng = FlowEngine(spark, str(tmp_path / "flows_par"))
+
+    def transform(stream):
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "5 seconds").alias("w"), "k")
+            .agg(F.sum("v").alias("total"))
+            .select(F.col("w.start").alias("time_window"), "k", "total")
+        )
+
+    eng.create_flow("fpar_native", src, "ts timestamp, k string, v double",
+                    transform, expire_after="1h")
+    eng.flush_flow("fpar_native")
+    native = {(int(r.time_window.timestamp()), r.k): r.total
+              for r in eng.read_sink("fpar_native").collect() if r.k != "z"}
+
+    assert batch == native
+    assert batch == {(0, "a"): 3.0, (0, "b"): 3.0, (5, "a"): 4.0,
+                     (5, "b"): 5.0, (10, "a"): 6.0}
