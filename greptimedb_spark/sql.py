@@ -5025,9 +5025,99 @@ class GreptimeSQL:
             dfr.createOrReplaceTempView(view)
             text = text[:start + 1] + f"SELECT * FROM {view}" + text[i:]
 
+    # -- PREPARE / EXECUTE / DEALLOCATE (prepare/mysql_prepare.sql) ----------
+    # Server-side prepared statements: positional `?` placeholders bind the
+    # EXECUTE arguments as typed literals. A placeholder cast to an explicit
+    # type (``?::int`` / ``CAST(? AS INTEGER)``) validates convertibility up
+    # front like the reference (Unable to convert … to datatype …).
+
+    def _prepare_stmt(self, name: str, body: str) -> DataFrame:
+        if not hasattr(self, "_prepared"):
+            self._prepared = {}
+        self._prepared[name] = body.strip().rstrip(";").strip()
+        return self._empty_ok()
+
+    @staticmethod
+    def _bind_placeholders(body: str, args: list[str]) -> str:
+        """Substitute `?` outside string literals with the argument literals,
+        validating explicit int casts (the reference's early conversion)."""
+        out, q, n = [], None, 0
+        i = 0
+        while i < len(body):
+            ch = body[i]
+            if q:
+                if ch == q:
+                    q = None
+                out.append(ch)
+            elif ch in "'\"":
+                q = ch
+                out.append(ch)
+            elif ch == "?":
+                if n >= len(args):
+                    raise ValueError(
+                        "Placeholder '?' was not provided a value for execution")
+                arg = args[n]
+                n += 1
+                tail = body[i + 1:]
+                tm = re.match(r"\s*::\s*(\w+)", tail)
+                target = tm.group(1).upper() if tm else None
+                if target is None:
+                    # CAST(? AS T): look back for the enclosing cast
+                    back = "".join(out)[-24:]
+                    cm = re.search(r"(?is)CAST\s*\(\s*$", back)
+                    if cm:
+                        am = re.match(r"\s*AS\s+(\w+)", tail)
+                        target = am.group(1).upper() if am else None
+                if target in ("INT", "INTEGER", "BIGINT", "SMALLINT",
+                              "TINYINT") and arg.startswith("'"):
+                    inner = arg.strip("'")
+                    if not re.fullmatch(r"-?\d+", inner):
+                        raise ValueError(
+                            "Invalid request parameter: Unable to convert "
+                            f"{inner} to datatype Int32(Int32Type)")
+                out.append(arg)
+            else:
+                out.append(ch)
+            i += 1
+        if n < len(args):
+            # extra args are an error in the reference's binder
+            raise ValueError(
+                f"Invalid request parameter: expected {n} parameters, "
+                f"got {len(args)}")
+        return "".join(out)
+
+    def _execute_stmt(self, name: str, using: str | None) -> DataFrame:
+        prepared = getattr(self, "_prepared", {})
+        if name not in prepared:
+            raise ValueError(f"Prepared statement not found: {name}")
+        from greptimedb_spark.range_query import _split_top_level
+
+        args = [a.strip() for a in _split_top_level(using)] if using else []
+        return self.sql(self._bind_placeholders(prepared[name], args))
+
     def sql(self, text: str, time_index: str = "ts") -> DataFrame:
         text = _strip_block_comments(text)
         text = _strip_line_comments(text)
+        pm = re.match(
+            r"(?is)\s*PREPARE\s+(\w+)\s+FROM\s+'((?:[^']|'')*)'\s*;?\s*$",
+            text)
+        if pm:
+            return self._prepare_stmt(pm.group(1),
+                                      pm.group(2).replace("''", "'"))
+        em = re.match(
+            r"(?is)\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.*?))?\s*;?\s*$", text)
+        if em:
+            return self._execute_stmt(em.group(1), em.group(2))
+        dm = re.match(r"(?is)\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*;?\s*$",
+                      text)
+        if dm:
+            getattr(self, "_prepared", {}).pop(dm.group(1), None)
+            return self._empty_ok()
+        if "?" in re.sub(r"'[^']*'|\"[^\"]*\"", "", text):
+            # a bare placeholder outside PREPARE has no bound value
+            # (mysql_prepare.result: SELECT ? → Placeholder error)
+            raise ValueError(
+                "Placeholder '?' was not provided a value for execution")
         if re.search(r"(?i)\bsemantic_(entities|relationships)\b", text):
             # computed graph tables are read-only (semantic_graph.sql)
             sm = re.search(r"(?i)\bsemantic_(entities|relationships)\b", text)

@@ -112,6 +112,10 @@ def _parse_result_file(path: str):
             if re.match(r"--\s*SQLNESS\s+ARG\s+restart=true", l.strip(),
                         re.IGNORECASE):
                 pending.append(("__RESTART__", 1))
+            if re.match(r"--\s*SQLNESS\s+PROTOCOL\s+MYSQL", l.strip(),
+                        re.IGNORECASE):
+                # mysql wire rendering: booleans print 0/1
+                pending.append(("__MYSQL__", 1))
             continue
         if pending and l.strip():
             directives[len(lines)] = pending
@@ -431,8 +435,9 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
     for stmt, expected, replaces in _parse_result_file(_case_path(case)):
         sleeps = [r[1] for r in replaces if r[0] == "__SLEEP__"]
         restart = any(r[0] == "__RESTART__" for r in replaces)
+        mysql_proto = any(r[0] == "__MYSQL__" for r in replaces)
         replaces = [r for r in replaces
-                    if r[0] not in ("__SLEEP__", "__RESTART__")]
+                    if r[0] not in ("__SLEEP__", "__RESTART__", "__MYSQL__")]
         if restart:
             # node-restart emulation: skip-wal tables lose unflushed rows
             g.simulate_restart()
@@ -441,6 +446,9 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
             continue
         if expected == "error" and re.match(
                 r"^\s*(SELECT|WITH|VALUES"
+                # EXECUTE of a prepared SELECT is read-only; binder errors
+                # (missing/unconvertible parameters) are parity-checkable
+                r"|EXECUTE"
                 # ALTER…REPARTITION is rejected up front by both engines
                 # (metasrv GC precondition) — parity-checkable without any
                 # state mutation, unlike general DDL error-goldens
@@ -510,6 +518,10 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
             continue
         exp_header, exp_rows = expected
         rows = _normalize_f32(df, rows)
+        if mysql_proto:
+            # mysql wire rendering prints booleans as 0/1
+            rows = [[int(c) if isinstance(c, bool) else c for c in row]
+                    for row in rows]
         rows = _expand_multiline_rows(rows)
         if replaces:
             got_cells = [[_apply_replaces(c, replaces) for c in row] for row in rows]
@@ -1032,6 +1044,8 @@ _CONFORMANCE_CASES = [
     # (SELECT-form rejects must reject here too); CREATE/DROP scaffolding
     # verifies by affected-rows
     ("error/incorrect_sql", 10),
+    # round 5: PREPARE/EXECUTE/DEALLOCATE server-side prepared statements
+    ("prepare/mysql_prepare", 9),
     ("types/timestamp/incorrect_timestamp", 0),
     ("types/timestamp/timestamp_precision_display", 0),
 ]
