@@ -1,0 +1,211 @@
+"""HNSW approximate-nearest-neighbor search, Spark-first.
+
+The reference attaches a usearch HNSW index to every SST and merges per-SST
+results at query time (src/index/src/vector.rs:38, RFC
+docs/rfcs/2025-12-05-vector-index.md). The Spark mapping is the same shape:
+
+- the corpus is split into deterministic groups (``vec_id % n_indexes`` —
+  the stand-in for SST membership);
+- ``applyInPandas`` builds one in-memory HNSW graph per group and searches
+  the broadcast query set against it (per-SST index + search);
+- a global ``row_number`` top-k over the per-group candidates merges the
+  results (the reference's multi-SST merge).
+
+At 100 TB the per-group build is the one-time index build (the graph would
+be serialized next to the data file); per-query cost is
+n_indexes × ef_search node visits instead of a corpus scan, and only
+(query × candidate) rows ever shuffle.
+
+DETERMINISM SPEC (pinned so tests/fixtures can reimplement it
+independently — tools/gen_oracle_fixtures.py gen_q58):
+- insertion order: ascending vec_id within the group;
+- node level: floor(-ln(u) / ln(M)) with u = (blake2b64("hnsw:<id>")+1)/2^64;
+- similarity: cosine on float64 (np.dot + np.sqrt);
+- all orderings tie-break by vec_id ascending after similarity descending;
+- neighbor lists keep the top-M by (sim desc, id asc) — no diversity
+  heuristic; layer 0 keeps 2*M;
+- search: classic best-first with ef candidates; a candidate worse than the
+  current ef-th best stops the loop; final top-k by (sim desc, id asc).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _level(node_id: int, m: int) -> int:
+    h = int.from_bytes(
+        hashlib.blake2b(f"hnsw:{node_id}".encode(), digest_size=8).digest(),
+        "big")
+    u = (h + 1) / 2.0 ** 64
+    return int(-math.log(u) / math.log(m))
+
+
+def build_hnsw(ids, vecs, m: int = 8, ef_construction: int = 64):
+    """Build the graph per the determinism spec. ``vecs`` is a float64
+    (n, dim) ndarray aligned with ``ids`` (ascending). Returns
+    (levels, graph, entry) with graph[layer][node_index] = [neighbor
+    indexes]."""
+    import numpy as np
+
+    n = len(ids)
+    norms = [float(np.sqrt(np.dot(vecs[i], vecs[i]))) for i in range(n)]
+
+    def sim(a: int, b: int) -> float:
+        return float(np.dot(vecs[a], vecs[b])) / (norms[a] * norms[b])
+
+    levels = [_level(int(ids[i]), m) for i in range(n)]
+    graph: list[dict[int, list[int]]] = [
+        {} for _ in range(max(levels, default=0) + 1)
+    ]
+    entry = -1
+    for i in range(n):  # ids ascending == index ascending
+        lvl = levels[i]
+        for l in range(min(lvl, len(graph) - 1) + 1):
+            graph[l].setdefault(i, [])
+        if entry < 0:
+            entry = i
+            continue
+        ep = entry
+        top = levels[entry]
+        # greedy descend above the node's level
+        for l in range(top, lvl, -1):
+            ep = _greedy(graph, l, ep, i, sim)
+        for l in range(min(top, lvl), -1, -1):
+            cand = _search_layer(graph, l, ep, i, ef_construction, sim)
+            mmax = 2 * m if l == 0 else m
+            nbrs = [c for _, c in cand[:m]]
+            graph[l][i] = list(nbrs)
+            for nb in nbrs:
+                lst = graph[l][nb]
+                lst.append(i)
+                if len(lst) > mmax:
+                    lst.sort(key=lambda x: (-sim(nb, x), ids[x]))
+                    del lst[mmax:]
+            if cand:
+                ep = cand[0][1]
+        if lvl > levels[entry]:
+            entry = i
+    return levels, graph, entry
+
+
+def _greedy(graph, layer, ep, q, sim):
+    cur, cur_sim = ep, sim(ep, q)
+    improved = True
+    while improved:
+        improved = False
+        for nb in sorted(graph[layer].get(cur, [])):
+            s = sim(nb, q)
+            if s > cur_sim:
+                cur, cur_sim, improved = nb, s, True
+    return cur
+
+
+def _search_layer(graph, layer, ep, q, ef, sim):
+    """Best-first search; returns [(sim, node)] sorted by (sim desc, node
+    asc), at most ef entries. ``q`` may be a node index or handled inside
+    ``sim``."""
+    start = (sim(ep, q), ep)
+    visited = {ep}
+    cand = [start]       # explore frontier
+    best = [start]       # current ef best
+    while cand:
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        c_sim, c = cand.pop(0)
+        worst = min(best, key=lambda t: (t[0], -t[1]))
+        if len(best) >= ef and c_sim < worst[0]:
+            break
+        for nb in sorted(graph[layer].get(c, [])):
+            if nb in visited:
+                continue
+            visited.add(nb)
+            s = sim(nb, q)
+            worst = min(best, key=lambda t: (t[0], -t[1]))
+            if len(best) < ef or s > worst[0]:
+                best.append((s, nb))
+                cand.append((s, nb))
+                if len(best) > ef:
+                    best.remove(min(best, key=lambda t: (t[0], -t[1])))
+    best.sort(key=lambda t: (-t[0], t[1]))
+    return best
+
+
+def search_hnsw(ids, vecs, levels, graph, entry, qvec,
+                k: int, ef_search: int = 32):
+    """Top-k (id, sim) for one query vector against a built graph."""
+    import numpy as np
+
+    if entry < 0:
+        return []
+    qn = float(np.sqrt(np.dot(qvec, qvec)))
+    norms_cache: dict[int, float] = {}
+
+    def nsim(a: int, _q=None) -> float:
+        na = norms_cache.get(a)
+        if na is None:
+            na = float(np.sqrt(np.dot(vecs[a], vecs[a])))
+            norms_cache[a] = na
+        return float(np.dot(vecs[a], qvec)) / (na * qn)
+
+    ep = entry
+    for l in range(levels[entry], 0, -1):
+        ep = _greedy(graph, l, ep, None, nsim)
+    best = _search_layer(graph, 0, ep, None, ef_search, nsim)
+    return [(int(ids[i]), s) for s, i in best[:k]]
+
+
+def hnsw_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ef_construction: int = 64,
+    ef_search: int = 32,
+    n_indexes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k per query: per-group HNSW graphs searched in
+    parallel, candidates merged by a global rank. Returns
+    (query_id, vec_id, sim, rank) like brute_force_topk; ``sim`` is rounded
+    to 6 (HALF_UP) for cross-engine comparability."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = [(int(r[0]), np.asarray(r[1], dtype=np.float64))
+              for r in queries.select(query_id_col, query_vec_col).collect()]
+
+    out_schema = f"{query_id_col} long, {id_col} long, sim double"
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        vecs = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in pdf[vec_col]])
+        levels, graph, entry = build_hnsw(ids, vecs, m, ef_construction)
+        rows = []
+        for qid, qv in q_rows:
+            for vid, s in search_hnsw(ids, vecs, levels, graph, entry, qv,
+                                      k, ef_search):
+                rows.append((qid, vid, _round6(s)))
+        return pd.DataFrame(rows, columns=[query_id_col, id_col, "sim"])
+
+    grouped = corpus.select(id_col, vec_col).withColumn(
+        "__idx", F.pmod(F.col(id_col), F.lit(n_indexes)))
+    cand = grouped.groupBy("__idx").applyInPandas(per_group, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k)
+
+
+def _round6(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))

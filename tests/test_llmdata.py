@@ -182,3 +182,49 @@ def test_oracle_fixtures_fresh():
     fresh53 = gen.gen_q53(doc_ids, texts)
     committed53 = pq.read_table("/root/repo/tests/fixtures/oracle_q53_sf001.parquet")
     assert fresh53.equals(committed53)
+
+
+def test_hnsw_exhaustive_equals_bruteforce(spark, sf_dir):
+    """With one index group, complete connectivity (M >= n) and ef covering
+    the corpus, HNSW search degenerates to an exact scan — it must
+    reproduce brute-force top-k verbatim (same tie-breaks)."""
+    from greptimedb_spark.operators import hnsw
+    from greptimedb_spark.queries import read
+
+    e = read(spark, sf_dir, "embeddings").limit(80).cache()
+    n = e.count()
+    queries = e.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = sim.brute_force_topk(e, queries, k=5)
+    approx = hnsw.hnsw_topk(e, queries, k=5, m=n, ef_construction=n,
+                            ef_search=n, n_indexes=1)
+    ex = {(r.query_id, r.vec_id, r.rank) for r in exact.collect()}
+    hn = {(r.query_id, r.vec_id, r.rank) for r in approx.collect()}
+    assert ex == hn
+
+
+def test_hnsw_topk_recall_and_determinism(spark, sf_dir):
+    from greptimedb_spark.operators import hnsw
+    from greptimedb_spark.queries import read
+
+    e = read(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = sim.brute_force_topk(e, queries, k=5)
+    approx = hnsw.hnsw_topk(e, queries, k=5, m=8, ef_construction=64,
+                            ef_search=48, n_indexes=4)
+    ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+    got1 = sorted((r.query_id, r.vec_id, r.sim, r.rank) for r in approx.collect())
+    recall = len(ex & {(q, v) for q, v, _, _ in got1}) / len(ex)
+    assert recall >= 0.8, f"HNSW recall too low: {recall}"
+    # self-match always survives (the query's own group indexes it)
+    for q in {r.query_id for r in exact.collect()}:
+        assert (q, q, 1.0, 1) in ((a, b, c, d) for a, b, c, d in got1)
+    # determinism: a rebuild returns the identical result set
+    got2 = sorted((r.query_id, r.vec_id, r.sim, r.rank)
+                  for r in hnsw.hnsw_topk(e, queries, k=5, m=8,
+                                          ef_construction=64, ef_search=48,
+                                          n_indexes=4).collect())
+    assert got1 == got2

@@ -311,6 +311,141 @@ def main() -> None:
     pq.write_table(t57, os.path.join(OUT_DIR, "oracle_q57_sf001.parquet"))
     print(f"q57: {t57.num_rows} rows")
 
+    t58 = gen_q58(vec_ids, raw_vecs)
+    pq.write_table(t58, os.path.join(OUT_DIR, "oracle_q58_sf001.parquet"))
+    print(f"q58: {t58.num_rows} rows")
+
+
+
+
+# -- q58: HNSW (independent reimplementation of operators/hnsw.py's pinned
+# determinism spec: heapq/dict style vs the operator's list/ndarray style) --
+
+def _hnsw_level(node_id: int, m: int) -> int:
+    import hashlib
+
+    h = int.from_bytes(
+        hashlib.blake2b(f"hnsw:{node_id}".encode(), digest_size=8).digest(),
+        "big")
+    return int(-math.log((h + 1) / 2.0 ** 64) / math.log(m))
+
+
+def _hnsw_build_and_search(ids, vecs64, queries, k, m, efc, efs):
+    """ids ascending; vecs64 list of float64 ndarrays; queries [(qid, qv)]."""
+    n = len(ids)
+    norms = [float(np.sqrt(np.dot(v, v))) for v in vecs64]
+    levels = [_hnsw_level(int(i), m) for i in ids]
+    layers = [dict() for _ in range(max(levels, default=0) + 1)]
+
+    def sim_fn(vec, vnorm):
+        def s(node):
+            return float(np.dot(vecs64[node], vec)) / (norms[node] * vnorm)
+        return s
+
+    def greedy(layer, ep, s):
+        cur, cs = ep, s(ep)
+        moved = True
+        while moved:
+            moved = False
+            for nb in sorted(layers[layer].get(cur, [])):
+                v = s(nb)
+                if v > cs:
+                    cur, cs, moved = nb, v, True
+        return cur
+
+    def search_layer(layer, ep, ef, s):
+        import heapq
+
+        start = (s(ep), ep)
+        visited = {ep}
+        frontier = [(-start[0], start[1])]
+        best = [start]
+        while frontier:
+            negs, c = heapq.heappop(frontier)
+            worst = min(best, key=lambda t: (t[0], -t[1]))
+            if len(best) >= ef and -negs < worst[0]:
+                break
+            for nb in sorted(layers[layer].get(c, [])):
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                v = s(nb)
+                worst = min(best, key=lambda t: (t[0], -t[1]))
+                if len(best) < ef or v > worst[0]:
+                    best.append((v, nb))
+                    heapq.heappush(frontier, (-v, nb))
+                    if len(best) > ef:
+                        best.remove(min(best, key=lambda t: (t[0], -t[1])))
+        return sorted(best, key=lambda t: (-t[0], t[1]))
+
+    entry = -1
+    for i in range(n):
+        lvl = levels[i]
+        for l in range(min(lvl, len(layers) - 1) + 1):
+            layers[l].setdefault(i, [])
+        if entry < 0:
+            entry = i
+            continue
+        s = sim_fn(vecs64[i], norms[i])
+        ep = entry
+        for l in range(levels[entry], lvl, -1):
+            ep = greedy(l, ep, s)
+        for l in range(min(levels[entry], lvl), -1, -1):
+            cand = search_layer(l, ep, efc, s)
+            mmax = 2 * m if l == 0 else m
+            nbrs = [c for _, c in cand[:m]]
+            layers[l][i] = list(nbrs)
+            for nb in nbrs:
+                lst = layers[l][nb]
+                lst.append(i)
+                if len(lst) > mmax:
+                    lst.sort(key=lambda x: (
+                        -(float(np.dot(vecs64[nb], vecs64[x]))
+                          / (norms[nb] * norms[x])), ids[x]))
+                    del lst[mmax:]
+            if cand:
+                ep = cand[0][1]
+        if lvl > levels[entry]:
+            entry = i
+
+    out = []
+    for qid, qv in queries:
+        qn = float(np.sqrt(np.dot(qv, qv)))
+        s = sim_fn(qv, qn)
+        ep = entry
+        for l in range(levels[entry], 0, -1):
+            ep = greedy(l, ep, s)
+        for v, node in search_layer(0, ep, efs, s)[:k]:
+            out.append((qid, int(ids[node]), spark_round(v, 6)))
+    return out
+
+
+def gen_q58(vec_ids, raw_vecs, k=5, m=8, efc=64, efs=48, n_indexes=4):
+    vecs64 = [v.astype(np.float64) for v in raw_vecs]
+    queries = [(int(vec_ids[i]), vecs64[i])
+               for i in range(len(vec_ids)) if vec_ids[i] % 100 == 0]
+    cands: dict[int, list] = {q: [] for q, _ in queries}
+    for g in range(n_indexes):
+        idx = [i for i in range(len(vec_ids)) if vec_ids[i] % n_indexes == g]
+        idx.sort(key=lambda i: vec_ids[i])
+        gids = [int(vec_ids[i]) for i in idx]
+        gvecs = [vecs64[i] for i in idx]
+        for qid, vid, s in _hnsw_build_and_search(
+                gids, gvecs, queries, k, m, efc, efs):
+            cands[qid].append((vid, s))
+    rows = []
+    for qid, items in cands.items():
+        items.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (vid, s) in enumerate(items[:k], start=1):
+            rows.append((qid, vid, s, rank))
+    rows.sort()
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+        "sim": pa.array([r[2] for r in rows], pa.float64()),
+        "rank": pa.array([r[3] for r in rows], pa.int32()),
+    })
+
 
 if __name__ == "__main__":
     main()
