@@ -1964,6 +1964,118 @@ class GreptimeSQL:
     def _empty_ok(self):
         return self.spark.createDataFrame([], "result string")
 
+    # -- pg_catalog emulation (system/pg_catalog.sql) ------------------------
+    # The reference exposes pg_class/pg_namespace/pg_attribute/pg_type/
+    # pg_database to POSTGRES-protocol sessions only
+    # (src/catalog/src/system_schema/pg_catalog.rs); other protocols get
+    # TableNotFound. ``self.protocol = "postgres"`` opts a session in.
+
+    # PostgreSQL's public type oids for the greptime column types that can
+    # appear in pg_attribute joins
+    _PG_TYPE_OIDS = {
+        "boolean": 16, "binary": 17, "bigint": 20, "long": 20,
+        "smallint": 21, "tinyint": 21, "int": 23, "integer": 23,
+        "string": 25, "text": 25, "json": 114, "float": 700, "double": 701,
+        "date": 1082, "timestamp": 1114, "interval": 1186, "decimal": 1700,
+    }
+
+    @staticmethod
+    def _pg_oid(kind: str, name: str) -> int:
+        import zlib
+
+        return zlib.crc32(f"{kind}:{name}".encode()) & 0x7FFFFFFF
+
+    def _pg_schema_of(self, phys: str) -> tuple[str, str]:
+        m = re.match(r"__(\w+?)__(.+)$", phys)
+        if m:
+            return m.group(1), m.group(2)
+        try:
+            db = getattr(self.catalog.meta(phys), "schema_name",
+                         "public") or "public"
+        except Exception:
+            db = "public"
+        return db, phys
+
+    def _build_pg_catalog_views(self) -> None:
+        ns = ["greptime_private", "information_schema", "public"] + sorted(
+            k for k in (getattr(self, "_databases", {}) or {})
+            if k not in ("public", "greptime"))
+        self.spark.createDataFrame(
+            [(self._pg_oid("ns", n), n, 10, None, None) for n in ns],
+            "oid int, nspname string, nspowner int, nspacl string, "
+            "options string").createOrReplaceTempView("__pg_namespace")
+        rels = [("numbers", "public", "numbers", "r")] + [
+            (t, *self._pg_schema_of(t), "r")
+            for t in sorted(self.catalog.list_tables())]
+        self.spark.createDataFrame(
+            [(self._pg_oid("rel", phys), rel, self._pg_oid("ns", db), kind, 10)
+             for phys, db, rel, kind in rels],
+            "oid int, relname string, relnamespace int, relkind string, "
+            "relowner int").createOrReplaceTempView("__pg_class")
+        attrs = []
+        for phys, _db, _rel, _k in rels[1:]:
+            rid = self._pg_oid("rel", phys)
+            for pos, e in enumerate(self._col_entries(phys), start=1):
+                ty = str(e[1]).lower() if len(e) > 1 else "string"
+                attrs.append((rid, e[0],
+                              self._PG_TYPE_OIDS.get(ty, 25), pos))
+        self.spark.createDataFrame(
+            attrs, "attrelid int, attname string, atttypid int, attnum int"
+        ).createOrReplaceTempView("__pg_attribute")
+        toids: dict[int, str] = {}
+        for name, oid in sorted(self._PG_TYPE_OIDS.items()):
+            toids.setdefault(oid, name)  # aliases (string/text…) share oids
+        self.spark.createDataFrame(
+            sorted(toids.items()),
+            "oid int, typname string").createOrReplaceTempView("__pg_type")
+        self.spark.createDataFrame(
+            [], "oid int, datname string, datdba int, encoding int, "
+                "datlocprovider string, datcollate string, datctype string, "
+                "datistemplate boolean, datallowconn boolean, "
+                "datconnlimit int, datlastsysoid int, datfrozenxid int, "
+                "datminmxid int, dattablespace int, daticulocale string, "
+                "daticurules string, datacl string"
+        ).createOrReplaceTempView("__pg_database")
+
+    def _rewrite_pg_catalog(self, text: str) -> str:
+        cur = getattr(self, "_current_db", "public")
+        text = re.sub(r"(?i)\bpg_catalog\s*\.\s*(pg_\w+)", r"\1", text)
+        text = re.sub(
+            r"(?i)(?<![\w.])(pg_namespace|pg_class|pg_attribute|pg_type"
+            r"|pg_database)\b", r"__\1", text)
+        # psql scalar shims
+        text = re.sub(r"(?i)\bsession_user\b", "'greptime'", text)
+        text = re.sub(r"(?i)\bcurrent_schema\s*\(\s*\)", f"'{cur}'", text)
+        text = re.sub(r"(?i)\bcurrent_schemas\s*\(\s*true\s*\)",
+                      "array('public','information_schema','pg_catalog',"
+                      "'greptime_private')", text)
+        text = re.sub(r"(?i)\bcurrent_schemas\s*\(\s*false\s*\)",
+                      "array('public')", text)
+        text = re.sub(r"(?i)\bcurrent_database\s*\(\s*\)", "'greptime'", text)
+        text = re.sub(r"(?i)\bversion\s*\(\s*\)",
+                      "'PostgreSQL 16.3 GreptimeDB'", text)
+        text = re.sub(r"(?i)\bpg_my_temp_schema\s*\(\s*\)\s*", "0 ", text)
+        text = re.sub(r"(?i)\bpg_get_userbyid\s*\([^()]*\)", "'postgres'",
+                      text)
+        text = re.sub(r"(?i)\bpg_table_is_visible\s*\([^()]*\)", "true", text)
+        # description functions: placeholder NULL for compatibility
+        # (pg_catalog.result "IS NULL AS is_null" goldens)
+        text = re.sub(r"(?i)\b(obj|col|shobj)_description\s*\("
+                      r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)",
+                      "CAST(NULL AS STRING)", text)
+        text = re.sub(r"([\w.]+)\s*!~\s*('[^']*')",
+                      r"NOT regexp_like(\1, \2)", text)
+
+        def _regclass(m: re.Match) -> str:
+            try:
+                phys = self._resolve_table(m.group(1).lower())
+            except Exception:
+                phys = m.group(1).lower()
+            return str(self._pg_oid("rel", phys))
+
+        text = re.sub(r"'(\w+)'\s*::\s*regclass\s*::\s*oid", _regclass, text)
+        return text
+
     def _ddl_extended(self, text: str, text_q: str | None = None):
         stmt = text.strip().rstrip(";")
         # ALTER parses from the quote-preserved text: quoting decides
@@ -5118,6 +5230,37 @@ class GreptimeSQL:
             # (mysql_prepare.result: SELECT ? → Placeholder error)
             raise ValueError(
                 "Placeholder '?' was not provided a value for execution")
+        sp = re.match(r"(?is)\s*(SHOW|SET)\s+search_path"
+                      r"(?:\s*(?:TO|=)\s*'?(\w+)'?)?\s*;?\s*$", text)
+        if sp:
+            if sp.group(1).upper() == "SHOW":
+                return self.spark.createDataFrame(
+                    [(getattr(self, "_current_db", "public"),)],
+                    "search_path string")
+            if sp.group(2):
+                self._current_db = sp.group(2).lower()
+                # unlike USE, a search_path selection does not pin the
+                # schema against DROP DATABASE (pg_catalog.result drops
+                # `test` right after search_path points at it)
+                self._via_search_path = True
+            return self._empty_ok()
+        pgm = re.search(r"(?i)\bpg_catalog\s*\.\s*(pg_\w+)|(?<![\w.'])"
+                        r"(pg_namespace|pg_class|pg_attribute|pg_database"
+                        r"|pg_my_temp_schema|session_user|current_schemas?"
+                        r"|(?:obj|col|shobj)_description)\b",
+                        text)
+        if pgm:
+            if getattr(self, "protocol", None) == "postgres":
+                self._build_pg_catalog_views()
+                text = self._rewrite_pg_catalog(text)
+            elif pgm.group(1) or pgm.group(2) in (
+                    "pg_namespace", "pg_class", "pg_attribute",
+                    "pg_database"):
+                # pg_catalog tables are visible to postgres sessions only
+                # (pg_catalog.result TableNotFound goldens)
+                raise ValueError(
+                    "Table not found: greptime.pg_catalog."
+                    f"{pgm.group(1) or pgm.group(2)}")
         if re.search(r"(?i)\bsemantic_(entities|relationships)\b", text):
             # computed graph tables are read-only (semantic_graph.sql)
             sm = re.search(r"(?i)\bsemantic_(entities|relationships)\b", text)
@@ -5387,7 +5530,8 @@ class GreptimeSQL:
                                        m.group(4) or ""))
                 dbs[dbname] = opts
             else:
-                if dbname == getattr(self, "_current_db", "public"):
+                if dbname == getattr(self, "_current_db", "public") and \
+                        not getattr(self, "_via_search_path", False):
                     raise ValueError(f"Schema `{dbname}` is in use")
                 dbs.pop(dbname, None)
                 if self.catalog is not None:
@@ -5445,6 +5589,7 @@ class GreptimeSQL:
             # single physical schema; the name is tracked so the
             # information_schema surface reports it (tables.result)
             self._current_db = um.group(1).lower()
+            self._via_search_path = False
             return self._empty_ok()
         for d in set(getattr(self, "_databases", set())) | {"public", "greptime"}:
             # bare, double-quoted, or backticked schema prefixes all drop

@@ -116,6 +116,11 @@ def _parse_result_file(path: str):
                         re.IGNORECASE):
                 # mysql wire rendering: booleans print 0/1
                 pending.append(("__MYSQL__", 1))
+            if re.match(r"--\s*SQLNESS\s+PROTOCOL\s+POSTGRES", l.strip(),
+                        re.IGNORECASE):
+                # postgres wire rendering: booleans print t/f; pg_catalog
+                # tables become visible
+                pending.append(("__POSTGRES__", 1))
             continue
         if pending and l.strip():
             directives[len(lines)] = pending
@@ -436,8 +441,11 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
         sleeps = [r[1] for r in replaces if r[0] == "__SLEEP__"]
         restart = any(r[0] == "__RESTART__" for r in replaces)
         mysql_proto = any(r[0] == "__MYSQL__" for r in replaces)
+        pg_proto = any(r[0] == "__POSTGRES__" for r in replaces)
+        g.protocol = "postgres" if pg_proto else None
         replaces = [r for r in replaces
-                    if r[0] not in ("__SLEEP__", "__RESTART__", "__MYSQL__")]
+                    if r[0] not in ("__SLEEP__", "__RESTART__", "__MYSQL__",
+                                    "__POSTGRES__")]
         if restart:
             # node-restart emulation: skip-wal tables lose unflushed rows
             g.simulate_restart()
@@ -522,6 +530,10 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
             # mysql wire rendering prints booleans as 0/1
             rows = [[int(c) if isinstance(c, bool) else c for c in row]
                     for row in rows]
+        if pg_proto:
+            # postgres wire rendering prints booleans as t/f
+            rows = [[("t" if c else "f") if isinstance(c, bool) else c
+                     for c in row] for row in rows]
         rows = _expand_multiline_rows(rows)
         if replaces:
             got_cells = [[_apply_replaces(c, replaces) for c in row] for row in rows]
@@ -1138,6 +1150,17 @@ _CONFORMANCE_CASES_KNOWN_DIFFS = [
     # column data is unchanged"), unreproducible for an eager-rewrite engine
     ("alter/alter_table", 12, ("test_alt_table_default",
                               "test_alt_table_col_ty")),
+    # pg_catalog joins the battery (round 5): pg_class/pg_namespace/
+    # pg_attribute/pg_database emulation + psql scalar shims under the
+    # POSTGRES protocol. Skipped slices: the full static pg_type dump
+    # (PostgreSQL's entire vendored type catalog — hundreds of rows of
+    # standard catalog data), and the psql tab-completion queries needing
+    # current_setting/parse_ident/generate_series-over-arrays and the
+    # two-statements-one-golden obj_description block
+    ("system/pg_catalog", 22, ("from pg_catalog.pg_type order by oid",
+                              "current_setting", "parse_ident",
+                              "is_on_search_path",
+                              "desc table pg_")),
     # NOT in the battery: types/string/scan_big_varchar — it doubles the
     # table with ts = to_unixtime(ts) * prime until the second-precision
     # values pass the i64-MICROsecond ceiling Spark timestamps store; the
