@@ -59,7 +59,7 @@ def main() -> None:
 
     # median of >=3 repetitions per query: single-shot timings made the
     # round-1 -> round-2 comparison unattributable (VERDICT r2 Wrong #2)
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         build = specs[name].build
