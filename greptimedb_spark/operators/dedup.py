@@ -327,3 +327,70 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# -- cluster resolution (pairs → connected components → canonical doc) -------------
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(node, component) labels for the undirected graph given as
+    (id_a, id_b) pairs — min-label propagation to a fixpoint.
+
+    The pipeline step after any near-dup pair generator: duplicates are
+    EQUIVALENCE CLASSES, not pairs (a~b, b~c ⇒ keep one of {a,b,c}).
+    Each iteration is one join + one min-aggregate, both on the node key;
+    dup clusters are near-cliques so the label diameter is tiny and the
+    loop converges in O(log max-component-diameter) rounds. The driver only
+    fetches one convergence counter per round — no row data."""
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    edges = (
+        edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnRenamed("node", "v")
+                       .withColumnRenamed("label", "nl"), "v")
+            .groupBy("u").agg(F.min("nl").alias("best"))
+        )
+        nxt = (
+            labels.join(neigh.withColumnRenamed("u", "node"), "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("best"), F.col("label"))).alias("label"),
+                (F.col("best") < F.col("label")).alias("chg"),
+            )
+        ).persist()
+        changed = nxt.filter(F.col("chg")).count()  # scalar convergence probe
+        new_labels = nxt.select("node", "label").persist()
+        labels.unpersist()
+        labels = new_labels
+        nxt.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.withColumnRenamed("label", "component")
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Near-dup clusters from a pair relation: one row per component with
+    (cluster_id = min member id, n_members, keep_id, member_ids sorted).
+    keep_id = lowest id (the canonical document to retain)."""
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("keep_id"),
+            F.sort_array(F.collect_list("node")).alias("member_ids"),
+        )
+        .select(
+            F.col("component").alias("cluster_id"),
+            "n_members", "keep_id", "member_ids",
+        )
+    )

@@ -228,3 +228,22 @@ def test_hnsw_topk_recall_and_determinism(spark, sf_dir):
                                           ef_construction=64, ef_search=48,
                                           n_indexes=4).collect())
     assert got1 == got2
+
+
+def test_dedup_clusters_connected_components(spark):
+    """a-b, b-c chain into one component; d-e another; singleton f absent
+    (no edges). keep_id = min member."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 1)], "id_a long, id_b long")
+    out = {r.cluster_id: (r.n_members, r.keep_id, r.member_ids)
+           for r in dd.dedup_clusters(pairs).collect()}
+    assert out == {1: (3, 1, [1, 2, 3]), 10: (2, 10, [10, 11])}
+
+
+def test_connected_components_long_chain(spark):
+    """propagation must close a diameter > 1 chain (0-1-2-...-9)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long")
+    comp = dd.connected_components(pairs).collect()
+    assert {r.component for r in comp} == {0}
+    assert len(comp) == 10

@@ -1093,10 +1093,19 @@ _CONFORMANCE_CASES = [
 # joined in round 4; scheduled EVAL INTERVAL flows evaluate lazily at sink
 # read).  flow/flow_status IS in the battery (partial statement set).
 # DDL files NOT in the battery, with reasons:
-# - alter/alter_table: pins greptime's lazy-cast internals ("wired behavior
-#   due to underlying column data is unchanged") — the Spark design rewrites
-#   on ALTER instead (alter_table_default + alter_append_mode joined the
-#   battery in round 4)
+# - alter/alter_table IS in the battery now (round 5, partial): the
+#   test_alt_table / metric / grpc slices verify; the three default-value
+#   tables pin greptime's lazy-cast internals ("wired behavior due to
+#   underlying column data is unchanged" — a value written as Float64
+#   re-renders from its f64 bits after MODIFY COLUMN … STRING) and stay
+#   documented known-diffs
+# - error/incorrect_sql, prepare/mysql_prepare, system/pg_catalog and the
+#   three filter/*dyn_filter files ARE in the battery now (round 5:
+#   error-parity typing, PREPARE/EXECUTE, pg_catalog emulation, and
+#   plan-dump-skipping with data-SELECT verification respectively); the
+#   remaining full exclusions are all plan dumps or the µs-int64 ceiling:
+#   tql-explain-analyze/*, promql/encode_substrait, tql/partition,
+#   tql/general_table, types/string/scan_big_varchar
 # - alter/alter_metric_table, create/create_metric_table,
 #   insert/logical_metric_table, ttl/metric_engine_ttl and
 #   ttl/database_ttl_with_metric_engine ARE in the battery now
