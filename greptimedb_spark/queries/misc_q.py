@@ -217,6 +217,34 @@ def q29_tablesample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# -- q29b: deterministic hash sampling (the reproducible TABLESAMPLE) ------------------
+# Training-data pipelines need samples that are REPRODUCIBLE across engines,
+# runs and partitionings — engine-RNG TABLESAMPLE (q29) is not. The hash
+# sample keeps a row iff the first 16 bits of md5(key) fall under the rate;
+# per-stratum counts make it a stratified-sampling primitive. Exactly
+# oracle-able (md5 is engine-independent).
+
+def q29b_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    l = read(spark, sf, "lineitem")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber")), 1, 4),
+        16, 10,
+    ).cast("long")
+    kept = l.filter(bucket < int(0.1 * 65536))
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("l_orderkey").alias("first_key"),
+    )
+
+
+Q29B_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_sampled, MIN(l_orderkey) AS first_key
+FROM lineitem
+WHERE CAST(('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 4)) AS INT) < 6553
+GROUP BY l_returnflag
+"""
+
+
 # -- q44: elementwise vector aggregate (aggrs/vector/{sum,avg}.rs) ---------------------
 
 def q44_vec_agg(spark: SparkSession, sf: str) -> DataFrame:
@@ -252,5 +280,8 @@ QUERIES = {
     "q28_catalog_merge": QuerySpec(q28_catalog_merge, Q28_SQL, "last-row upsert merge view"),
     "q28b_catalog_lastnonnull": QuerySpec(q28b_catalog_lastnonnull, Q28B_SQL, "last-non-null merge view"),
     "q29_tablesample": QuerySpec(q29_tablesample, None, "TABLESAMPLE (rows-only)"),
+    "q29b_hash_sample": QuerySpec(
+        q29b_hash_sample, Q29B_SQL, "deterministic md5 hash sample (stratified counts)"
+    ),
     "q44_vec_agg": QuerySpec(q44_vec_agg, Q44_SQL, "elementwise vector sum aggregate"),
 }
