@@ -101,17 +101,24 @@ FROM pts
 """
 
 
-# -- q84: geohash + trajectory (no DuckDB geohash → rows-only; pytest holds goldens)
+# -- q84: geohash + trajectory. DuckDB has no geohash, so the oracle is a
+# committed fixture from an independent Python geohash + path derivation
+# (tools/gen_oracle_fixtures.gen_q84). The path columns come from DECODING
+# json_encode_path's output (from_json round-trip — shortest-repr doubles
+# survive exactly), so both encode and decode are under test.
 
 def q84_geohash_path(spark: SparkSession, sf: str) -> DataFrame:
     e = read(spark, sf, "events")
     lat = (F.col("user_id") % 180 - 90).cast("double") * 0.9
     lng = (F.col("value") * 36 % 360 - 180).cast("double")
     pts = e.select("user_id", "ts", lat.alias("lat"), lng.alias("lng"))
+    decoded = F.from_json(
+        G.json_encode_path("lat", "lng", "ts"), "array<array<double>>")
     return pts.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.substring(F.min(G.geohash(F.col("lat"), F.col("lng"), 6)), 1, 6).alias("min_gh"),
-        F.length(G.json_encode_path("lat", "lng", "ts")).alias("path_json_len"),
+        F.round(F.element_at(F.element_at(decoded, 1), 1), 6).alias("first_lng"),
+        F.round(F.element_at(F.element_at(decoded, -1), 2), 6).alias("last_lat"),
     ).filter(F.col("user_id") % 25 == 0)
 
 
@@ -159,7 +166,10 @@ QUERIES = {
     "q81_hll_sketch": QuerySpec(q81_hll_sketch, None, "HLL state+merge+estimate (rows-only)"),
     "q82_anomaly_zscore": QuerySpec(q82_anomaly_zscore, Q82_SQL, "z-score window anomaly"),
     "q83_st_distance": QuerySpec(q83_st_distance, Q83_SQL, "haversine distance"),
-    "q84_geohash_path": QuerySpec(q84_geohash_path, None, "geohash + geo_path (rows-only)"),
+    "q84_geohash_path": QuerySpec(
+        q84_geohash_path,
+        "SELECT * FROM read_parquet('/root/repo/tests/fixtures/oracle_q84_sf001.parquet')",
+        "geohash + geo_path round-trip (fixture oracle)"),
     "q85_external_csv": QuerySpec(q85_external_csv, Q85_SQL, "COPY TO csv + external table"),
     "q86_external_json": QuerySpec(q86_external_json, Q86_SQL, "COPY TO json + external table"),
 }

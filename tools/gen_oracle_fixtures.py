@@ -315,6 +315,10 @@ def main() -> None:
     pq.write_table(t58, os.path.join(OUT_DIR, "oracle_q58_sf001.parquet"))
     print(f"q58: {t58.num_rows} rows")
 
+    t84 = gen_q84()
+    pq.write_table(t84, os.path.join(OUT_DIR, "oracle_q84_sf001.parquet"))
+    print(f"q84: {t84.num_rows} rows")
+
 
 
 
@@ -444,6 +448,64 @@ def gen_q58(vec_ids, raw_vecs, k=5, m=8, efc=64, efs=48, n_indexes=4):
         "vec_id": pa.array([r[1] for r in rows], pa.int64()),
         "sim": pa.array([r[2] for r in rows], pa.float64()),
         "rank": pa.array([r[3] for r in rows], pa.int32()),
+    })
+
+
+
+
+# -- q84: geohash + trajectory (independent geohash + path derivation) ------------
+
+_B32_GH = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash(lat: float, lon: float, precision: int) -> str:
+    """Standard geohash base32 interleaved bisection (public algorithm),
+    written independently of functions/geo._geohash_py."""
+    lo = [-90.0, -180.0]
+    hi = [90.0, 180.0]
+    val = (lat, lon)
+    bits = []
+    axis = 1  # longitude first
+    while len(bits) < precision * 5:
+        mid = (lo[axis] + hi[axis]) / 2
+        if val[axis] >= mid:
+            bits.append(1)
+            lo[axis] = mid
+        else:
+            bits.append(0)
+            hi[axis] = mid
+        axis ^= 1
+    out = []
+    for i in range(precision):
+        chunk = bits[i * 5 : i * 5 + 5]
+        out.append(_B32_GH[int("".join(map(str, chunk)), 2)])
+    return "".join(out)
+
+
+def gen_q84():
+    ev = _read("events")
+    user = ev.column("user_id").to_pylist()
+    ts = ev.column("ts").to_pylist()
+    value = ev.column("value").to_pylist()
+    pts: dict[int, list] = {}
+    for u, t, v in zip(user, ts, value):
+        if u % 25 != 0:
+            continue
+        lat = float(u % 180 - 90) * 0.9
+        lng = math.fmod(v * 36, 360.0) - 180.0
+        pts.setdefault(int(u), []).append((t, lat, lng))
+    rows = []
+    for u, items in sorted(pts.items()):
+        items.sort()  # (ts, lat, lng) — geo_path's struct sort order
+        min_gh = min(_geohash(la, ln, 6) for _, la, ln in items)
+        rows.append((u, len(items), min_gh,
+                     spark_round(items[0][2], 6), spark_round(items[-1][1], 6)))
+    return pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_points": pa.array([r[1] for r in rows], pa.int64()),
+        "min_gh": pa.array([r[2] for r in rows], pa.string()),
+        "first_lng": pa.array([r[3] for r in rows], pa.float64()),
+        "last_lat": pa.array([r[4] for r in rows], pa.float64()),
     })
 
 
