@@ -106,6 +106,14 @@ class TableMeta:
     # after this and never flushed are lost on restart (reference skip_wal
     # option; sqlness common/skip_wal pins the post-ALTER loss too)
     skip_wal_since: int | None = None
+    # MODIFY COLUMN type history: {logical_col: [[phys_name, spark_type],
+    # ...]} for PRIOR generations (oldest first). The reference changes only
+    # the column metadata — stored values keep their original representation
+    # and re-render via a direct stored→current cast at read time
+    # ("wired behavior due to underlying column data is unchanged",
+    # alter/alter_table.sql). Each generation writes to its own physical
+    # column name so parquet schemas never conflict across files.
+    col_history: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2)
@@ -239,7 +247,7 @@ class Catalog:
         self._update_meta(name, batch_no=batch_no)
         if meta.columns:
             for entry in meta.columns:
-                p = _phys_name(entry[0])
+                p = self._cur_phys(meta, entry[0])
                 if p != entry[0] and entry[0] in df.columns:
                     df = df.withColumnRenamed(entry[0], p)
         out = (
@@ -291,8 +299,23 @@ class Catalog:
         df = self.spark.read.option("mergeSchema", "true").parquet(data_path)
         if min_batch is not None:
             df = df.filter(F.col(SEQ_COL) >= min_batch * (1 << 33))
+        hist = getattr(meta, "col_history", None) or {}
         if meta.columns:
             for entry in meta.columns:
+                if entry[0] in hist:
+                    # type-modified column: render every stored generation
+                    # with a DIRECT stored→current try_cast (the reference's
+                    # lazy column cast); rows carry exactly one generation
+                    gens = [g[0] for g in hist[entry[0]]] + \
+                        [self._cur_phys(meta, entry[0])]
+                    present = [g for g in gens if g in df.columns]
+                    if present:
+                        df = df.withColumn(
+                            entry[0],
+                            F.coalesce(*[F.col(g).try_cast(entry[1])
+                                         for g in present]),
+                        ).drop(*[g for g in present if g != entry[0]])
+                    continue
                 p = _phys_name(entry[0])
                 if p != entry[0] and p in df.columns:
                     df = df.withColumnRenamed(p, entry[0])
@@ -437,32 +460,55 @@ class Catalog:
         cols = [list(c) for c in (meta.columns or []) if c[0] != col]
         self._update_meta(name, columns=cols)
 
-    def modify_column(self, name: str, col: str, spark_type: str, decl_type: str) -> None:
-        """Change a column's type. Existing files are rewritten with the cast
-        applied (per-file schemas must agree for later appends to merge); at
-        scale this is a per-bucket rewrite like compaction."""
-        import shutil
+    def _cur_phys(self, meta: TableMeta, col: str) -> str:
+        """Physical parquet column of the CURRENT type generation: the base
+        name for never-modified columns, ``<base>__gN`` after N MODIFYs."""
+        gens = (getattr(meta, "col_history", None) or {}).get(col)
+        base = _phys_name(col)
+        return f"{base}__g{len(gens)}" if gens else base
 
+    def modify_column(self, name: str, col: str, spark_type: str, decl_type: str) -> None:
+        """Change a column's type WITHOUT touching stored data (the
+        reference's lazy column cast, alter/alter_table.sql "wired
+        behavior"): the old generation's physical column is sealed in
+        col_history, new writes land in a fresh generation column, and the
+        read path renders every generation with a DIRECT stored→current
+        try_cast (unconvertible values become NULL — change_col_type.sql).
+        The declared DEFAULT re-casts STEPWISE through each type change
+        (f64 0.1 → BOOLEAN true → INT 1, alter_table.result DESC golden)."""
         meta = self.meta(name)
         col = self._resolve_col(meta, col)
+        hist = dict(getattr(meta, "col_history", None) or {})
         cols = [list(c) for c in (meta.columns or [])]
         for c in cols:
             if c[0] == col:
+                old_type = c[1]
+                if old_type != spark_type:
+                    hist[col] = list(hist.get(col, [])) + [
+                        [self._cur_phys(meta, col), old_type]]
                 c[1] = spark_type
                 if len(c) > 2:
                     c[2] = decl_type
-        self._update_meta(name, columns=cols)
-        data_path = os.path.join(self._table_path(name), "data")
-        if self._has_data(data_path):
-            df = self.spark.read.option("mergeSchema", "true").parquet(data_path)
-            if col in df.columns:
-                # try_cast: unconvertible values become NULL, matching the
-                # reference's lossy column type change (change_col_type.sql)
-                df = df.withColumn(col, F.col(col).try_cast(spark_type))
-                tmp = data_path + ".alter"
-                df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
-                shutil.rmtree(data_path)
-                os.rename(tmp, data_path)
+                if len(c) > 3 and c[3] is not None and old_type != spark_type:
+                    c[3] = self._recast_default(c[3], old_type, spark_type)
+        self._update_meta(name, columns=cols, col_history=hist)
+
+    def _recast_default(self, lit: str, old_type: str, new_type: str):
+        """One step of the DEFAULT adaptation chain; renders the cast result
+        back to a SQL literal (scalar probe, no table data involved)."""
+        try:
+            v = self.spark.sql(
+                f"SELECT try_cast(CAST({lit} AS {old_type}) AS {new_type})"
+            ).collect()[0][0]
+        except Exception:
+            return lit
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
 
     def set_default(self, name: str, col: str, default: str | None) -> None:
         meta = self.meta(name)
@@ -590,7 +636,9 @@ class Catalog:
         data_path = os.path.join(self._table_path(name), "data")
         if not self._has_data(data_path):
             return
-        df = self.spark.read.parquet(data_path)
+        # mergeSchema: ALTER-generation columns may exist in a subset of the
+        # files — first-file schema would silently drop them
+        df = self.spark.read.option("mergeSchema", "true").parquet(data_path)
         merged = merge_view(df, meta, keep_seq=True).withColumn(
             BUCKET_COL, F.date_trunc(meta.partition_granularity, F.col(meta.time_index))
         )

@@ -1184,8 +1184,7 @@ _CONFORMANCE_CASES_KNOWN_DIFFS = [
     # while the column was Float64 re-renders from its original f64 bits
     # after MODIFY COLUMN … STRING — "wired behavior due to underlying
     # column data is unchanged"), unreproducible for an eager-rewrite engine
-    ("alter/alter_table", 12, ("test_alt_table_default",
-                              "test_alt_table_col_ty")),
+    ("alter/alter_table", 12, ()),
     # pg_catalog joins the battery (round 5): pg_class/pg_namespace/
     # pg_attribute/pg_database emulation + psql scalar shims under the
     # POSTGRES protocol. Skipped slices: the full static pg_type dump
