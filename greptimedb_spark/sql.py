@@ -4869,6 +4869,12 @@ class GreptimeSQL:
             raise ValueError(
                 "Invalid arguments: Repartition requires metasrv GC to be "
                 "enabled")
+        if re.match(r"(?:ADD|MODIFY)\s+COLUMNS?\s+", action, re.IGNORECASE) \
+                and re.search(r"(?i)(\"[^\"]+\"|\w+)\s+interval\b", action):
+            # interval columns are rejected in ALTER (reference issue #5422,
+            # alter_table.result 'Should fail' goldens)
+            raise ValueError(
+                "Invalid arguments: column type INTERVAL is not supported")
         am = re.match(r"ADD\s+COLUMNS?\s+(.*)$", action, re.IGNORECASE | re.DOTALL)
         if am:
             # two-phase: validate every clause, then apply — a failing clause

@@ -467,7 +467,10 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
                 # (metasrv GC precondition) — parity-checkable without any
                 # state mutation, unlike general DDL error-goldens
                 r"|ALTER\s+TABLE\s+\S+\s+(?:REPARTITION|SPLIT\s+PARTITION"
-                r"|MERGE\s+PARTITION))"
+                r"|MERGE\s+PARTITION"
+                # interval-column rejections are validated up front — no
+                # state can mutate, so parity is safe (issue #5422)
+                r"|(?:ADD|MODIFY)\s+COLUMN\s+\S+\s+interval\b))"
                 r"\b", stmt, re.IGNORECASE) and \
                 not any(re.search(p, stmt, re.IGNORECASE)
                         for p in _SKIP_PATTERNS):
@@ -1184,7 +1187,7 @@ _CONFORMANCE_CASES_KNOWN_DIFFS = [
     # while the column was Float64 re-renders from its original f64 bits
     # after MODIFY COLUMN … STRING — "wired behavior due to underlying
     # column data is unchanged"), unreproducible for an eager-rewrite engine
-    ("alter/alter_table", 12, ()),
+    ("alter/alter_table", 29, ()),
     # pg_catalog joins the battery (round 5): pg_class/pg_namespace/
     # pg_attribute/pg_database emulation + psql scalar shims under the
     # POSTGRES protocol. Skipped slices: the full static pg_type dump
