@@ -47,6 +47,16 @@ def _phys_name(name: str) -> str:
     return re.sub(r"[ ,;{}()=.\n\t]", "_", name)
 
 
+def _live_gens(hist: list) -> list:
+    """Generations after the last drop sentinel ([None, None]) — the only
+    ones a re-added column may render."""
+    cut = 0
+    for i, g in enumerate(hist):
+        if g[0] is None:
+            cut = i + 1
+    return hist[cut:]
+
+
 def _ttl_interval(ttl: str) -> str:
     """Normalize a reference TTL ('5s', '1 hour', '90m') to a Spark INTERVAL
     expression (Spark doesn't parse compact unit suffixes like '5s')."""
@@ -305,16 +315,21 @@ class Catalog:
                 if entry[0] in hist:
                     # type-modified column: render every stored generation
                     # with a DIRECT stored→current try_cast (the reference's
-                    # lazy column cast); rows carry exactly one generation
-                    gens = [g[0] for g in hist[entry[0]]] + \
-                        [self._cur_phys(meta, entry[0])]
-                    present = [g for g in gens if g in df.columns]
-                    if present:
-                        df = df.withColumn(
-                            entry[0],
-                            F.coalesce(*[F.col(g).try_cast(entry[1])
-                                         for g in present]),
-                        ).drop(*[g for g in present if g != entry[0]])
+                    # lazy column cast); rows carry exactly one generation.
+                    # Generations before a drop sentinel stay invisible (a
+                    # re-added column must not resurrect dropped data).
+                    cur = self._cur_phys(meta, entry[0])
+                    all_g = [g[0] for g in hist[entry[0]] if g[0]] + [cur]
+                    live = [g[0] for g in _live_gens(hist[entry[0]])] + [cur]
+                    present = [g for g in live if g in df.columns]
+                    rendered = (
+                        F.coalesce(*[F.col(g).try_cast(entry[1])
+                                     for g in present])
+                        if present else F.lit(None).cast(entry[1])
+                    )
+                    df = df.withColumn(entry[0], rendered).drop(
+                        *[g for g in all_g
+                          if g in df.columns and g != entry[0]])
                     continue
                 p = _phys_name(entry[0])
                 if p != entry[0] and p in df.columns:
@@ -457,8 +472,19 @@ class Catalog:
         col = self._resolve_col(meta, col)
         if col == meta.time_index or col in meta.tags:
             raise ValueError(f"cannot drop key column {col!r}")
+        hist = dict(getattr(meta, "col_history", None) or {})
+        if col in hist:
+            # seal the current generation and mark the drop boundary
+            # ([None, None] sentinel): a future re-ADD of this name starts a
+            # FRESH generation and the read path never coalesces pre-drop
+            # generations back in (they would resurrect dropped data)
+            entry = next((c for c in (meta.columns or []) if c[0] == col), None)
+            hist[col] = hist[col] + [
+                [self._cur_phys(meta, col), entry[1] if entry else "string"],
+                [None, None],
+            ]
         cols = [list(c) for c in (meta.columns or []) if c[0] != col]
-        self._update_meta(name, columns=cols)
+        self._update_meta(name, columns=cols, col_history=hist)
 
     def _cur_phys(self, meta: TableMeta, col: str) -> str:
         """Physical parquet column of the CURRENT type generation: the base

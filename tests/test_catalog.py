@@ -94,3 +94,34 @@ def test_read_series_ordering(cat, spark):
 
     df.rdd.mapPartitions(lambda it: check_sorted(it)).count()  # raises if unsorted
     assert df.count() == 3
+
+
+def test_lazy_cast_drop_readd_no_resurrection(spark, tmp_path):
+    """A column dropped AFTER type modifications must not resurrect its old
+    generations when a same-named column is re-added."""
+    from greptimedb_spark.catalog import Catalog, TableMeta
+
+    cat = Catalog(spark, str(tmp_path / "lazycast"))
+    cat.create_table(TableMeta(
+        name="lz", time_index="ts", tags=[],
+        columns=[["ts", "timestamp", "timestamp(3)", None, True],
+                 ["v", "double", "double", None, False]]))
+    df = spark.createDataFrame([(1000, 0.1), (2000, 7.5)], "t long, v double") \
+        .selectExpr("timestamp_millis(t) AS ts", "v")
+    cat.insert("lz", df)
+    # modify double -> string: stored f64 re-renders as its decimal text
+    cat.modify_column("lz", "v", "string", "STRING")
+    got = {r.v for r in cat.read("lz").collect()}
+    assert got == {"0.1", "7.5"}
+    # drop, re-add as int: old generations must stay invisible
+    cat.drop_column("lz", "v")
+    meta = cat.meta("lz")
+    cat._update_meta("lz", columns=meta.columns + [["v", "int", "INT", None, False]])
+    got = [r.v for r in cat.read("lz").collect()]
+    assert got == [None, None]
+    # new writes land in the fresh generation and render normally
+    df2 = spark.createDataFrame([(3000, 42)], "t long, v int") \
+        .selectExpr("timestamp_millis(t) AS ts", "v")
+    cat.insert("lz", df2)
+    got = {r.v for r in cat.read("lz").collect()}
+    assert got == {None, 42}
