@@ -274,6 +274,38 @@ def _rewrite_time_cast(text: str) -> str:
         text = text[:start] + fmt(operand) + text[m.end():]
 
 
+# PostgreSQL's standard pg_class / pg_namespace column layouts (public
+# catalog definitions), rendered by DESC under the pg_catalog schema with
+# greptime display types (system/pg_catalog.result goldens).
+_PG_CATALOG_DESC = {
+    "pg_class": [
+        ("oid", "Int32", "NO"), ("relname", "String", "NO"),
+        ("relnamespace", "Int32", "NO"), ("reltype", "Int32", "NO"),
+        ("reloftype", "Int32", "YES"), ("relowner", "Int32", "NO"),
+        ("relam", "Int32", "NO"), ("relfilenode", "Int32", "NO"),
+        ("reltablespace", "Int32", "NO"), ("relpages", "Int32", "NO"),
+        ("reltuples", "Float64", "NO"), ("relallvisible", "Int32", "NO"),
+        ("reltoastrelid", "Int32", "NO"), ("relhasindex", "Boolean", "NO"),
+        ("relisshared", "Boolean", "NO"), ("relpersistence", "String", "NO"),
+        ("relkind", "String", "NO"), ("relnatts", "Int16", "NO"),
+        ("relchecks", "Int16", "NO"), ("relhasrules", "Boolean", "NO"),
+        ("relhastriggers", "Boolean", "NO"),
+        ("relhassubclass", "Boolean", "NO"),
+        ("relrowsecurity", "Boolean", "NO"),
+        ("relforcerowsecurity", "Boolean", "NO"),
+        ("relispopulated", "Boolean", "NO"), ("relreplident", "String", "NO"),
+        ("relispartition", "Boolean", "NO"), ("relrewrite", "Int32", "YES"),
+        ("relfrozenxid", "Int32", "NO"), ("relminmxid", "Int32", "NO"),
+        ("relpartbound", "String", "YES"),
+    ],
+    "pg_namespace": [
+        ("oid", "Int32", "NO"), ("nspname", "String", "NO"),
+        ("nspowner", "Int32", "NO"), ("nspacl", "String", "YES"),
+        ("options", "String", "YES"),
+    ],
+}
+
+
 def _strip_block_comments(text: str) -> str:
     """Remove `/* ... */` block comments outside string literals."""
     out, i, q, n = [], 0, None, len(text)
@@ -2116,6 +2148,19 @@ class GreptimeSQL:
             return self._empty_ok()
         m = self._DESC_RE.match(stmt)
         if m:
+            pg = _PG_CATALOG_DESC.get(m.group(1).lower())
+            if pg is not None and (
+                    getattr(self, "_current_db", "public") == "pg_catalog"
+                    or getattr(self, "protocol", None) == "postgres") \
+                    and not self._table_exists(m.group(1)):
+                # DESC of the pg_catalog tables renders PostgreSQL's
+                # standard catalog layout (system/pg_catalog.result)
+                rows = [(c, t, "", nul, "", "FIELD") for c, t, nul in pg]
+                return self.spark.createDataFrame(
+                    rows,
+                    "`Column` string, `Type` string, `Key` string, "
+                    "`Null` string, `Default` string, `Semantic Type` string",
+                )
             info = self._INFO_DESC.get(m.group(1).lower())
             if info is not None and not self._table_exists(m.group(1)):
                 rows = [(c, t, "", "YES" if nullable else "NO", "", "FIELD")
@@ -5255,7 +5300,9 @@ class GreptimeSQL:
                         r"|pg_my_temp_schema|session_user|current_schemas?"
                         r"|(?:obj|col|shobj)_description)\b",
                         text)
-        if pgm:
+        if pgm and not re.match(r"(?i)\s*DESC(RIBE)?\b", text):
+            # (DESC of the catalog tables renders their static layout in the
+            # DESC handler — don't rewrite the name away from it)
             if getattr(self, "protocol", None) == "postgres":
                 self._build_pg_catalog_views()
                 text = self._rewrite_pg_catalog(text)

@@ -1195,10 +1195,9 @@ _CONFORMANCE_CASES_KNOWN_DIFFS = [
     # standard catalog data), and the psql tab-completion queries needing
     # current_setting/parse_ident/generate_series-over-arrays and the
     # two-statements-one-golden obj_description block
-    ("system/pg_catalog", 22, ("from pg_catalog.pg_type order by oid",
+    ("system/pg_catalog", 24, ("from pg_catalog.pg_type order by oid",
                               "current_setting", "parse_ident",
-                              "is_on_search_path",
-                              "desc table pg_")),
+                              "is_on_search_path")),
     # NOT in the battery: types/string/scan_big_varchar — it doubles the
     # table with ts = to_unixtime(ts) * prime until the second-precision
     # values pass the i64-MICROsecond ceiling Spark timestamps store; the
