@@ -82,10 +82,6 @@ def main() -> None:
     from greptimedb_spark.catalog import Catalog, TableMeta
     from greptimedb_spark.queries import read
 
-    ingest_dir = os.path.join(tempfile.gettempdir(), "spark_graft_bench_ingest")
-    shutil.rmtree(ingest_dir, ignore_errors=True)
-    cat = Catalog(spark, ingest_dir)
-    cat.create_table(TableMeta(name="ev", time_index="ts", tags=["user_id"]))
     ev = read(spark, SF_DIR, "events")
     n_rows = ev.count()
     # replicate to >=1M rows so fixed JVM/commit overhead doesn't dominate
@@ -95,12 +91,23 @@ def main() -> None:
 
         ev = ev.crossJoin(F.broadcast(spark.range(factor))).drop("id")
         n_rows *= factor
-    t0 = time.time()
-    cat.insert("ev", ev)
-    dt = time.time() - t0
+    # median of >=3 reps into a fresh table each time — same steady-state
+    # policy as the query legs (the first rep alone is dominated by one-time
+    # codegen of the insert pipeline, not ingest throughput)
+    samples = []
+    for _ in range(max(3, reps // 2)):
+        ingest_dir = os.path.join(tempfile.gettempdir(), "spark_graft_bench_ingest")
+        shutil.rmtree(ingest_dir, ignore_errors=True)
+        cat = Catalog(spark, ingest_dir)
+        cat.create_table(TableMeta(name="ev", time_index="ts", tags=["user_id"]))
+        t0 = time.time()
+        cat.insert("ev", ev)
+        samples.append(time.time() - t0)
+        shutil.rmtree(ingest_dir, ignore_errors=True)
+    samples.sort()
+    dt = samples[len(samples) // 2]
     timings["ingest_catalog"] = round(dt, 3)
     timings["ingest_rows_per_sec"] = round(n_rows / dt, 1)
-    shutil.rmtree(ingest_dir, ignore_errors=True)
 
     total = sum(v for k, v in timings.items() if k != "ingest_rows_per_sec")
     out = {

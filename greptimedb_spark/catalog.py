@@ -270,6 +270,19 @@ class Catalog:
         )
         if df.rdd.getNumPartitions() > 1:
             out = out.repartition(F.col(BUCKET_COL))  # AQE coalesces small buckets
+        else:
+            # Single-partition input (e.g. a one-file scan or COPY FROM):
+            # skipping the shuffle is right for tiny inserts, but a LARGE
+            # single-partition batch would serialize the whole encode+write
+            # through one task (~2x slower at sf0.1, arbitrarily bad at
+            # scale). Use the optimizer's size estimate (no job) to
+            # parallelize big batches across buckets.
+            try:
+                est = out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            except Exception:
+                est = 0
+            if est > (32 << 20):
+                out = out.repartition(F.col(BUCKET_COL))
         (
             out.write.mode("append")
             .partitionBy(BUCKET_COL)

@@ -343,16 +343,18 @@ def ngram_jaccard_pairs(
 
 # -- cluster resolution (pairs → connected components → canonical doc) -------------
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """(node, component) labels for the undirected graph given as
     (id_a, id_b) pairs — min-label propagation to a fixpoint.
 
     The pipeline step after any near-dup pair generator: duplicates are
     EQUIVALENCE CLASSES, not pairs (a~b, b~c ⇒ keep one of {a,b,c}).
     Each iteration is one join + one min-aggregate, both on the node key;
-    dup clusters are near-cliques so the label diameter is tiny and the
-    loop converges in O(log max-component-diameter) rounds. The driver only
-    fetches one convergence counter per round — no row data."""
+    plain propagation converges in O(max component diameter) rounds —
+    dup clusters are near-cliques so the diameter (hence round count) is
+    tiny in practice. The driver only fetches one convergence counter per
+    round — no row data. Raises RuntimeError if the fixpoint is not
+    reached within max_iter rounds (never returns silently-split labels)."""
     edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     edges = (
         edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -364,6 +366,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
         .persist()
     )
+    converged = False
     for _ in range(max_iter):
         neigh = (
             edges.join(labels.withColumnRenamed("node", "v")
@@ -384,8 +387,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         nxt.unpersist()
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds; "
+            "raise max_iter (components with diameter > max_iter exist)"
+        )
     return labels.withColumnRenamed("label", "component")
 
 

@@ -14,6 +14,11 @@ from greptimedb_spark.functions import geo as G
 from greptimedb_spark.functions import sketch as SK
 from greptimedb_spark.queries import QuerySpec, read
 
+# Fixture oracle path derived from this file so any checkout location works.
+_Q84_FIXTURE = os.path.normpath(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "..", "..", "tests", "fixtures", "oracle_q84_sf001.parquet"))
+
 
 # -- q80: count_hash (exact-equivalent: count distinct of hashed tuples) ---------
 
@@ -168,7 +173,7 @@ QUERIES = {
     "q83_st_distance": QuerySpec(q83_st_distance, Q83_SQL, "haversine distance"),
     "q84_geohash_path": QuerySpec(
         q84_geohash_path,
-        "SELECT * FROM read_parquet('/root/repo/tests/fixtures/oracle_q84_sf001.parquet')",
+        "SELECT * FROM read_parquet('{}')".format(_Q84_FIXTURE),
         "geohash + geo_path round-trip (fixture oracle)"),
     "q85_external_csv": QuerySpec(q85_external_csv, Q85_SQL, "COPY TO csv + external table"),
     "q86_external_json": QuerySpec(q86_external_json, Q86_SQL, "COPY TO json + external table"),

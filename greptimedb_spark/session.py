@@ -34,6 +34,11 @@ _DEFAULTS = {
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    # v2 commit: tasks move output files into place at task commit instead of
+    # a serial driver-side rename pass at job commit — with partitionBy over
+    # many bucket directories the v1 job-commit rename is O(files) on the
+    # driver and dominates small-batch ingest latency
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
 }
 
 

@@ -247,3 +247,13 @@ def test_connected_components_long_chain(spark):
     comp = dd.connected_components(pairs).collect()
     assert {r.component for r in comp} == {0}
     assert len(comp) == 10
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """max_iter too small for the diameter must raise, never return
+    silently-split labels."""
+    import pytest
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(pairs, max_iter=2)
