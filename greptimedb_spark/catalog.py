@@ -486,16 +486,17 @@ class Catalog:
         if col == meta.time_index or col in meta.tags:
             raise ValueError(f"cannot drop key column {col!r}")
         hist = dict(getattr(meta, "col_history", None) or {})
-        if col in hist:
-            # seal the current generation and mark the drop boundary
-            # ([None, None] sentinel): a future re-ADD of this name starts a
-            # FRESH generation and the read path never coalesces pre-drop
-            # generations back in (they would resurrect dropped data)
-            entry = next((c for c in (meta.columns or []) if c[0] == col), None)
-            hist[col] = hist[col] + [
-                [self._cur_phys(meta, col), entry[1] if entry else "string"],
-                [None, None],
-            ]
+        # Seal the current generation and mark the drop boundary ([None,
+        # None] sentinel) UNCONDITIONALLY — also for never-modified columns,
+        # whose stored base physical column would otherwise be resurrected by
+        # a later re-ADD of the same name (the reference assigns a fresh
+        # column id on re-add). A future re-ADD starts a FRESH generation and
+        # the read path never coalesces pre-drop generations back in.
+        entry = next((c for c in (meta.columns or []) if c[0] == col), None)
+        hist[col] = list(hist.get(col, [])) + [
+            [self._cur_phys(meta, col), entry[1] if entry else "string"],
+            [None, None],
+        ]
         cols = [list(c) for c in (meta.columns or []) if c[0] != col]
         self._update_meta(name, columns=cols, col_history=hist)
 

@@ -3628,8 +3628,13 @@ class GreptimeSQL:
                     eid = F.col(idcols[0]).cast("string")
                     attrs = F.lit("")
                 else:
+                    # NULL id values render as 'col=None' (a NULL piece must
+                    # not vanish from concat_ws — ids with different NULL
+                    # patterns would otherwise collide)
                     eid = F.concat_ws(",", *[
-                        F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+                        F.concat(F.lit(f"{c}="),
+                                 F.coalesce(F.col(c).cast("string"),
+                                            F.lit("None")))
                         for c in sorted(idcols)])
                     attrs = _sorted_json(idcols)
                 scope = (F.coalesce(F.col(d["scope"]).cast("string"), F.lit(""))
@@ -3695,10 +3700,13 @@ class GreptimeSQL:
                 out = out.unionAll(p)
             return out
 
-        _union(ent_parts, ENT_SCHEMA).createOrReplaceTempView(
-            "__gp_semantic_entities")
-        _union(rel_parts, REL_SCHEMA).createOrReplaceTempView(
-            "__gp_semantic_relationships")
+        # localCheckpoint pins the derivation to NOW: the views are otherwise
+        # lazy plans that would re-scan source tables (and see later inserts)
+        # on every query, contradicting observed_at = derivation time
+        _union(ent_parts, ENT_SCHEMA).localCheckpoint(
+            eager=True).createOrReplaceTempView("__gp_semantic_entities")
+        _union(rel_parts, REL_SCHEMA).localCheckpoint(
+            eager=True).createOrReplaceTempView("__gp_semantic_relationships")
 
     def _rewrite_arrow_typeof(self, text: str) -> str:
         """arrow_typeof(expr) → the DataFusion type-name string, resolved by
@@ -4373,7 +4381,12 @@ class GreptimeSQL:
                 return F.when(c.isNull(), F.lit(b"\x00")).otherwise(
                     F.concat(F.lit(b"\x01"), body))
 
-            aggs = [F.count(F.lit(1)).alias("__n")]
+            # min/max_ts must be REGION-scoped (the reference's per-SST stats
+            # are per region), so they ride the (__fi, __rn) aggregation —
+            # not a per-batch lookup that would report cross-region bounds
+            aggs = [F.count(F.lit(1)).alias("__n"),
+                    F.min(meta.time_index).alias("__mn"),
+                    F.max(meta.time_index).alias("__mx")]
             if meta.tags:
                 pk = F.concat(*[_enc_pk_col(tag, ty) for tag, ty
                                 in zip(meta.tags, tag_types)])
@@ -4394,12 +4407,6 @@ class GreptimeSQL:
                 for r in tagged.filter(F.col("__fi").isNotNull()
                                        & F.col("__rn").isNotNull())
                 .groupBy("__fi", "__rn").agg(*aggs).collect()}
-            per_batch = {
-                r["__fi"]: r
-                for r in tagged.filter(F.col("__fi").isNotNull())
-                .groupBy("__fi").agg(
-                    F.min(meta.time_index).alias("__mn"),
-                    F.max(meta.time_index).alias("__mx")).collect()}
 
             def _iso(v):
                 if isinstance(v, _dt.datetime):
@@ -4414,7 +4421,6 @@ class GreptimeSQL:
                     rid = (tid << 32) | rn
                     fid = str(_uuid.uuid5(_uuid.NAMESPACE_DNS,
                                           f"{t}/{rn}/{fb}"))
-                    b = per_batch.get(fi)
                     out.append({
                         "table": t, "table_dir": f"data/greptime/public/{tid}/",
                         "region_id": rid, "table_id": tid,
@@ -4427,8 +4433,8 @@ class GreptimeSQL:
                             f"/index/{fid}.puffin") if indexed else None,
                         "num_rows": g["__n"],
                         "num_series": g["__series"] if meta.tags else 1,
-                        "min_ts": _iso(b["__mn"] if b else None),
-                        "max_ts": _iso(b["__mx"] if b else None),
+                        "min_ts": _iso(g["__mn"]),
+                        "max_ts": _iso(g["__mx"]),
                         "sequence": fb,
                         "pk_min": bytes(g["__pk_min"]) if meta.tags else b"",
                         "pk_max": bytes(g["__pk_max"]) if meta.tags else b"",

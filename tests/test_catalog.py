@@ -125,3 +125,29 @@ def test_lazy_cast_drop_readd_no_resurrection(spark, tmp_path):
     cat.insert("lz", df2)
     got = {r.v for r in cat.read("lz").collect()}
     assert got == {None, 42}
+
+
+def test_drop_readd_never_modified_no_resurrection(spark, tmp_path):
+    """Dropping a NEVER-modified column then re-adding the same name must not
+    resurrect the old stored values (reference: re-add gets a fresh column
+    id). Regression: the drop sentinel used to be recorded only for columns
+    that already had col_history."""
+    from greptimedb_spark.catalog import Catalog, TableMeta
+
+    cat = Catalog(spark, str(tmp_path / "dropreadd"))
+    cat.create_table(TableMeta(
+        name="dr", time_index="ts", tags=[],
+        columns=[["ts", "timestamp", "timestamp(3)", None, True],
+                 ["v", "double", "double", None, False]]))
+    df = spark.createDataFrame([(1000, 0.5), (2000, 7.5)], "t long, v double") \
+        .selectExpr("timestamp_millis(t) AS ts", "v")
+    cat.insert("dr", df)
+    cat.drop_column("dr", "v")
+    meta = cat.meta("dr")
+    cat._update_meta("dr", columns=meta.columns + [["v", "double", "DOUBLE", None, False]])
+    assert [r.v for r in cat.read("dr").collect()] == [None, None]
+    # new writes land in the fresh generation
+    df2 = spark.createDataFrame([(3000, 9.0)], "t long, v double") \
+        .selectExpr("timestamp_millis(t) AS ts", "v")
+    cat.insert("dr", df2)
+    assert {r.v for r in cat.read("dr").collect()} == {None, 9.0}
