@@ -191,22 +191,31 @@ def minhash_lsh_pairs(
         a.join(b_, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-    )
+        .persist()  # feeds the intersection AND the final join — without
+    )              # persist the banding self-join would run twice
+    # materializing also yields the candidate count, which decides the join
+    # strategy below: LSH candidate sets are usually tiny relative to the
+    # corpus, so broadcasting them turns every downstream join map-side; past
+    # the guard (huge near-dup corpora) the shuffle joins stand
+    n_pairs = pair_ids.count()
+    cand = F.broadcast(pair_ids) if n_pairs <= 1_000_000 else pair_ids
 
     # |A∩B| by joining the exploded distinct (id, h) sets of the candidate
     # pairs and counting matches — no arrays move through the shuffle
     sh_a = sh.select(F.col("id").alias("id_a"), "h")
     sh_b = sh.select(F.col("id").alias("id_b"), "h")
     inter = (
-        pair_ids.join(sh_a, "id_a")
+        cand.join(sh_a, "id_a")
         .join(sh_b, ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    if n_pairs <= 1_000_000:
+        inter = F.broadcast(inter)  # ≤ n_pairs rows by construction
 
     out = (
-        pair_ids.join(per_doc.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"),
-                                     F.col("sig").alias("sig_a")), "id_a")
+        cand.join(per_doc.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"),
+                                 F.col("sig").alias("sig_a")), "id_a")
         .join(per_doc.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"),
                              F.col("sig").alias("sig_b")), "id_b")
         .join(inter, ["id_a", "id_b"], "left")
