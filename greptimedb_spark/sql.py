@@ -22,6 +22,7 @@ Supported statements:
 from __future__ import annotations
 
 import json
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2054,12 +2055,26 @@ class GreptimeSQL:
         self.spark.createDataFrame(
             attrs, "attrelid int, attname string, atttypid int, attnum int"
         ).createOrReplaceTempView("__pg_attribute")
-        toids: dict[int, str] = {}
-        for name, oid in sorted(self._PG_TYPE_OIDS.items()):
-            toids.setdefault(oid, name)  # aliases (string/text…) share oids
-        self.spark.createDataFrame(
-            sorted(toids.items()),
-            "oid int, typname string").createOrReplaceTempView("__pg_type")
+        if not getattr(self, "_pg_type_built", False):
+            # Full static pg_type dump: PostgreSQL's public system-catalog
+            # constants (the reference serves the same vendored data via
+            # datafusion-postgres's PgCatalogStaticTables,
+            # src/common/function/src/system/pg_catalog.rs:381). oid is
+            # numeric (ORDER BY / pg_attribute joins); every other column is
+            # the catalog's text rendering, NULLs as empty strings the way
+            # the postgres wire prints them.
+            import csv as _csv
+
+            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "data", "pg_type.csv")
+            with open(path, newline="") as f:
+                rd = _csv.reader(f)
+                hdr = next(rd)
+                rows = [(int(r[0]), *r[1:]) for r in rd]
+            schema = "oid int, " + ", ".join(f"{c} string" for c in hdr[1:])
+            self.spark.createDataFrame(rows, schema) \
+                .createOrReplaceTempView("__pg_type")
+            self._pg_type_built = True
         self.spark.createDataFrame(
             [], "oid int, datname string, datdba int, encoding int, "
                 "datlocprovider string, datcollate string, datctype string, "
@@ -2106,6 +2121,86 @@ class GreptimeSQL:
             return str(self._pg_oid("rel", phys))
 
         text = re.sub(r"'(\w+)'\s*::\s*regclass\s*::\s*oid", _regclass, text)
+        text = self._rewrite_psql_completion(text)
+        return text
+
+    def _rewrite_psql_completion(self, text: str) -> str:
+        """psql tab-completion shims (system/pg_catalog.sql): PostgreSQL
+        array/settings idioms lowered to Spark equivalents.
+
+        current_setting('search_path') returns the vendored pg-compat
+        default `"$user"` (datafusion-postgres behavior, observed through
+        the reference's goldens: neither `public` nor the current db is on
+        the path, so every table renders schema-qualified); `user` resolves
+        to the session user like session_user. PostgreSQL's 1-based array
+        subscripts become element_at."""
+        if not re.search(r"(?i)current_setting|parse_ident|string_to_array"
+                         r"|generate_series|quote_ident|array_(lower|upper"
+                         r"|length)", text):
+            return text
+        text = re.sub(r"(?i)\bcurrent_setting\s*\(\s*'search_path'\s*\)",
+                      "'\"$user\"'", text)
+        # (parse_ident('x.y'))[n] and parse_ident('x.y'): identifier split
+        text = re.sub(r"\(\s*parse_ident\s*\(\s*('[^']*')\s*\)\s*\)\s*"
+                      r"\[\s*(\d+)\s*\]",
+                      r"element_at(split(\1, '[.]'), \2)", text)
+        text = re.sub(r"(?i)\bparse_ident\s*\(\s*('[^']*')\s*\)",
+                      r"split(\1, '[.]')", text)
+        def _each_call(txt: str, name: str, render) -> str:
+            """Rewrite every `name( … )` call (balanced parens): render(inner,
+            rest_after_close) returns the replacement text for the call plus
+            everything after it."""
+            pat = re.compile(rf"(?i)\b{name}\s*\(")
+            while True:
+                m = pat.search(txt)
+                if not m:
+                    return txt
+                inner, rest = _balanced_paren(txt[m.end() - 1:])
+                txt = txt[:m.start()] + render(inner, rest)
+
+        # array_lower(arr, 1) → 1; array_upper/array_length(arr, 1) → size
+        text = _each_call(text, "array_lower", lambda i, r: "1" + r)
+
+        def _size_of(i: str, r: str) -> str:
+            arr = re.sub(r",\s*1\s*$", "", i)
+            return f"size({arr})" + r
+
+        for fn in ("array_upper", "array_length"):
+            text = _each_call(text, fn, _size_of)
+        # FROM-item `string_to_array(...) alias` → one-row subquery producing
+        # the array column; expression-position occurrences become split()
+        _KW = ("as", "and", "or", "then", "else", "end", "in", "on", "where")
+
+        def _sta(inner: str, rest: str) -> str:
+            am = re.match(r"\s+([a-z_]\w*)\b(?!\s*\()", rest)
+            if am and am.group(1).lower() not in _KW:
+                a = am.group(1)
+                return f"(SELECT split({inner}) AS {a}) __sta_{a}" + rest[am.end():]
+            return f"split({inner})" + rest
+
+        text = _each_call(text, "string_to_array", _sta)
+
+        # FROM-item `generate_series(a, b) as i` → explode(sequence)
+        def _gs(inner: str, rest: str) -> str:
+            am = re.match(r"\s+as\s+([a-z_]\w*)", rest, re.IGNORECASE)
+            if am:
+                a = am.group(1)
+                return f"(SELECT explode(sequence({inner})) AS {a}) __gs_{a}" + rest[am.end():]
+            return f"explode(sequence({inner}))" + rest
+
+        text = _each_call(text, "generate_series", _gs)
+        # 1-based array subscript arr[i] → element_at (PostgreSQL arrays)
+        text = re.sub(r"\b([a-z_]\w*)\s*\[\s*([a-z_]\w*)\s*\]",
+                      r"element_at(\1, \2)", text)
+        # quote_ident: identity (all identifiers in play are lowercase-safe)
+        text = re.sub(r"(?i)\bquote_ident\s*\(([^()]*)\)", r"(\1)", text)
+        # `user` niladic keyword (≡ current_user) in the search-path CASE
+        text = re.sub(r"(?i)\bTHEN\s+user\b", "THEN 'greptime'", text)
+        # psql's ORDER BY carries the same IN-subquery as the projection;
+        # Spark rejects IN-subqueries under Sort, and row order is
+        # presentation-only for these completion queries — drop the clause
+        text = re.sub(r"(?is)\bORDER\s+BY\s+CASE\s+WHEN\s+.*?\bIN\s*\(\s*"
+                      r"SELECT\b.*\bEND\s*,\s*\d+\s*;?\s*$", "", text)
         return text
 
     def _ddl_extended(self, text: str, text_q: str | None = None):
@@ -5304,6 +5399,8 @@ class GreptimeSQL:
         pgm = re.search(r"(?i)\bpg_catalog\s*\.\s*(pg_\w+)|(?<![\w.'])"
                         r"(pg_namespace|pg_class|pg_attribute|pg_database"
                         r"|pg_my_temp_schema|session_user|current_schemas?"
+                        r"|current_setting|parse_ident|quote_ident"
+                        r"|string_to_array|generate_series"
                         r"|(?:obj|col|shobj)_description)\b",
                         text)
         if pgm and not re.match(r"(?i)\s*DESC(RIBE)?\b", text):
