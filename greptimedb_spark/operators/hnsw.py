@@ -158,8 +158,63 @@ def search_hnsw(ids, vecs, levels, graph, entry, qvec,
     return [(int(ids[i]), s) for s, i in best[:k]]
 
 
-def hnsw_topk(
+def _collect_queries(queries: DataFrame, query_id_col: str,
+                     query_vec_col: str):
+    """Fetch the query batch to the driver and return a SparkContext
+    broadcast of [(qid, float64 vector)].
+
+    BOUND: the query set must fit in driver memory — this is the reference's
+    search-time shape (a bounded batch of query vectors probed against every
+    per-SST index), not a table-scale relation. For query sets past ~10^5
+    rows, run brute_force/ivf variants or batch the queries outside."""
+    import numpy as np
+
+    rows = [(int(r[0]), np.asarray(r[1], dtype=np.float64))
+            for r in queries.select(query_id_col, query_vec_col).collect()]
+    return queries.sparkSession.sparkContext.broadcast(rows)
+
+
+def build_hnsw_index(
     corpus: DataFrame,
+    index_path: str,
+    m: int = 8,
+    ef_construction: int = 64,
+    n_indexes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and PERSIST the per-group HNSW graphs (the reference stores the
+    usearch index beside each SST and reuses it across queries —
+    docs/rfcs/2025-12-05-vector-index.md). One parquet row per group:
+    (group, blob) where blob pickles (ids, vecs, levels, graph, entry).
+    ``hnsw_topk(..., index_path=...)`` then searches without rebuilding."""
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+
+    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        vecs = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in pdf[vec_col]])
+        levels, graph, entry = build_hnsw(ids, vecs, m, ef_construction)
+        blob = pickle.dumps(
+            {"ids": ids, "vecs": vecs, "levels": levels, "graph": graph,
+             "entry": entry, "m": m, "ef_construction": ef_construction},
+            protocol=4)
+        return pd.DataFrame({"group": [int(pdf["__idx"].iloc[0])],
+                             "blob": [blob]})
+
+    (corpus.select(id_col, vec_col)
+     .withColumn("__idx", F.pmod(F.col(id_col), F.lit(n_indexes)))
+     .groupBy("__idx")
+     .applyInPandas(build_group, "group int, blob binary")
+     .write.mode("overwrite").parquet(index_path))
+
+
+def hnsw_topk(
+    corpus: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
     m: int = 8,
@@ -170,35 +225,62 @@ def hnsw_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    index_path: str | None = None,
 ) -> DataFrame:
     """Approximate top-k per query: per-group HNSW graphs searched in
     parallel, candidates merged by a global rank. Returns
     (query_id, vec_id, sim, rank) like brute_force_topk; ``sim`` is rounded
-    to 6 (HALF_UP) for cross-engine comparability."""
-    import numpy as np
+    to 6 (HALF_UP) for cross-engine comparability.
+
+    With ``index_path`` (written by :func:`build_hnsw_index`) the persisted
+    graphs are loaded and searched — no rebuild; ``corpus`` may be None.
+    Without it the graphs are built inline (one-shot usage). The query set
+    rides a SparkContext broadcast; see _collect_queries for the bound."""
     import pandas as pd
 
-    q_rows = [(int(r[0]), np.asarray(r[1], dtype=np.float64))
-              for r in queries.select(query_id_col, query_vec_col).collect()]
-
+    q_bc = _collect_queries(queries, query_id_col, query_vec_col)
     out_schema = f"{query_id_col} long, {id_col} long, sim double"
 
-    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col)
-        ids = pdf[id_col].to_numpy()
-        vecs = np.stack([np.asarray(v, dtype=np.float64)
-                         for v in pdf[vec_col]])
-        levels, graph, entry = build_hnsw(ids, vecs, m, ef_construction)
-        rows = []
-        for qid, qv in q_rows:
+    def _search_built(ids, vecs, levels, graph, entry, rows):
+        for qid, qv in q_bc.value:
             for vid, s in search_hnsw(ids, vecs, levels, graph, entry, qv,
                                       k, ef_search):
                 rows.append((qid, vid, _round6(s)))
-        return pd.DataFrame(rows, columns=[query_id_col, id_col, "sim"])
 
-    grouped = corpus.select(id_col, vec_col).withColumn(
-        "__idx", F.pmod(F.col(id_col), F.lit(n_indexes)))
-    cand = grouped.groupBy("__idx").applyInPandas(per_group, out_schema)
+    if index_path is not None:
+        import pickle
+
+        spark = queries.sparkSession
+
+        def per_blob(it):
+            for pdf in it:
+                rows: list = []
+                for blob in pdf["blob"]:
+                    g = pickle.loads(bytes(blob))
+                    _search_built(g["ids"], g["vecs"], g["levels"],
+                                  g["graph"], g["entry"], rows)
+                yield pd.DataFrame(rows,
+                                   columns=[query_id_col, id_col, "sim"])
+
+        cand = (spark.read.parquet(index_path)
+                .repartition("group")
+                .mapInPandas(per_blob, out_schema))
+    else:
+        import numpy as np
+
+        def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col)
+            ids = pdf[id_col].to_numpy()
+            vecs = np.stack([np.asarray(v, dtype=np.float64)
+                             for v in pdf[vec_col]])
+            levels, graph, entry = build_hnsw(ids, vecs, m, ef_construction)
+            rows: list = []
+            _search_built(ids, vecs, levels, graph, entry, rows)
+            return pd.DataFrame(rows, columns=[query_id_col, id_col, "sim"])
+
+        grouped = corpus.select(id_col, vec_col).withColumn(
+            "__idx", F.pmod(F.col(id_col), F.lit(n_indexes)))
+        cand = grouped.groupBy("__idx").applyInPandas(per_group, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return cand.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k)

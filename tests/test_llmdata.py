@@ -230,6 +230,33 @@ def test_hnsw_topk_recall_and_determinism(spark, sf_dir):
     assert got1 == got2
 
 
+def test_hnsw_index_persistence(spark, sf_dir, tmp_path):
+    """build_hnsw_index writes per-group graph blobs; hnsw_topk(index_path=)
+    searches them WITHOUT rebuilding, twice with identical results, equal to
+    the inline-build path."""
+    from greptimedb_spark.operators import hnsw
+    from greptimedb_spark.queries import read
+
+    e = read(spark, sf_dir, "embeddings").limit(200).cache()
+    queries = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = str(tmp_path / "hnsw_idx")
+    hnsw.build_hnsw_index(e, idx, m=8, ef_construction=64, n_indexes=4)
+    inline = sorted((r.query_id, r.vec_id, r.sim, r.rank)
+                    for r in hnsw.hnsw_topk(e, queries, k=5, m=8,
+                                            ef_construction=64, ef_search=48,
+                                            n_indexes=4).collect())
+    s1 = sorted((r.query_id, r.vec_id, r.sim, r.rank)
+                for r in hnsw.hnsw_topk(None, queries, k=5, ef_search=48,
+                                        index_path=idx).collect())
+    s2 = sorted((r.query_id, r.vec_id, r.sim, r.rank)
+                for r in hnsw.hnsw_topk(None, queries, k=5, ef_search=48,
+                                        index_path=idx).collect())
+    assert s1 == s2 == inline
+    assert len(s1) > 0
+
+
 def test_dedup_clusters_connected_components(spark):
     """a-b, b-c chain into one component; d-e another; singleton f absent
     (no edges). keep_id = min member."""
