@@ -37,6 +37,10 @@ SEQ_COL = "__seq"
 BUCKET_COL = "__time_bucket"
 
 
+class TableNotFoundError(ValueError):
+    """Missing-table rejection (the reference's TableNotFound status)."""
+
+
 def _phys_name(name: str) -> str:
     """Parquet-safe physical column name: declared names may carry characters
     parquet rejects (flow sinks inherit DataFusion-style auto names like
@@ -183,8 +187,13 @@ class Catalog:
             f.write(meta.to_json())
 
     def meta(self, name: str) -> TableMeta:
-        with open(os.path.join(self._table_path(name), _META_FILE)) as f:
-            return TableMeta.from_json(f.read())
+        try:
+            with open(os.path.join(self._table_path(name), _META_FILE)) as f:
+                return TableMeta.from_json(f.read())
+        except FileNotFoundError:
+            # typed rejection (the reference's TableNotFound), not a bare
+            # IO error — error-parity checks count only deliberate errors
+            raise TableNotFoundError(f"Table not found: {name}") from None
 
     def drop_table(self, name: str) -> None:
         import shutil
@@ -461,8 +470,12 @@ class Catalog:
         default = entry[3] if len(entry) > 3 else None
         data_path = os.path.join(self._table_path(name), "data")
         if default is not None and self._has_data(data_path):
+            # backfill the CURRENT generation's physical column: a re-added
+            # column (post-drop sentinel) renders from its fresh __gN name,
+            # so writing the base name would leave old rows NULL
+            phys = self._cur_phys(self.meta(name), entry[0])
             df = self.spark.read.option("mergeSchema", "true").parquet(data_path)
-            df = df.withColumn(entry[0], F.expr(default).cast(entry[1]))
+            df = df.withColumn(phys, F.expr(default).cast(entry[1]))
             tmp = data_path + ".alter"
             df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
             shutil.rmtree(data_path)

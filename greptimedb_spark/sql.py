@@ -28,6 +28,8 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from greptimedb_spark.catalog import TableNotFoundError
+
 _ALIASES = {
     # greptime/datafusion name → spark name (same arity)
     "to_unixtime": "gt_to_unixtime",
@@ -799,7 +801,22 @@ def _rewrite_colon_cast(text: str) -> str:
     aware: a quoted operand is rewritten only when `::` directly follows its
     closing quote, and `::` sequences INSIDE literals (IPv6 addresses!) are
     never touched — a naive regex can pair the gap between two real literals
-    into a phantom string and corrupt the statement."""
+    into a phantom string and corrupt the statement.
+
+    A NON-FINITE float literal chained into an integer/decimal cast raises
+    up front — arrow/DataFusion rejects NaN/Inf→Int/Decimal (Cast error,
+    types/float/nan_cast.sql) where Spark's ANSI-off cast would silently
+    NULL/saturate. Literal-level only: runtime NaN data still follows
+    Spark's lenient cast (documented divergence)."""
+    m = re.search(
+        r"(?i)'(nan|[+-]?inf(?:inity)?)'\s*::\s*"
+        r"(?:float|double|real|f32|f64|float4|float8|float32|float64)\s*::\s*"
+        r"(u?int\w*|u?tinyint|u?smallint|u?bigint|integer|decimal)", text)
+    if m:
+        raise ValueError(
+            f"Cast error: cannot cast value {m.group(1)} to type "
+            f"{m.group(2)}")
+
     def _code(seg: str) -> str:
         seg = _COLON_CAST_CODE_RE.sub(
             lambda c: _render_colon_cast(c.group(1), c.group(2)), seg)
@@ -1224,7 +1241,12 @@ class GreptimeSQL:
         if lm:
             import copy as _copy
 
-            src_meta = self.catalog.meta(self._resolve_table(lm.group(3).lower()))
+            try:
+                src_meta = self.catalog.meta(
+                    self._resolve_table(lm.group(3).lower()))
+            except (KeyError, FileNotFoundError, TableNotFoundError):
+                raise ValueError(
+                    f"Table not found: {lm.group(3).lower()}") from None
             new_meta = _copy.deepcopy(src_meta)
             new_meta.name = lm.group(2).lower()
             new_meta.table_id = ""
@@ -1261,12 +1283,22 @@ class GreptimeSQL:
                         _ident_case(c.strip()) for c in pk_inline.group(1).split(",")
                     )
                     continue
+                ti_any = re.match(r"TIME\s+INDEX\s*\(", item, re.IGNORECASE)
                 ti_inline = re.match(
                     r"TIME\s+INDEX\s*\(\s*(\"[^\"]+\"|`[^`]+`|\w+)\s*\)", item, re.IGNORECASE
                 )
                 if ti_inline:
+                    if time_index is not None:
+                        raise ValueError(
+                            "Invalid time index: expected only one time "
+                            "index constraint but actual 2")
                     time_index = _ident_case(ti_inline.group(1))
                     continue
+                if ti_any:
+                    # TIME INDEX(a, b, …) — reference create.result 2000
+                    raise ValueError(
+                        "Invalid time index: it should contain only one "
+                        "column in time index")
                 if re.match(r"(FULLTEXT|INVERTED|SKIPPING)\s+INDEX", item, re.IGNORECASE):
                     continue  # index clauses: Parquet stats/bloom serve these
                 entry, is_ti, is_pk = _parse_col_def(item)
@@ -1274,6 +1306,17 @@ class GreptimeSQL:
                     continue
                 cols.append(entry)
                 if is_ti:
+                    if time_index is not None:
+                        raise ValueError(
+                            "Invalid time index: expected only one time "
+                            "index constraint but actual 2")
+                    if not re.search(r"timestamp|datetime",
+                                     f"{entry[1]} {entry[2] if len(entry) > 2 else ''}",
+                                     re.IGNORECASE):
+                        raise ValueError(
+                            f"Invalid column option, column name: {entry[0]}"
+                            ", error: time index column data type should be"
+                            " timestamp")
                     time_index = entry[0]
                 if is_pk:
                     tags.append(entry[0])
@@ -1374,9 +1417,12 @@ class GreptimeSQL:
                 raise ValueError(
                     f"Invalid SQL, error: JSON2 column `{j2col}` requires "
                     "append_mode='true'")
+            if time_index is None:
+                # reference create.result: 2000(InvalidSyntax)
+                raise ValueError("Missing time index constraint")
             meta = TableMeta(
                 name=name,
-                time_index=time_index or cols[0][0],
+                time_index=time_index,
                 tags=[t for t in tags if t != time_index],
                 merge_mode=opts.get(
                     "merge_mode", _dbo.get("merge_mode") or "last_row"),
@@ -1397,7 +1443,7 @@ class GreptimeSQL:
             )
             try:
                 clash = self.catalog.meta(name)
-            except FileNotFoundError:
+            except (FileNotFoundError, TableNotFoundError):
                 clash = None
             if clash is not None and (
                     getattr(clash, "schema_name", "public") or "public"
@@ -1416,7 +1462,7 @@ class GreptimeSQL:
                 # attach (engine/create.rs add_internal_columns)
                 try:
                     pmeta = self.catalog.meta(phys)
-                except FileNotFoundError:
+                except (FileNotFoundError, TableNotFoundError):
                     pmeta = None
                 if pmeta is not None:
                     existing = {e[0] for e in (pmeta.columns or [])}
@@ -1608,6 +1654,23 @@ class GreptimeSQL:
                         if len(entry) > 6 and isinstance(entry[6], dict) \
                         else None
                     src = f"CAST({v} AS STRING)"
+                    # the reference accepts only non-empty top-level OBJECT
+                    # documents into json2 columns (json2_limit.sql):
+                    # 1001(Unsupported) for arrays/scalars, 1004 for {}
+                    probe = raw.selectExpr(
+                        f"schema_of_variant(try_parse_json({src})) AS s",
+                        f"{v} IS NULL AS isnull").collect()
+                    for pr in probe:
+                        if pr["isnull"]:
+                            continue
+                        if pr["s"] == "OBJECT<>":
+                            raise ValueError(
+                                "Invalid InsertRequest, reason: empty json "
+                                "object is not supported, consider adding a "
+                                "dummy field")
+                        if pr["s"] is None or not pr["s"].startswith("OBJECT<"):
+                            raise ValueError(
+                                "Non-object json is not supported currently")
                     if hints:
                         hj = json.dumps(hints).replace("'", "''")
                         src = f"gt_json2_hints({src}, '{hj}')"
@@ -1951,12 +2014,12 @@ class GreptimeSQL:
             try:
                 self.catalog.meta(f"__{cur}__{name}")
                 return f"__{cur}__{name}"
-            except FileNotFoundError:
+            except (FileNotFoundError, TableNotFoundError):
                 pass
         try:
             self.catalog.meta(name)
             return name
-        except FileNotFoundError:
+        except (FileNotFoundError, TableNotFoundError):
             for t in self.catalog.list_tables():
                 if t.lower() == name.lower():
                     return t
@@ -1971,7 +2034,7 @@ class GreptimeSQL:
                 if meta is None:
                     try:
                         meta = self.catalog.meta(key)
-                    except FileNotFoundError:
+                    except (FileNotFoundError, TableNotFoundError):
                         return key
                 if (getattr(meta, "schema_name", "public") or "public") == sch:
                     return rest
@@ -1982,7 +2045,7 @@ class GreptimeSQL:
         from the catalog meta."""
         try:
             meta_cols = self.catalog.meta(self._resolve_table(name)).columns
-        except FileNotFoundError:
+        except (FileNotFoundError, TableNotFoundError):
             meta_cols = None
         if not meta_cols:
             raise ValueError(f"table {name!r} does not exist")
@@ -2654,6 +2717,15 @@ class GreptimeSQL:
         m = self._ADMIN_RE.match(stmt)
         if m:
             fn, target = m.group(1).lower(), m.group(2)
+            # the reference names the single output column after the
+            # statement itself: ADMIN FLUSH_FLOW('name')
+            admin_col = f"ADMIN {fn.upper()}('{target.strip()}')"
+
+            def _admin_result(n: int) -> DataFrame:
+                return self.spark.createDataFrame(
+                    [(n,)], "result bigint").withColumnRenamed(
+                        "result", admin_col)
+
             if fn in ("flush_table", "compact_table"):
                 t = self._resolve_table(target)
                 self.catalog.meta(t)  # raises if missing
@@ -2665,15 +2737,14 @@ class GreptimeSQL:
                 # physical companion view of metric logical tables too
                 self._refresh_table_view(t)
                 self._refresh_views()
-                return self.spark.createDataFrame([(0,)], "result bigint")
+                return _admin_result(0)
             if fn == "flush_flow":
-                n = self._flush_flow(target)
-                return self.spark.createDataFrame([(n,)], "result bigint")
+                return _admin_result(self._flush_flow(target))
             if fn == "build_index":
                 # index build is a storage-side job; Parquet stats/blooms
                 # play that role here — accept and report success
                 self.catalog.meta(self._resolve_table(target))
-                return self.spark.createDataFrame([(0,)], "result bigint")
+                return _admin_result(0)
             raise ValueError(f"unsupported ADMIN function {fn}")
         m = self._CREATE_FLOW_RE.match(stmt)
         if m:
@@ -3432,7 +3503,7 @@ class GreptimeSQL:
                     t = _os.path.splitext(_os.path.basename(f))[0]
                     try:
                         self.catalog.meta(t)
-                    except FileNotFoundError:
+                    except (FileNotFoundError, TableNotFoundError):
                         continue
                     read_into(t, f)
             return self._empty_ok()
@@ -5079,7 +5150,7 @@ class GreptimeSQL:
                 if phys:
                     try:
                         pmeta = self.catalog.meta(phys)
-                    except FileNotFoundError:
+                    except (FileNotFoundError, TableNotFoundError):
                         pmeta = None
                     if pmeta is not None and entry[0] not in {
                             e[0] for e in (pmeta.columns or [])}:
@@ -6235,7 +6306,7 @@ class GreptimeSQL:
                     meta = self.catalog.meta(parse_range_sql(text)["table"])
                     default_by = meta.tags
                     time_index = meta.time_index
-                except FileNotFoundError:
+                except (FileNotFoundError, TableNotFoundError):
                     pass
             return range_sql(
                 self.spark, text, time_index=time_index, default_by=default_by,
@@ -6777,6 +6848,10 @@ def _parse_col_def(item: str):
     default = dm.group(1) if dm else None
     not_null = bool(re.search(r"\bNOT\s+NULL\b", rest, re.IGNORECASE))
     is_ti = bool(re.search(r"TIME\s+INDEX", rest, re.IGNORECASE))
+    if is_ti and re.search(r"TIME\s+INDEX\s+NULL\b", rest, re.IGNORECASE):
+        # reference create.result: 1004(InvalidArguments)
+        raise ValueError(f"Invalid column option, column name: {col}, "
+                         "error: time index column can't be null")
     is_pk = bool(re.search(r"PRIMARY\s+KEY", rest, re.IGNORECASE))
     com = re.search(r"\bCOMMENT\s+'((?:[^']|'')*)'", rest, re.IGNORECASE)
     comment = com.group(1) if com else None

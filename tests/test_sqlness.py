@@ -442,6 +442,12 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
     g = GreptimeSQL(spark, catalog=Catalog(spark, str(tmp_path / "sqlness_cat")))
     checked = skipped = errored = 0
     errs: list = []
+    audit = os.environ.get("SPARK_GRAFT_SKIP_AUDIT") == "1"
+
+    def _audit(reason: str, stmt: str) -> None:
+        if audit:
+            print(f"SKIP[{reason}] {case}: "
+                  f"{stmt.replace(chr(10), ' ')[:100]}", flush=True)
     for stmt, expected, replaces in _parse_result_file(_case_path(case)):
         sleeps = [r[1] for r in replaces if r[0] == "__SLEEP__"]
         restart = any(r[0] == "__RESTART__" for r in replaces)
@@ -456,6 +462,7 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
             # node-restart emulation: skip-wal tables lose unflushed rows
             g.simulate_restart()
         if any(k in stmt for k in known_diffs):
+            _audit("known-diff", stmt)
             skipped += 1
             continue
         if expected == "error" and re.match(
@@ -470,7 +477,21 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
                 r"|MERGE\s+PARTITION"
                 # interval-column rejections are validated up front — no
                 # state can mutate, so parity is safe (issue #5422)
-                r"|(?:ADD|MODIFY)\s+COLUMN\s+\S+\s+interval\b))"
+                r"|(?:ADD|MODIFY)\s+COLUMN\s+\S+\s+interval\b)"
+                # INSERT … VALUES error-goldens (malformed literals): a
+                # rejection writes nothing; if the engine were lenient the
+                # bad row would make the case's later SELECT goldens fail
+                # loudly, so parity-checking is safe
+                r"|INSERT\s+INTO\s+\S+(?:\s*\([^)]*\))?\s+VALUES"
+                # CREATE TABLE error-goldens (invalid schema: missing/
+                # nullable/duplicate time index, bad names): a rejection
+                # creates nothing; a lenient accept would leave a spurious
+                # table that later goldens in the case trip over loudly
+                r"|CREATE\s+TABLE"
+                # DROP/TRUNCATE error-goldens (read-only/system tables): a
+                # lenient accept would delete state later goldens read —
+                # also loud
+                r"|DROP\s+TABLE|TRUNCATE)"
                 r"\b", stmt, re.IGNORECASE) and \
                 not any(re.search(p, stmt, re.IGNORECASE)
                         for p in _SKIP_PATTERNS):
@@ -485,6 +506,7 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
                 df = g.sql(stmt)
                 if df is not None:
                     _collect(df)
+                _audit("lenient-errgold", stmt)
                 skipped += 1  # lenient where the reference errors
             except Exception as e:
                 # only a deliberate rejection counts as parity — an internal
@@ -500,6 +522,7 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
                                  f"errparity:{type(e).__name__}"))
             continue
         if any(re.search(p, stmt, re.IGNORECASE) for p in _SKIP_PATTERNS) or expected == "error":
+            _audit("errgold" if expected == "error" else "pattern", stmt)
             skipped += 1
             continue
         for s in sleeps:
@@ -531,6 +554,7 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
             else:
                 # any other table-spanning REPLACE can't be applied at cell
                 # granularity: executed for side effects, comparison skipped
+                _audit("table-replace", stmt)
                 skipped += 1
             continue
         exp_header, exp_rows = expected
