@@ -2187,6 +2187,66 @@ class GreptimeSQL:
         text = self._rewrite_psql_completion(text)
         return text
 
+    @staticmethod
+    def _parse_index_opts(opts_text: str | None) -> dict:
+        return {k.lower(): v.strip() for k, v in
+                re.findall(r"(\w+)\s*=\s*'?([^',]*)'?", opts_text or "")}
+
+    def _validate_fulltext_opts(self, opts_text: str | None) -> None:
+        """Option-value validation for SET FULLTEXT INDEX (reference
+        change_col_fulltext_options.result: 1002(Unexpected) messages)."""
+        opts = self._parse_index_opts(opts_text)
+        an = opts.get("analyzer")
+        if an is not None and an not in ("English", "Chinese"):
+            raise ValueError(f"Invalid fulltext option: {an}, "
+                             "expected: 'English' | 'Chinese'")
+        cs = opts.get("case_sensitive")
+        if cs is not None and cs not in ("true", "false"):
+            raise ValueError(f"Invalid fulltext option: {cs}, "
+                             "expected: 'true' | 'false'")
+        be = opts.get("backend")
+        if be is not None and be not in ("bloom", "tantivy"):
+            raise ValueError(f"Invalid fulltext option: {be}, "
+                             "expected: 'bloom' | 'tantivy'")
+        gr = opts.get("granularity")
+        if gr is not None and (not re.fullmatch(r"\d+", gr) or int(gr) <= 0):
+            raise ValueError(f"Invalid fulltext option: Invalid granularity:"
+                             f" {gr}, expected: positive integer")
+        fpr = opts.get("false_positive_rate")
+        if fpr is not None:
+            try:
+                ok = 0 < float(fpr) <= 1
+            except ValueError:
+                ok = False
+            if not ok:
+                raise ValueError(
+                    f"Invalid fulltext option: Invalid false positive rate: "
+                    f"{fpr}, expected: positive float less than or equal "
+                    "to 1")
+
+    def _check_fulltext_change(self, entry: list, idx: dict,
+                               opts_text: str | None) -> None:
+        """Column-type + analyzer/case_sensitive immutability checks
+        (1004(InvalidArguments) messages)."""
+        if str(entry[1]).lower() != "string":
+            raise ValueError(
+                f"Invalid column option, column name: {entry[0]}, error: "
+                "FULLTEXT index only supports string type")
+        if "fulltext" not in idx:
+            return
+        prev = dict(_FULLTEXT_INDEX_DEFAULTS)
+        prev.update(self._parse_index_opts(idx["fulltext"]))
+        new = self._parse_index_opts(opts_text)
+        if (new.get("analyzer", prev["analyzer"]) != prev["analyzer"]
+                or new.get("case_sensitive", prev["case_sensitive"])
+                != prev["case_sensitive"]):
+            raise ValueError(
+                f"Invalid column option, column name: {entry[0]}, error: "
+                "Cannot change analyzer or case_sensitive if FULLTEXT "
+                f"index is set before. Previous analyzer: "
+                f"{prev['analyzer']}, previous case_sensitive: "
+                f"{prev['case_sensitive']}")
+
     def _rewrite_psql_completion(self, text: str) -> str:
         """psql tab-completion shims (system/pg_catalog.sql): PostgreSQL
         array/settings idioms lowered to Spark equivalents.
@@ -5202,12 +5262,18 @@ class GreptimeSQL:
                     # physical analog is Parquet stats/bloom
                     col = _ident_case(im.group(1))
                     kind = im.group(3).lower()
+                    if kind == "fulltext" and im.group(2).upper() == "SET":
+                        self._validate_fulltext_opts(im.group(4))
                     cols = [list(c) for c in self._col_entries(name)]
                     for c in cols:
                         if c[0] == col:
                             while len(c) < 7:
                                 c.append(None)
                             idx = dict(c[6] or {})
+                            if kind == "fulltext" and \
+                                    im.group(2).upper() == "SET":
+                                self._check_fulltext_change(
+                                    c, idx, im.group(4))
                             if im.group(2).upper() == "SET":
                                 # ALTER-time skipping default granularity is
                                 # 1024 (change_col_skipping_options golden;

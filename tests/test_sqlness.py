@@ -477,7 +477,10 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
                 r"|MERGE\s+PARTITION"
                 # interval-column rejections are validated up front — no
                 # state can mutate, so parity is safe (issue #5422)
-                r"|(?:ADD|MODIFY)\s+COLUMN\s+\S+\s+interval\b)"
+                r"|(?:ADD|MODIFY)\s+COLUMN\s+\S+\s+interval\b"
+                # SET FULLTEXT INDEX option/immutability rejections are
+                # validated up front — nothing mutates
+                r"|MODIFY\s+COLUMN\s+\S+\s+SET\s+FULLTEXT)"
                 # INSERT … VALUES error-goldens (malformed literals): a
                 # rejection writes nothing; if the engine were lenient the
                 # bad row would make the case's later SELECT goldens fail
