@@ -3168,6 +3168,33 @@ class GreptimeSQL:
             self.catalog.read(sink).createOrReplaceTempView(sink)
             sink_exists = True
             auto_sink = True
+        if sink_exists and not auto_sink and not pending and not tql_info \
+                and not tql_cte_name \
+                and not re.match(r"\s*TQL\b", select_text, re.IGNORECASE):
+            # PRE-EXISTING sink: the flow's output maps positionally when
+            # its names aren't the sink's — a timestamp/non-timestamp clash
+            # at any position is the reference's "data type mismatch"
+            # rejection (show_create_flow.result: OR REPLACE with an
+            # incompatible query leaves the old flow in place)
+            try:
+                pdtypes = self._flow_df(select_text).dtypes
+                sink_cols = self._col_entries(sink)
+            except Exception:
+                pdtypes, sink_cols = None, []
+            sink_set = {str(e[0]).lower() for e in sink_cols}
+            if pdtypes is not None and sink_cols and \
+                    not all(c.lower() in sink_set for c, _ in pdtypes):
+                for i, (fc, ft) in enumerate(pdtypes):
+                    if i >= len(sink_cols):
+                        break
+                    s_is_ts = str(sink_cols[i][1]).lower().startswith(
+                        "timestamp")
+                    if s_is_ts != ft.startswith("timestamp"):
+                        raise ValueError(
+                            f"Invalid query: Column {i}(name is "
+                            f"'{sink_cols[i][0]}', flow inferred name is "
+                            f"'{fc}')'s data type mismatch, expect "
+                            f"{sink_cols[i][1]} got {ft}")
         if not sink_exists:
             auto_sink = True
             # Auto-create the sink the way the reference does

@@ -491,6 +491,10 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
                 # creates nothing; a lenient accept would leave a spurious
                 # table that later goldens in the case trip over loudly
                 r"|CREATE\s+TABLE"
+                # CREATE FLOW error-goldens (clause conflicts, sink-schema
+                # mismatches): a rejection registers nothing; lenient
+                # accepts surface in later SHOW CREATE FLOW goldens
+                r"|CREATE\s+(?:OR\s+REPLACE\s+)?FLOW"
                 # DROP/TRUNCATE error-goldens (read-only/system tables): a
                 # lenient accept would delete state later goldens read —
                 # also loud
