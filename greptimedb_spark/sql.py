@@ -1559,11 +1559,34 @@ class GreptimeSQL:
                 r"(?i)date_trunc\s*\(\s*'?(?:SECOND|MILLISECOND|MICROSECOND)"
                 r"'?\s*,\s*(-?\d+)L?\s*\)",
                 r"\1", values_text)
+            # tuple arity must match the target column list exactly
+            # (insert_default.result: 1004 "column count mismatch")
+            for _t in _split_top_level_tuples(values_text):
+                _n = len(_split_top_args(_t.strip()[1:-1]))
+                if _n != len(cols):
+                    raise ValueError(
+                        f"Invalid SQL, error: column count mismatch, "
+                        f"columns: {len(cols)}, values: {_n}")
             # `DEFAULT` keyword in a VALUES tuple → NULL here, then re-filled
             # with the column's declared default below (approximation: an
             # explicit NULL into a defaulted column also takes the default)
             has_default_kw = re.search(r"\bDEFAULT\b", values_text, re.IGNORECASE)
             if has_default_kw:
+                # DEFAULT into a non-defaulted NOT NULL / time-index column
+                # cannot be synthesized (insert_default.result: 1004 "No
+                # valid default value can be built automatically")
+                for _t in _split_top_level_tuples(values_text):
+                    for _j, _v in enumerate(_split_top_args(_t.strip()[1:-1])):
+                        if _v.strip().upper() != "DEFAULT" or _j >= len(cols):
+                            continue
+                        _e = cols[_j]
+                        _has_default = len(_e) > 3 and _e[3] is not None
+                        _required = (len(_e) > 4 and _e[4]) or (
+                            _e[0] == self.catalog.meta(name).time_index)
+                        if _required and not _has_default:
+                            raise ValueError(
+                                "No valid default value can be built "
+                                f"automatically, column: {_e[0]}")
                 values_text = re.sub(r"\bDEFAULT\b", "NULL", values_text, flags=re.IGNORECASE)
             int_to_ts = {
                 "s": "timestamp_seconds({v})",
@@ -6728,8 +6751,20 @@ def _is_metric_engine(meta) -> bool:
 
 
 def _split_top_args(inner: str) -> list[str]:
-    args, depth, cur = [], 0, []
+    """Split comma-separated args at paren depth 0 — quote-aware (parens and
+    commas inside string literals don't count: insert_invalid.sql inserts a
+    literal containing '(')."""
+    args, depth, cur, instr = [], 0, [], None
     for ch in inner:
+        if instr:
+            cur.append(ch)
+            if ch == instr:
+                instr = None
+            continue
+        if ch in ("'", '"'):
+            instr = ch
+            cur.append(ch)
+            continue
         if ch == "(":
             depth += 1
         elif ch == ")":
