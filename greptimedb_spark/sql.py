@@ -1575,14 +1575,14 @@ class GreptimeSQL:
                 # DEFAULT into a non-defaulted NOT NULL / time-index column
                 # cannot be synthesized (insert_default.result: 1004 "No
                 # valid default value can be built automatically")
+                _ti = self.catalog.meta(name).time_index
                 for _t in _split_top_level_tuples(values_text):
                     for _j, _v in enumerate(_split_top_args(_t.strip()[1:-1])):
                         if _v.strip().upper() != "DEFAULT" or _j >= len(cols):
                             continue
                         _e = cols[_j]
                         _has_default = len(_e) > 3 and _e[3] is not None
-                        _required = (len(_e) > 4 and _e[4]) or (
-                            _e[0] == self.catalog.meta(name).time_index)
+                        _required = (len(_e) > 4 and _e[4]) or _e[0] == _ti
                         if _required and not _has_default:
                             raise ValueError(
                                 "No valid default value can be built "
