@@ -1382,6 +1382,26 @@ class GreptimeSQL:
                             "Metric has different time unit than the "
                             "physical region")
                 if pmeta0.partition_sql:
+                    # a logical table may declare NO rules (inherits) or
+                    # EXACTLY the physical region's rules — anything else is
+                    # rejected (metric_engine_partition.result)
+                    def _rule_set(psql: str | None) -> list[str]:
+                        if not psql:
+                            return []
+                        m2 = re.search(r"(?is)ON\s+COLUMNS\s*\([^)]*\)\s*"
+                                       r"\((.*)\)\s*$", psql)
+                        return sorted(
+                            re.sub(r"[\s`\"]+", " ", r).strip().lower()
+                            for r in (_split_top_args(m2.group(1))
+                                      if m2 else [])
+                            if r.strip())
+                    declared = _rule_set(partition_sql)
+                    if declared and declared != _rule_set(
+                            pmeta0.partition_sql):
+                        raise ValueError(
+                            "Invalid partition rule: logical table "
+                            "partition rule must match the corresponding "
+                            "physical table's")
                     # logical tables on a partitioned physical region inherit
                     # its partition-key columns as tags and its partition
                     # rule (create/metric_engine_partition.result)
@@ -1679,14 +1699,16 @@ class GreptimeSQL:
                     src = f"CAST({v} AS STRING)"
                     # the reference accepts only non-empty top-level OBJECT
                     # documents into json2 columns (json2_limit.sql):
-                    # 1001(Unsupported) for arrays/scalars, 1004 for {}
+                    # 1001(Unsupported) for arrays/scalars, 1004 for {} —
+                    # EXCEPT '{}' into a hinted column, where the typed
+                    # field hints fill defaults (json2_type_hints.sql)
                     probe = raw.selectExpr(
                         f"schema_of_variant(try_parse_json({src})) AS s",
                         f"{v} IS NULL AS isnull").collect()
                     for pr in probe:
                         if pr["isnull"]:
                             continue
-                        if pr["s"] == "OBJECT<>":
+                        if pr["s"] == "OBJECT<>" and not hints:
                             raise ValueError(
                                 "Invalid InsertRequest, reason: empty json "
                                 "object is not supported, consider adding a "
@@ -1789,20 +1811,29 @@ class GreptimeSQL:
         m = self._DROP_RE.match(text.strip().rstrip(";"))
         if m:
             if_exists = re.search(r"\bIF\s+EXISTS\b", text, re.IGNORECASE)
+            # resolve EVERY name before dropping ANY: a multi-table DROP is
+            # atomic in the reference (drop_table.sql `DROP TABLE foo, bar`
+            # with bar missing leaves foo in place)
+            todo = []
             for raw_name in m.group(1).split(","):
                 bare = raw_name.strip().strip('"').lower()
                 if bare in getattr(self, "_external_tables", set()):
-                    self._external_tables.discard(bare)
-                    self.spark.catalog.dropTempView(bare)
+                    todo.append(("ext", bare))
                     continue
                 try:
-                    name = self._resolve_table(raw_name.strip().strip('"'))
+                    todo.append(
+                        ("cat", self._resolve_table(raw_name.strip().strip('"'))))
                 except Exception:
                     if if_exists:
                         continue
                     raise
-                self.catalog.drop_table(name)
-                self.spark.catalog.dropTempView(name)
+            for kind, name in todo:
+                if kind == "ext":
+                    self._external_tables.discard(name)
+                    self.spark.catalog.dropTempView(name)
+                else:
+                    self.catalog.drop_table(name)
+                    self.spark.catalog.dropTempView(name)
             return self.spark.createDataFrame([], "result string")
         m = self._DELETE_RE.match(text.strip().rstrip(";"))
         if m:
@@ -3025,6 +3056,22 @@ class GreptimeSQL:
                 return self._empty_ok()
             if not or_replace:
                 raise ValueError(f"Flow already exists: greptime.{name}")
+        if re.search(r"EVAL\s+INTERVAL", stmt or "", re.IGNORECASE):
+            # a SCHEDULED TQL flow's range bounds must be now()-relative —
+            # absolute numeric bounds are rejected by the parser
+            # (flow-tql/flow_tql.result: "Expected expression containing
+            # `now()`")
+            tm = re.match(r"(?is)\s*TQL\s+EVAL\s*\(", select_text)
+            if tm:
+                inner = _balanced_paren(select_text[tm.end() - 1:])[0]
+                bounds = _split_top_args(inner)[:2]
+                for b in bounds:
+                    if not re.search(r"(?i)\bnow\s*\(", b):
+                        raise ValueError(
+                            "Invalid TQL syntax: sql parser error: Expected "
+                            "expression containing `now()`, but have "
+                            f"{b.strip()}")
+                    self._check_scheduled_tql_bound(b)
         # WITH-wrapped TQL flows: the reference only accepts the SIMPLEST
         # form `WITH cte[(cols)] AS (TQL EVAL …) SELECT * FROM cte` with an
         # exactly-matching (quote/case-sensitive) CTE reference — anything
@@ -3359,6 +3406,39 @@ class GreptimeSQL:
                 "minute": 60, "h": 3600, "hour": 3600, "d": 86400,
                 "day": 86400}[im.group(2).lower()]
         return float(im.group(1)) * mult
+
+    def _check_scheduled_tql_bound(self, b: str) -> None:
+        """DataFusion typing of a scheduled-TQL range bound
+        (flow-tql/flow_tql.result): ts−ts is a Duration (usable, must be
+        non-negative seconds); an interval LITERAL combined at top level
+        makes the result IntervalMonthDayNano, which is not a timestamp."""
+        folded = re.sub(r"(?i)\bnow\s*\(\s*\)",
+                        "timestamp'2000-01-01 00:00:00'",
+                        _rewrite_colon_cast(b))
+        try:
+            df = self.spark.sql(f"SELECT ({folded}) AS v")
+            dtype = df.dtypes[0][1]
+        except Exception:
+            return  # unfoldable forms fall through to normal evaluation
+        if not dtype.startswith("interval"):
+            return  # a plain timestamp bound
+        top = b
+        while True:
+            nxt = re.sub(r"\([^()]*\)", "", top)
+            if nxt == top:
+                break
+            top = nxt
+        if re.search(r"(?i)::\s*interval|\binterval\s*'", top):
+            raise ValueError(
+                "Invalid TQL syntax: Failed to evaluate TQL expression: "
+                "Failed to extract a timestamp value from "
+                f"{b.strip()}")
+        secs = df.selectExpr("CAST(v AS BIGINT) AS s").collect()[0].s
+        if secs is not None and secs < 0:
+            raise ValueError(
+                f"Failed to convert float seconds to duration, raw: {secs}:"
+                " cannot convert float seconds to Duration: value is "
+                "negative")
 
     def _flush_flow(self, name: str, now_override: float | None = None) -> int:
         flows = getattr(self, "_flows", {})
