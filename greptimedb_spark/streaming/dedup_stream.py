@@ -1,0 +1,80 @@
+"""Streaming exact dedup — first-occurrence pass-through with expiring state.
+
+The training-data-pipeline counterpart of ``operators/dedup.exact_duplicates``
+for CONTINUOUS ingest: each document's content fingerprint is checked against
+per-fingerprint state kept by Structured Streaming, so only the FIRST
+occurrence of any content ever reaches the sink. The reference's flow engine
+has no dedup operator (its flows are recomputed aggregates); this is the
+Spark-native stateful path the task calls for (applyInPandasWithState).
+
+Scale shape: state is partitioned by the fingerprint hash — the same one
+shuffle a batch groupBy would do — and each key holds ONE boolean-sized state
+row, GC'd by the event-time timeout at the watermark horizon. At 100 TB the
+state store is bounded by (distinct fingerprints inside the watermark
+window), not the stream length.
+
+Semantics pinned by tests/test_streaming_dedup.py: within a micro-batch the
+kept row is (min ts, min id); across batches the state suppresses
+re-occurrences until the watermark passes ``dedup_horizon``, after which the
+fingerprint may be re-emitted (exactly a batch dedup per horizon window).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FP_COL = "__fp"
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+    ts_col: str,
+    dedup_horizon: str = "1 hour",
+) -> DataFrame:
+    """First-occurrence filter over a streaming DataFrame.
+
+    Returns (id, ts, fp) rows for documents whose content fingerprint
+    (xxhash64 over ``content_cols``) has not been seen inside the watermark
+    horizon. State per fingerprint expires ``dedup_horizon`` past the
+    watermark (EventTimeTimeout), bounding the state store.
+    """
+    import pandas as pd
+
+    out_schema = f"{id_col} long, {ts_col} timestamp, fp long"
+    state_schema = "seen boolean"
+
+    def keep_first(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            # fingerprint already emitted inside the horizon: suppress all
+            first = None
+        else:
+            batch = batch.sort_values([ts_col, id_col])
+            first = batch.iloc[[0]][[id_col, ts_col, FP_COL]].rename(
+                columns={FP_COL: "fp"})
+            state.update((True,))
+        # GC the key once the watermark passes the horizon beyond the
+        # newest occurrence
+        expiry = batch[ts_col].max() + pd.Timedelta(dedup_horizon)
+        state.setTimeoutTimestamp(int(expiry.timestamp() * 1000))
+        if first is not None:
+            yield first
+
+    hashed = stream.withColumn(
+        FP_COL, F.xxhash64(*[F.col(c) for c in content_cols])
+    ).withWatermark(ts_col, dedup_horizon)
+    return hashed.groupBy(FP_COL).applyInPandasWithState(
+        keep_first,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
