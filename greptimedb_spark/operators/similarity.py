@@ -367,3 +367,172 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ ANN: coarse Voronoi cells (same deterministic trainer as
+    ivf_topk) + PRODUCT-QUANTIZED codes — each vector stores m_sub uint8
+    codes instead of its floats, and queries score candidates by ADC
+    (asymmetric distance computation) against a broadcast lookup table.
+
+    This is the memory-bounded scale path: at 100 TB the stored index is
+    (cell id + m_sub bytes) per vector — with m_sub=8 that is 72x smaller
+    than a float32[64] embedding — and search reads codes only, never the
+    raw vectors. Reference analog: the quantized variants of the per-SST
+    vector index (RFC docs/rfcs/2025-12-05-vector-index.md).
+
+    DETERMINISM SPEC (pinned for the independent fixture oracle,
+    tools/gen_oracle_fixtures.gen_q74):
+    - coarse init/Lloyd/assignment: exactly ivf_topk's (smallest
+      xxhash64(str(id)) sample, numbered by id asc; cosine assignment).
+    - subspaces: m_sub consecutive slices of dim/m_sub components.
+    - codebook init: the n_codes corpus rows with smallest xxhash64(str(id)),
+      code_id = rank of id ascending, codebook[sub][code] = that row's
+      sub-slice; `iters` Lloyd rounds with SQUARED-L2 assignment, ties to
+      the lower code_id; empty codes keep their id (no renumbering).
+    - ADC score: cosine of the query against the RECONSTRUCTED vector =
+      sum_j dot(q_j, cb[j][code_j]) / (||q|| * sqrt(sum_j ||cb[j][code_j]||^2)),
+      rounded to 6 (Spark HALF_UP); rank by (sim desc, id asc).
+    Returns (query_id, vec_id, sim, rank)."""
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    ds = dim // m_sub
+
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+                      vec_norm(F.col(vec_col)).alias("cvn"))
+
+    # ---- coarse cells (identical shape to ivf_topk) -------------------
+    sample = c.orderBy(F.xxhash64(F.col("cid").cast("string"))).limit(n_centroids)
+    cent = sample.select(
+        (F.row_number().over(Window.orderBy("cid")) - 1).alias("centroid_id"),
+        F.col("cv").alias("cvec"),
+    ).select("centroid_id", "cvec", vec_norm(F.col("cvec")).alias("cn"))
+
+    def coarse_assign(df: DataFrame) -> DataFrame:
+        scored = df.crossJoin(broadcast(cent)).select(
+            "cid", "cv", "cvn", "centroid_id",
+            (vec_dot_product(F.col("cv"), F.col("cvec"))
+             / (F.col("cvn") * F.col("cn"))).alias("csim"),
+        )
+        return scored.groupBy("cid").agg(
+            F.max_by("centroid_id", "csim").alias("centroid_id"),
+            F.first("cv").alias("cv"), F.first("cvn").alias("cvn"),
+        )
+
+    for _ in range(max(0, iters)):
+        assigned = coarse_assign(c)
+        cent = (
+            assigned.select("centroid_id", F.posexplode("cv").alias("pos", "x"))
+            .groupBy("centroid_id", "pos").agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("cvec"))
+        ).select("centroid_id", "cvec", vec_norm(F.col("cvec")).alias("cn"))
+    corpus_cells = coarse_assign(c).select("cid", "centroid_id")
+
+    # ---- PQ codebooks --------------------------------------------------
+    def subslices(df: DataFrame, vcol: str, keep: list) -> DataFrame:
+        return df.select(
+            *keep,
+            F.explode(F.array(*[
+                F.struct(F.lit(j).alias("sub"),
+                         F.slice(F.col(vcol), j * ds + 1, ds).alias("sv"))
+                for j in range(m_sub)])).alias("e"),
+        ).select(*keep, F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+
+    cb_sample = c.orderBy(F.xxhash64(F.col("cid").cast("string"))).limit(n_codes)
+    cb = subslices(
+        cb_sample.select(
+            (F.row_number().over(Window.orderBy("cid")) - 1).alias("code"),
+            F.col("cv")),
+        "cv", ["code"],
+    ).select("sub", "code", F.col("sv").alias("cbv"))
+
+    sub_rows = subslices(c, "cv", ["cid"])
+
+    def pq_assign(codebook: DataFrame) -> DataFrame:
+        # squared L2 via dots; deterministic tie-break by min struct(dist, code)
+        scored = sub_rows.join(broadcast(codebook), "sub").select(
+            "cid", "sub", "code",
+            (vec_dot_product(F.col("sv"), F.col("sv"))
+             - 2 * vec_dot_product(F.col("sv"), F.col("cbv"))
+             + vec_dot_product(F.col("cbv"), F.col("cbv"))).alias("d2"),
+        )
+        return scored.groupBy("cid", "sub").agg(
+            F.min(F.struct("d2", "code")).alias("b")
+        ).select("cid", "sub", F.col("b.code").alias("code"))
+
+    for _ in range(max(0, iters)):
+        pq_codes = pq_assign(cb)
+        cb = (
+            pq_codes.join(sub_rows, ["cid", "sub"])
+            .select("sub", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "code", "pos").agg(F.avg("x").alias("m"))
+            .groupBy("sub", "code")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("cbv"))
+        )
+    pq_codes = pq_assign(cb)
+    cb_norm2 = cb.select(
+        "sub", "code", vec_dot_product(F.col("cbv"), F.col("cbv")).alias("n2"))
+
+    # ---- search: probes + ADC ------------------------------------------
+    q = queries.select(F.col(query_id_col).alias("qid"),
+                       F.col(query_vec_col).alias("qv"),
+                       vec_norm(F.col(query_vec_col)).alias("qvn"))
+    qscored = q.crossJoin(broadcast(cent)).select(
+        "qid", "qvn", "centroid_id",
+        (vec_dot_product(F.col("qv"), F.col("cvec"))
+         / (F.col("qvn") * F.col("cn"))).alias("csim"), "qv",
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    probes = (qscored.withColumn("pr", F.row_number().over(wq))
+              .filter(F.col("pr") <= n_probe)
+              .select("qid", "centroid_id"))
+
+    # ADC lookup table: (qid, sub, code) -> dot(q_sub, codebook vec)
+    lut = subslices(q, "qv", ["qid", "qvn"]).join(broadcast(cb), "sub").select(
+        "qid", "qvn", "sub", "code",
+        vec_dot_product(F.col("sv"), F.col("cbv")).alias("pdot"))
+
+    cand = (corpus_cells.join(broadcast(probes), "centroid_id")
+            .select("qid", "cid")
+            .join(pq_codes, "cid")
+            .join(broadcast(lut), ["qid", "sub", "code"])
+            .join(broadcast(cb_norm2), ["sub", "code"]))
+    # fold the per-subspace partials in sub order — float addition is not
+    # associative, and the fixture oracle sums j = 0..m_sub-1 sequentially
+    def _ordered_sum(col: str):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", F.col(col).alias("v")))),
+                lambda s: s["v"]),
+            F.lit(0.0), lambda a, x: a + x)
+
+    scored = cand.groupBy("qid", "cid").agg(
+        _ordered_sum("pdot").alias("sdot"),
+        _ordered_sum("n2").alias("sn2"),
+        F.first("qvn").alias("qvn"),
+    ).select(
+        F.col("qid").alias(query_id_col), F.col("cid").alias(id_col),
+        F.round(F.col("sdot") / (F.col("qvn") * F.sqrt(F.col("sn2"))), 6)
+        .alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k)

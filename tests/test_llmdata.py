@@ -182,6 +182,44 @@ def test_oracle_fixtures_fresh():
     fresh53 = gen.gen_q53(doc_ids, texts)
     committed53 = pq.read_table("/root/repo/tests/fixtures/oracle_q53_sf001.parquet")
     assert fresh53.equals(committed53)
+    import numpy as np
+
+    emb = pq.read_table(os.path.join(gate_dir, "embeddings.parquet"))
+    vec_ids = np.array(emb.column("vec_id").to_pylist(), dtype=np.int64)
+    raw_vecs = [np.array(v, dtype=np.float32)
+                for v in emb.column("embedding").to_pylist()]
+    fresh74 = gen.gen_q74(vec_ids, raw_vecs)
+    committed74 = pq.read_table("/root/repo/tests/fixtures/oracle_q74_sf001.parquet")
+    assert fresh74.equals(committed74)
+
+
+def test_ivfpq_determinism_and_selfmatch(spark, sf_dir):
+    """IVF-PQ: two runs are identical; every query's own quantized vector
+    survives into its candidate set (the query's cell is always probed)."""
+    from greptimedb_spark.queries import read
+
+    e = read(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    got1 = sorted((r.query_id, r.vec_id, r.sim, r.rank)
+                  for r in sim.ivfpq_topk(e, queries, k=5, n_centroids=16,
+                                          n_probe=8, m_sub=8, n_codes=64,
+                                          iters=1).collect())
+    got2 = sorted((r.query_id, r.vec_id, r.sim, r.rank)
+                  for r in sim.ivfpq_topk(e, queries, k=5, n_centroids=16,
+                                          n_probe=8, m_sub=8, n_codes=64,
+                                          iters=1).collect())
+    assert got1 == got2 and len(got1) > 0
+    qids = {r.query_id for r in queries.collect()}
+    for q in qids:
+        assert any(a == q and b == q for a, b, _, _ in got1), \
+            f"query {q} lost its own vector"
+    # n_probe == n_centroids with a code per corpus vector would be exact;
+    # at the gate parameters PQ is lossy — sanity-bound the recall instead
+    exact = {(r.query_id, r.vec_id)
+             for r in sim.brute_force_topk(e, queries, k=5).collect()}
+    recall = len(exact & {(a, b) for a, b, _, _ in got1}) / len(exact)
+    assert recall >= 0.3, f"IVF-PQ recall collapsed: {recall}"
 
 
 def test_hnsw_exhaustive_equals_bruteforce(spark, sf_dir):

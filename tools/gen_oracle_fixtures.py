@@ -284,6 +284,129 @@ def gen_q57(vec_ids, raw_vecs, k=5, n_centroids=16, n_probe=8, iters=1):
     return _topk_table(per_query, k)
 
 
+def gen_q74(vec_ids, raw_vecs, k=5, n_centroids=16, n_probe=8, m_sub=8,
+            n_codes=64, iters=1):
+    """IVF-PQ per operators/similarity.ivfpq_topk's pinned determinism spec:
+    gen_q57's coarse trainer + product-quantization codebooks (squared-L2
+    assignment, ties to the lower code id, per-(sub,code) means keeping
+    original code ids) and ADC cosine against the reconstruction."""
+    n = len(vec_ids)
+    dim = len(raw_vecs[0])
+    ds = dim // m_sub
+
+    def seq_dot(a, b) -> float:
+        d = 0.0
+        for x, y in zip(a, b):
+            d = d + float(x) * float(y)
+        return d
+
+    # ---- coarse cells: exactly gen_q57 ----
+    hashed = sorted(range(n), key=lambda i: spark_xxhash64(str(int(vec_ids[i]))))
+    sample = sorted(hashed[:n_centroids], key=lambda i: vec_ids[i])
+    cents = [[float(x) for x in raw_vecs[i]] for i in sample]
+
+    def coarse_assign(cents):
+        cells = []
+        for i in range(n):
+            best, best_sim = -1, -math.inf
+            for cidx, cv in enumerate(cents):
+                s = cos_sim(raw_vecs[i], cv)
+                if s > best_sim:
+                    best, best_sim = cidx, s
+            cells.append(best)
+        return cells
+
+    for _ in range(iters):
+        cells = coarse_assign(cents)
+        sums = [[0.0] * dim for _ in range(n_centroids)]
+        cnts = [0] * n_centroids
+        for i, c in enumerate(cells):
+            cnts[c] += 1
+            for p, x in enumerate(raw_vecs[i]):
+                sums[c][p] += float(x)
+        cents = [[s / cnts[c] for s in sums[c]]
+                 for c in range(n_centroids) if cnts[c] > 0]
+    cells = coarse_assign(cents)
+
+    # ---- PQ codebooks ----
+    sampc = sorted(hashed[:n_codes], key=lambda i: vec_ids[i])
+    cb = {j: {ci: [float(x) for x in raw_vecs[rowi][j * ds:(j + 1) * ds]]
+              for ci, rowi in enumerate(sampc)} for j in range(m_sub)}
+
+    def pq_assign(cb):
+        codes = []
+        for i in range(n):
+            row = []
+            for j in range(m_sub):
+                sv = raw_vecs[i][j * ds:(j + 1) * ds]
+                svv = seq_dot(sv, sv)
+                best = None
+                for code in sorted(cb[j]):
+                    c_ = cb[j][code]
+                    d2 = svv - 2 * seq_dot(sv, c_) + seq_dot(c_, c_)
+                    if best is None or d2 < best[0]:
+                        best = (d2, code)
+                row.append(best[1])
+            codes.append(row)
+        return codes
+
+    for _ in range(iters):
+        codes = pq_assign(cb)
+        newcb = {}
+        for j in range(m_sub):
+            sums = {}
+            cnts = {}
+            for i in range(n):
+                code = codes[i][j]
+                sv = raw_vecs[i][j * ds:(j + 1) * ds]
+                if code not in sums:
+                    sums[code] = [0.0] * ds
+                    cnts[code] = 0
+                cnts[code] += 1
+                for p, x in enumerate(sv):
+                    sums[code][p] += float(x)
+            newcb[j] = {code: [s / cnts[code] for s in sums[code]]
+                        for code in sums}
+        cb = newcb
+    codes = pq_assign(cb)
+    cbn2 = {j: {code: seq_dot(v, v) for code, v in cb[j].items()}
+            for j in range(m_sub)}
+
+    # ---- search: probes + ADC ----
+    qmask = vec_ids % 100 == 0
+    rows = []
+    for qi in np.where(qmask)[0]:
+        qid = int(vec_ids[qi])
+        qv = raw_vecs[qi]
+        qn = math.sqrt(seq_dot(qv, qv))
+        scoredc = sorted(
+            ((cos_sim(qv, cv), cidx) for cidx, cv in enumerate(cents)),
+            key=lambda t: (-t[0], t[1]))
+        probe = {cidx for _, cidx in scoredc[:n_probe]}
+        out = []
+        for ci in range(n):
+            if cells[ci] not in probe:
+                continue
+            sdot = 0.0
+            sn2 = 0.0
+            for j in range(m_sub):
+                code = codes[ci][j]
+                sdot = sdot + seq_dot(qv[j * ds:(j + 1) * ds], cb[j][code])
+                sn2 = sn2 + cbn2[j][code]
+            out.append((int(vec_ids[ci]),
+                        spark_round(sdot / (qn * math.sqrt(sn2)), 6)))
+        out.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (vid, s) in enumerate(out[:k], start=1):
+            rows.append((qid, vid, s, rank))
+    rows.sort()
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+        "sim": pa.array([r[2] for r in rows], pa.float64()),
+        "rank": pa.array([r[3] for r in rows], pa.int32()),
+    })
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     docs = _read("documents")
@@ -310,6 +433,10 @@ def main() -> None:
     t57 = gen_q57(vec_ids, raw_vecs)
     pq.write_table(t57, os.path.join(OUT_DIR, "oracle_q57_sf001.parquet"))
     print(f"q57: {t57.num_rows} rows")
+
+    t74 = gen_q74(vec_ids, raw_vecs)
+    pq.write_table(t74, os.path.join(OUT_DIR, "oracle_q74_sf001.parquet"))
+    print(f"q74: {t74.num_rows} rows")
 
     t58 = gen_q58(vec_ids, raw_vecs)
     pq.write_table(t58, os.path.join(OUT_DIR, "oracle_q58_sf001.parquet"))
