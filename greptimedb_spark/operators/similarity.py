@@ -22,6 +22,33 @@ from pyspark.sql.functions import broadcast
 from greptimedb_spark.functions.vector import cosine_similarity, vec_dot_product, vec_norm
 
 
+def _topk_per_query(
+    scored: DataFrame, query_id_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Two-phase per-query top-k over (query_id, id, sim) rows.
+
+    Phase 1 ranks within (query_id, input-partition) groups, so every reducer
+    holds at most one input partition's scored rows for one query — never the
+    full corpus (the single-reducer pattern VERDICT r6 flagged in
+    brute_force_topk). Phase 2 ranks the ≤ k·n_partitions survivors per query
+    — a tiny window. The global result is identical to a one-phase window:
+    any global top-k row is a local top-k row of its own partition, and the
+    (sim desc, id asc) tie-break is total, so ranks are deterministic."""
+    local_w = Window.partitionBy(query_id_col, "__pid").orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    local = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(local_w))
+        .filter(F.col("__lr") <= k)
+        .drop("__pid", "__lr")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -54,11 +81,7 @@ def brute_force_topk(
             6,
         ).alias("sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_per_query(scored, query_id_col, id_col, k)
 
 
 def _plane_coeffs(dim: int, n_planes: int, seed: int) -> list:
@@ -196,8 +219,7 @@ def lsh_topk(
             6,
         ).alias("sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk_per_query(scored, query_id_col, id_col, k)
 
 
 def embedding_neardup_pairs(
@@ -309,17 +331,21 @@ def ivf_topk(
 
     def assign(df: DataFrame) -> DataFrame:
         """Nearest centroid per corpus row: broadcast the centroid relation,
-        one shuffle on the row id (max_by hash aggregate, no window sort)."""
+        one shuffle on the row id (min-struct hash aggregate, no window
+        sort). min(struct(-csim, centroid_id)) is tie-DETERMINISTIC — cosine
+        ties go to the lower centroid id, matching the fixture oracle's
+        strict comparison (F.max_by leaves ties unspecified)."""
         scored = df.crossJoin(broadcast(cent)).select(
             "cid", "cv", "cvn", "centroid_id",
             (vec_dot_product(F.col("cv"), F.col("cvec"))
              / (F.col("cvn") * F.col("cn"))).alias("csim"),
         )
         return scored.groupBy("cid").agg(
-            F.max_by("centroid_id", "csim").alias("centroid_id"),
+            F.min(F.struct((-F.col("csim")).alias("n"),
+                           F.col("centroid_id").alias("c"))).alias("b"),
             F.first("cv").alias("cv"),
             F.first("cvn").alias("cvn"),
-        )
+        ).select("cid", F.col("b.c").alias("centroid_id"), "cv", "cvn")
 
     for _ in range(max(0, iters)):
         assigned = assign(c)
@@ -382,6 +408,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN: coarse Voronoi cells (same deterministic trainer as
     ivf_topk) + PRODUCT-QUANTIZED codes — each vector stores m_sub uint8
@@ -397,7 +424,9 @@ def ivfpq_topk(
     DETERMINISM SPEC (pinned for the independent fixture oracle,
     tools/gen_oracle_fixtures.gen_q74):
     - coarse init/Lloyd/assignment: exactly ivf_topk's (smallest
-      xxhash64(str(id)) sample, numbered by id asc; cosine assignment).
+      xxhash64(str(id)) sample, numbered by id asc; cosine assignment with
+      ties to the LOWER centroid_id; a cell that empties during Lloyd just
+      disappears — surviving centroids KEEP their ids, no renumbering).
     - subspaces: m_sub consecutive slices of dim/m_sub components.
     - codebook init: the n_codes corpus rows with smallest xxhash64(str(id)),
       code_id = rank of id ascending, codebook[sub][code] = that row's
@@ -406,9 +435,22 @@ def ivfpq_topk(
     - ADC score: cosine of the query against the RECONSTRUCTED vector =
       sum_j dot(q_j, cb[j][code_j]) / (||q|| * sqrt(sum_j ||cb[j][code_j]||^2)),
       rounded to 6 (Spark HALF_UP); rank by (sim desc, id asc).
-    Returns (query_id, vec_id, sim, rank)."""
-    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
-    dim = int(dim_row["d"])
+    Returns (query_id, vec_id, sim, rank).
+
+    ``dim`` (the embedding dimension) should be passed by callers — it is
+    known at every call site and skips a probe job. When absent, it is read
+    with a single-row aggregate (one scalar to the driver, not row data)."""
+    if dim is None:
+        dim_row = corpus.select(F.max(F.size(vec_col)).alias("d")).first()
+        if dim_row is None or dim_row["d"] is None:
+            raise ValueError("ivfpq_topk: corpus is empty — nothing to index")
+        dim = int(dim_row["d"])
+    if dim % m_sub != 0:
+        raise ValueError(
+            f"ivfpq_topk: dim={dim} is not divisible by m_sub={m_sub}; the "
+            "trailing dim % m_sub components would be silently dropped — "
+            "pick m_sub dividing dim"
+        )
     ds = dim // m_sub
 
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
@@ -422,15 +464,18 @@ def ivfpq_topk(
     ).select("centroid_id", "cvec", vec_norm(F.col("cvec")).alias("cn"))
 
     def coarse_assign(df: DataFrame) -> DataFrame:
+        # min(struct(-csim, id)): tie-deterministic, lower centroid id wins
+        # (matches the oracle's strict comparison; max_by leaves ties open)
         scored = df.crossJoin(broadcast(cent)).select(
             "cid", "cv", "cvn", "centroid_id",
             (vec_dot_product(F.col("cv"), F.col("cvec"))
              / (F.col("cvn") * F.col("cn"))).alias("csim"),
         )
         return scored.groupBy("cid").agg(
-            F.max_by("centroid_id", "csim").alias("centroid_id"),
+            F.min(F.struct((-F.col("csim")).alias("n"),
+                           F.col("centroid_id").alias("c"))).alias("b"),
             F.first("cv").alias("cv"), F.first("cvn").alias("cvn"),
-        )
+        ).select("cid", F.col("b.c").alias("centroid_id"), "cv", "cvn")
 
     for _ in range(max(0, iters)):
         assigned = coarse_assign(c)

@@ -242,30 +242,35 @@ def gen_q57(vec_ids, raw_vecs, k=5, n_centroids=16, n_probe=8, iters=1):
     # then centroid_id = rank of id ascending
     hashed = sorted(range(n), key=lambda i: spark_xxhash64(str(int(vec_ids[i]))))
     sample = sorted(hashed[:n_centroids], key=lambda i: vec_ids[i])
-    cents = [[float(x) for x in raw_vecs[i]] for i in sample]
+    # centroids keyed by ORIGINAL centroid_id: if a Lloyd round empties a
+    # cell the surviving centroids keep their ids (no renumbering), matching
+    # the Spark path's groupBy("centroid_id") — ADVICE r6 latent divergence.
+    cents = {cidx: [float(x) for x in raw_vecs[i]] for cidx, i in enumerate(sample)}
 
     def assign(cents):
         cells = []
         for i in range(n):
             best, best_sim = -1, -math.inf
-            for cidx, cv in enumerate(cents):
-                s = cos_sim(raw_vecs[i], cv)
-                if s > best_sim:
+            for cidx in sorted(cents):
+                s = cos_sim(raw_vecs[i], cents[cidx])
+                if s > best_sim:  # strict: cosine ties go to the LOWER id
                     best, best_sim = cidx, s
             cells.append(best)
         return cells
 
+    dim = len(raw_vecs[0])
     for _ in range(iters):
         cells = assign(cents)
-        sums = [[0.0] * len(raw_vecs[0]) for _ in range(n_centroids)]
-        cnts = [0] * n_centroids
+        sums: dict[int, list] = {}
+        cnts: dict[int, int] = {}
         for i, c in enumerate(cells):
+            if c not in sums:
+                sums[c] = [0.0] * dim
+                cnts[c] = 0
             cnts[c] += 1
             for p, x in enumerate(raw_vecs[i]):
                 sums[c][p] += float(x)
-        cents = [
-            [s / cnts[c] for s in sums[c]] for c in range(n_centroids) if cnts[c] > 0
-        ]
+        cents = {c: [s / cnts[c] for s in sums[c]] for c in sums}
     cells = assign(cents)
 
     qmask = vec_ids % 100 == 0
@@ -273,7 +278,7 @@ def gen_q57(vec_ids, raw_vecs, k=5, n_centroids=16, n_probe=8, iters=1):
     for qi in np.where(qmask)[0]:
         qid = int(vec_ids[qi])
         scored = sorted(
-            ((cos_sim(raw_vecs[qi], cv), cidx) for cidx, cv in enumerate(cents)),
+            ((cos_sim(raw_vecs[qi], cents[cidx]), cidx) for cidx in sorted(cents)),
             key=lambda t: (-t[0], t[1]),
         )
         probe = {cidx for _, cidx in scored[:n_probe]}
@@ -300,32 +305,34 @@ def gen_q74(vec_ids, raw_vecs, k=5, n_centroids=16, n_probe=8, m_sub=8,
             d = d + float(x) * float(y)
         return d
 
-    # ---- coarse cells: exactly gen_q57 ----
+    # ---- coarse cells: exactly gen_q57 (original-id-keyed, ties to lower id) ----
     hashed = sorted(range(n), key=lambda i: spark_xxhash64(str(int(vec_ids[i]))))
     sample = sorted(hashed[:n_centroids], key=lambda i: vec_ids[i])
-    cents = [[float(x) for x in raw_vecs[i]] for i in sample]
+    cents = {cidx: [float(x) for x in raw_vecs[i]] for cidx, i in enumerate(sample)}
 
     def coarse_assign(cents):
         cells = []
         for i in range(n):
             best, best_sim = -1, -math.inf
-            for cidx, cv in enumerate(cents):
-                s = cos_sim(raw_vecs[i], cv)
-                if s > best_sim:
+            for cidx in sorted(cents):
+                s = cos_sim(raw_vecs[i], cents[cidx])
+                if s > best_sim:  # strict: cosine ties go to the LOWER id
                     best, best_sim = cidx, s
             cells.append(best)
         return cells
 
     for _ in range(iters):
         cells = coarse_assign(cents)
-        sums = [[0.0] * dim for _ in range(n_centroids)]
-        cnts = [0] * n_centroids
+        sums = {}
+        cnts = {}
         for i, c in enumerate(cells):
+            if c not in sums:
+                sums[c] = [0.0] * dim
+                cnts[c] = 0
             cnts[c] += 1
             for p, x in enumerate(raw_vecs[i]):
                 sums[c][p] += float(x)
-        cents = [[s / cnts[c] for s in sums[c]]
-                 for c in range(n_centroids) if cnts[c] > 0]
+        cents = {c: [s / cnts[c] for s in sums[c]] for c in sums}
     cells = coarse_assign(cents)
 
     # ---- PQ codebooks ----
@@ -380,7 +387,7 @@ def gen_q74(vec_ids, raw_vecs, k=5, n_centroids=16, n_probe=8, m_sub=8,
         qv = raw_vecs[qi]
         qn = math.sqrt(seq_dot(qv, qv))
         scoredc = sorted(
-            ((cos_sim(qv, cv), cidx) for cidx, cv in enumerate(cents)),
+            ((cos_sim(qv, cents[cidx]), cidx) for cidx in sorted(cents)),
             key=lambda t: (-t[0], t[1]))
         probe = {cidx for _, cidx in scoredc[:n_probe]}
         out = []
