@@ -15,9 +15,10 @@ from greptimedb_spark.functions import sketch as SK
 from greptimedb_spark.queries import QuerySpec, read
 
 # Fixture oracle path derived from this file so any checkout location works.
-_Q84_FIXTURE = os.path.normpath(os.path.join(
-    os.path.dirname(os.path.abspath(__file__)),
-    "..", "..", "tests", "fixtures", "oracle_q84_sf001.parquet"))
+_FIXDIR = os.path.normpath(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "..", "tests", "fixtures"))
+_Q84_FIXTURE = os.path.join(_FIXDIR, "oracle_q84_sf001.parquet")
+_Q81_FIXTURE = os.path.join(_FIXDIR, "oracle_q81_sf001.parquet")
 
 
 # -- q80: count_hash (exact-equivalent: count distinct of hashed tuples) ---------
@@ -38,14 +39,29 @@ FROM events GROUP BY event_type
 """
 
 
-# -- q81: HLL sketch state + merge (DataSketches-specific → rows-only) -------------
+# -- q81: HLL sketch state + merge. The estimates come out of Spark's Apache
+# DataSketches HLL bits, which cannot be independently re-derived in DuckDB —
+# so the oracle is a SELF-generated fixture (tools/gen_q81_self_fixture.py):
+# a REGRESSION PIN against silent breakage, NOT an independent oracle.
+# Determinism: HLL registers are max-based, so the per-type state, the union,
+# and the estimates are row-order-insensitive pure functions of the input.
 
 def q81_hll_sketch(spark: SparkSession, sf: str) -> DataFrame:
     e = read(spark, sf, "events")
-    states = e.groupBy("event_type").agg(SK.hll("user_id").alias("st"))
-    return states.agg(
-        SK.hll_count(SK.hll_merge("st")).alias("merged_distinct_users")
-    )
+    # two cardinality regimes: user_id (small, exact-register range) and
+    # event_id (thousands — the estimator's approximate range, where the pin
+    # is sensitive to register width / lgK drift)
+    states = e.groupBy("event_type").agg(
+        SK.hll("user_id").alias("su"), SK.hll("event_id").alias("se"))
+    per_type = states.select(
+        "event_type",
+        SK.hll_count(F.col("su")).alias("est_users"),
+        SK.hll_count(F.col("se")).alias("est_events"))
+    merged = states.agg(
+        SK.hll_count(SK.hll_merge("su")).alias("est_users"),
+        SK.hll_count(SK.hll_merge("se")).alias("est_events"),
+    ).select(F.lit("__merged__").alias("event_type"), "est_users", "est_events")
+    return per_type.unionAll(merged)
 
 
 # -- q82: anomaly z-score over trailing window --------------------------------------
@@ -168,7 +184,11 @@ Q86_SQL = "SELECT r_regionkey, r_name FROM region"
 
 QUERIES = {
     "q80_count_hash": QuerySpec(q80_count_hash, Q80_SQL, "count_hash ≡ count distinct"),
-    "q81_hll_sketch": QuerySpec(q81_hll_sketch, None, "HLL state+merge+estimate (rows-only)"),
+    "q81_hll_sketch": QuerySpec(
+        q81_hll_sketch,
+        "SELECT * FROM read_parquet('{}')".format(_Q81_FIXTURE),
+        "HLL state+merge+estimate (SELF-oracle regression pin — "
+        "datasketches bits are not independently derivable)"),
     "q82_anomaly_zscore": QuerySpec(q82_anomaly_zscore, Q82_SQL, "z-score window anomaly"),
     "q83_st_distance": QuerySpec(q83_st_distance, Q83_SQL, "haversine distance"),
     "q84_geohash_path": QuerySpec(
