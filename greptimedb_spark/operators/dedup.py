@@ -160,6 +160,13 @@ def minhash_lsh_pairs(
     join (|A∩B| counted by joining the two docs' distinct hash sets — no
     arrays ever shuffle). Band count tunes recall:
     P(collide) = 1-(1-j^r)^b with r = num_hashes/bands.
+
+    CACHING CONTRACT: three intermediates (shingle hashes, per-doc
+    signatures, candidate pair ids) are persist()ed because each feeds 2-3
+    consumers of the returned plan; they stay cached until the caller drops
+    them. In a long-lived session, call spark.catalog.clearCache() (or
+    unpersist the returned plan's sources) after materializing the result —
+    the bench harness does exactly this between reps.
     """
     rows_per_band = num_hashes // bands
     # sh feeds three consumers (signature aggregate, both sides of the

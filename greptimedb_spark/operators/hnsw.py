@@ -185,10 +185,13 @@ def build_hnsw_index(
 ) -> None:
     """Build and PERSIST the per-group HNSW graphs (the reference stores the
     usearch index beside each SST and reuses it across queries —
-    docs/rfcs/2025-12-05-vector-index.md). One parquet row per group:
-    (group, blob) where blob pickles (ids, vecs, levels, graph, entry).
-    ``hnsw_topk(..., index_path=...)`` then searches without rebuilding."""
-    import pickle
+    docs/rfcs/2025-12-05-vector-index.md). One parquet row per group, all
+    DATA-ONLY columns (ids/levels/flattened vectors as parquet arrays, the
+    adjacency lists as JSON) — loading an index never executes code, unlike
+    pickle, so an untrusted/tampered index file can corrupt results but not
+    the process (ADVICE r6). ``hnsw_topk(..., index_path=...)`` then
+    searches without rebuilding."""
+    import json
 
     import numpy as np
     import pandas as pd
@@ -199,17 +202,24 @@ def build_hnsw_index(
         vecs = np.stack([np.asarray(v, dtype=np.float64)
                          for v in pdf[vec_col]])
         levels, graph, entry = build_hnsw(ids, vecs, m, ef_construction)
-        blob = pickle.dumps(
-            {"ids": ids, "vecs": vecs, "levels": levels, "graph": graph,
-             "entry": entry, "m": m, "ef_construction": ef_construction},
-            protocol=4)
-        return pd.DataFrame({"group": [int(pdf["__idx"].iloc[0])],
-                             "blob": [blob]})
+        return pd.DataFrame({
+            "group": [int(pdf["__idx"].iloc[0])],
+            "entry": [int(entry)],
+            "dim": [int(vecs.shape[1])],
+            "ids": [[int(x) for x in ids]],
+            "levels": [[int(x) for x in levels]],
+            "vecs": [vecs.reshape(-1).tolist()],
+            "graph": [json.dumps([{str(k): v for k, v in layer.items()}
+                                  for layer in graph])],
+        })
 
     (corpus.select(id_col, vec_col)
      .withColumn("__idx", F.pmod(F.col(id_col), F.lit(n_indexes)))
      .groupBy("__idx")
-     .applyInPandas(build_group, "group int, blob binary")
+     .applyInPandas(
+         build_group,
+         "group int, entry int, dim int, ids array<long>, "
+         "levels array<int>, vecs array<double>, graph string")
      .write.mode("overwrite").parquet(index_path))
 
 
@@ -248,17 +258,23 @@ def hnsw_topk(
                 rows.append((qid, vid, _round6(s)))
 
     if index_path is not None:
-        import pickle
+        import json
+
+        import numpy as np
 
         spark = queries.sparkSession
 
         def per_blob(it):
             for pdf in it:
                 rows: list = []
-                for blob in pdf["blob"]:
-                    g = pickle.loads(bytes(blob))
-                    _search_built(g["ids"], g["vecs"], g["levels"],
-                                  g["graph"], g["entry"], rows)
+                for rec in pdf.itertuples(index=False):
+                    ids = np.asarray(rec.ids, dtype=np.int64)
+                    vecs = np.asarray(rec.vecs, dtype=np.float64).reshape(
+                        len(ids), int(rec.dim))
+                    graph = [{int(k): list(v) for k, v in layer.items()}
+                             for layer in json.loads(rec.graph)]
+                    _search_built(ids, vecs, list(rec.levels), graph,
+                                  int(rec.entry), rows)
                 yield pd.DataFrame(rows,
                                    columns=[query_id_col, id_col, "sim"])
 
