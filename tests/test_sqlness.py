@@ -173,11 +173,15 @@ def _parse_result_file(path: str):
                 i += 2  # '++' twice = zero-column empty table
             elif line.startswith("+") and not re.fullmatch(r"[+-]+", line):
                 # a REPLACE directive collapsed the golden table into opaque
-                # text (function/time.sql `REPLACE [\s\-]+`): consume the
-                # block so the next statement parses cleanly
-                expected = "error"
+                # text (function/time.sql & system.sql `REPLACE [\s\-]+`,
+                # pg_catalog's handshake SELECT): capture the munged text —
+                # _run_case re-renders the engine's table, applies the same
+                # directives, and compares the opaque strings
+                block = []
                 while i < len(lines) and lines[i].strip():
+                    block.append(lines[i].strip())
                     i += 1
+                expected = ("opaque", "".join(block))
             elif line.startswith("+"):
                 # slice rows at the BORDER's '+' offsets — cell data may
                 # itself contain '|' (e.g. concat_ws('|', …)), so splitting
@@ -432,6 +436,56 @@ def _case_path(case: str) -> str:
     return f"{cases_root}/distributed/{case}.result"
 
 
+def _render_opaque(df, rows, replaces, pg=False) -> str:
+    """Re-create a REPLACE-destroyed golden: render the result as a minimal
+    sqlness ascii table, apply the statement's REPLACE directives per line
+    (exactly what the reference runner did to the real table), and join.
+    Layout widths don't matter — the destroying directive (`[\\s\\-]+`)
+    removes all whitespace and dashes from both renderings."""
+    def cell(v):
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return ("t" if v else "f") if pg else ("true" if v else "false")
+        return str(v)
+
+    cols = list(df.columns)
+    border = "+" + "-+" * max(len(cols), 1)
+    lines = [border, "| " + " | ".join(cols) + " |", border]
+    for r in rows:
+        lines.append("| " + " | ".join(cell(v) for v in r) + " |")
+    lines.append(border)
+    out = []
+    for ln in lines:
+        for pat, rep in replaces:
+            ln = re.sub(pat, rep, ln)
+        out.append(ln.strip())
+    return "".join(out)
+
+
+def _split_compound(stmt: str) -> list[str]:
+    """Split a statement block on top-level semicolons (quote-aware).
+    pg_catalog's is_on_search_path block is two SELECTs sharing one golden —
+    the reference runner sent them as one postgres-protocol packet and only
+    the non-empty result rendered."""
+    parts, buf, quote = [], [], None
+    for ch in stmt:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == ";":
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
     """known_diffs: statement substrings whose golden mismatch is expected and
     documented (e.g. t-digest approximation artifacts the exact engine can't
@@ -465,6 +519,27 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
             _audit("known-diff", stmt)
             skipped += 1
             continue
+        if isinstance(expected, tuple) and expected and expected[0] == "opaque":
+            # REPLACE-destroyed golden: compare opaque strings
+            if any(re.search(p, stmt, re.IGNORECASE) for p in _SKIP_PATTERNS):
+                _audit("pattern", stmt)
+                skipped += 1
+                continue
+            try:
+                df = g.sql(stmt)
+                rows = _collect(df) if df is not None else []
+            except Exception as e:
+                errored += 1
+                errs.append((stmt.replace("\n", " ")[:80],
+                             f"opaque:{type(e).__name__}"))
+                continue
+            got = _render_opaque(df, rows, replaces, pg_proto)
+            if got == expected[1]:
+                checked += 1
+            else:
+                _audit("opaque-mismatch", stmt)
+                skipped += 1
+            continue
         if expected == "error" and re.match(
                 r"^\s*(SELECT|WITH|VALUES"
                 # EXECUTE of a prepared SELECT is read-only; binder errors
@@ -495,6 +570,11 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
                 # mismatches): a rejection registers nothing; lenient
                 # accepts surface in later SHOW CREATE FLOW goldens
                 r"|CREATE\s+(?:OR\s+REPLACE\s+)?FLOW"
+                # CREATE/ALTER DATABASE error-goldens (reserved schema names,
+                # invalid identifiers, instant TTL): a rejection registers
+                # nothing; a lenient accept would surface in the case's later
+                # SHOW DATABASES / SHOW CREATE DATABASE goldens
+                r"|CREATE\s+(?:DATABASE|SCHEMA)|ALTER\s+DATABASE"
                 # DROP/TRUNCATE error-goldens (read-only/system tables): a
                 # lenient accept would delete state later goldens read —
                 # also loud
@@ -534,9 +614,24 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
             continue
         for s in sleeps:
             time.sleep(min(s, 8))
+        # compound block (two statements, one golden): the golden belongs to
+        # the statement that produced output; trailing statements must come
+        # back empty or the comparison is meaningless (pg_catalog's
+        # is_on_search_path block)
+        extras = []
+        if expected is not None and expected != "error" and \
+                re.search(r";\s*(SELECT|WITH)\b", stmt, re.IGNORECASE):
+            parts = _split_compound(stmt)
+            if len(parts) > 1:
+                stmt, extras = parts[0], parts[1:]
         try:
             df = g.sql(stmt)
             rows = _collect(df) if expected is not None else []
+            for ex in extras:
+                ex_df = g.sql(ex)
+                if ex_df is not None and _collect(ex_df):
+                    raise AssertionError(
+                        f"compound trailing statement returned rows: {ex[:60]}")
         except Exception as e:  # unsupported dialect/semantics — counted
             # separately from pattern-skips so a new exception fails the
             # ledger ratchet instead of silently demoting to a skip
@@ -1224,13 +1319,11 @@ _CONFORMANCE_CASES_KNOWN_DIFFS = [
     # POSTGRES protocol. Round 6 added the full static pg_type dump
     # (PostgreSQL's public catalog constants, data/pg_type.csv) and the psql
     # tab-completion shims (current_setting/parse_ident/quote_ident/
-    # string_to_array/generate_series/1-based subscripts). Remaining skip:
-    # the two-statements-one-golden is_on_search_path block (the harness
-    # executes one statement per golden)
-    # (remaining 4 skips: 2 DDL error-goldens — executing one our engine is
-    # lenient on would mutate state — the is_on_search_path block, and one
-    # pattern skip)
-    ("system/pg_catalog", 27, ("is_on_search_path",)),
+    # string_to_array/generate_series/1-based subscripts). Round 7 closed
+    # the last three skips: `create database pg_catalog` (error parity),
+    # the REPLACE-destroyed handshake SELECT (opaque-golden compare), and
+    # the two-statements-one-golden is_on_search_path block (compound split)
+    ("system/pg_catalog", 31, ()),
     # NOT in the battery: types/string/scan_big_varchar — it doubles the
     # table with ts = to_unixtime(ts) * prime until the second-precision
     # values pass the i64-MICROsecond ceiling Spark timestamps store; the
