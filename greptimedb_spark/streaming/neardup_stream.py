@@ -1,0 +1,138 @@
+"""Streaming NEAR-duplicate suppression — MinHash-LSH band claims as state.
+
+The continuous-ingest counterpart of ``operators/dedup.minhash_lsh_pairs``:
+each incoming document's MinHash signature is banded into LSH bucket keys,
+and Structured Streaming keeps one claim per bucket. A document that lands
+in a bucket some earlier document already claimed is a near-duplicate
+candidate and is marked; first arrivals claim their buckets. The reference's
+flow engine has no dedup operator (its flows are recomputed aggregates);
+this is the Spark-native stateful path (applyInPandasWithState), completing
+the batch/streaming dedup matrix (exact batch q50, near-dup batch q52,
+exact streaming q73, near-dup streaming here).
+
+Scale shape: state is keyed by band-bucket hash — the exact shuffle the
+batch banding join does — and each key holds ONE boolean claim, GC'd by the
+event-time timeout at the watermark horizon. At 100 TB the state store is
+bounded by (distinct band buckets inside the horizon) = bands × distinct
+near-dup classes, not stream length. The signature itself is computed with
+codegen'd column expressions on each micro-batch (no Python in that stage).
+
+DETERMINISM SPEC (pinned for the independent fixture oracle,
+tools/gen_oracle_fixtures.gen_q75):
+- tokens: split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' ');
+  k-shingles joined by one space; docs shorter than k contribute their
+  whole token list as a single shingle (exactly operators/dedup.shingles).
+- shingle hash: xxhash64(shingle, seed 42) & 0xFFFFFFFF; DISTINCT set.
+- signature: num_hashes mins of (h*A_i + B_i) mod 2^32 with the same
+  (A_i, B_i) family as operators/dedup._perm_hash.
+- bucket key of band b: xxhash64(concat_ws(',', sig[b*r .. b*r+r-1]), b)
+  with r = num_hashes // bands (decimal renderings of the signature ints).
+- greedy claim order: (ts asc, id asc); a document is COLLIDED iff any of
+  its band buckets was already claimed by a strictly earlier document
+  (earlier ts, or same ts and lower id); every document then claims all its
+  buckets regardless of its own collided flag (transitive suppression — a
+  chain A~B, B~C keeps only A, like the batch cluster keep-first rule).
+
+The operator emits one row PER (document, band): (id, ts, collided). The
+per-document verdict is a stateless rollup the sink consumer runs:
+``kept = marks.groupBy(id).agg(max(collided) = false)`` — kept documents are
+those that collided in NO band. Keeping that rollup out of the stream avoids
+chaining a second stateful operator per micro-batch.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from greptimedb_spark.operators.dedup import _perm_hash
+
+
+def _signature_expr(text_col: Column, num_hashes: int, k: int) -> Column:
+    """MinHash signature (array<long>, length num_hashes) of a text column,
+    as pure column expressions — per-row HOFs are fine here because a
+    streaming micro-batch evaluates them once per document, not in a
+    corpus-wide tokenize pipeline like the batch operator."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " ")
+    n = F.size(toks)
+    idxs = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    shingles = F.transform(idxs, lambda j: F.concat_ws(" ", F.slice(toks, j, k)))
+    hs = F.array_distinct(F.transform(
+        shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF))))
+    def perm(i: int):
+        # NOTE: a two-parameter lambda would make F.transform bind its
+        # second argument to the ARRAY INDEX — close over i instead
+        return lambda h: _perm_hash(h, i)
+
+    return F.array(*[
+        F.array_min(F.transform(hs, perm(i))) for i in range(num_hashes)
+    ])
+
+
+def streaming_neardup_marks(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    dedup_horizon: str = "1 hour",
+) -> DataFrame:
+    """Per-(document, band) collision marks over a streaming DataFrame.
+
+    Returns (id, ts, collided) rows — ``bands`` rows per document. See the
+    module docstring for the pinned greedy-claim semantics and the rollup
+    the consumer applies for the per-document verdict.
+    """
+    import pandas as pd
+
+    rows_per_band = num_hashes // bands
+    sig = _signature_expr(F.col(text_col), num_hashes, shingle_k)
+    banded = stream.withColumn("__sig", sig)
+    band_keys = F.array(*[
+        F.xxhash64(
+            F.concat_ws(",", *[
+                F.element_at("__sig", b * rows_per_band + i + 1)
+                for i in range(rows_per_band)]),
+            F.lit(b),
+        )
+        for b in range(bands)
+    ])
+    exploded = (
+        banded.withColumn("__bucket", F.explode(band_keys))
+        .select(id_col, ts_col, "__bucket")
+        .withWatermark(ts_col, dedup_horizon)
+    )
+
+    out_schema = f"{id_col} long, {ts_col} timestamp, collided boolean"
+    state_schema = "claimed boolean"
+
+    def claim(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            [ts_col, id_col])
+        claimed = state.exists
+        flags = []
+        for _ in range(len(batch)):
+            flags.append(bool(claimed))
+            claimed = True  # first row of the group claims for the rest
+        out = batch[[id_col, ts_col]].copy()
+        out["collided"] = flags
+        state.update((True,))
+        expiry = batch[ts_col].max() + pd.Timedelta(dedup_horizon)
+        state.setTimeoutTimestamp(int(expiry.timestamp() * 1000))
+        yield out
+
+    return exploded.groupBy("__bucket").applyInPandasWithState(
+        claim,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )

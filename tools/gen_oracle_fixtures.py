@@ -234,6 +234,45 @@ def gen_q55(vec_ids, vecs: np.ndarray, raw_vecs, dim=64, k=5, n_planes=4, n_tabl
     return _topk_table(per_query, k)
 
 
+# -- q75: streaming MinHash-LSH near-dup keep set ---------------------------------
+
+def gen_q75(doc_ids, texts, num_hashes=64, bands=16, k=3):
+    """Greedy band-claim keep set per streaming/neardup_stream's pinned spec:
+    docs in (ts, id) order (ts is synthesized FROM doc_id in the gate query,
+    so id order); a doc is collided iff any of its band buckets was claimed
+    earlier; every doc claims all its buckets (transitive suppression);
+    kept = never-collided docs."""
+    rows_per_band = num_hashes // bands
+    a_mul = np.array([((2 * i + 1) * 0x9E3779B9) & 0x7FFFFFFF | 1
+                      for i in range(num_hashes)], dtype=np.uint64)
+    b_add = np.array([(i * 0x27D4EB4F) & 0x7FFFFFFF for i in range(num_hashes)],
+                     dtype=np.uint64)
+
+    claimed: set[int] = set()
+    kept = []
+    for did in sorted(int(d) for d in doc_ids):
+        text = texts[list(doc_ids).index(did)]
+        toks = _tokens_collapsed(text)
+        if len(toks) >= k:
+            shs = {" ".join(toks[j: j + k]) for j in range(len(toks) - k + 1)}
+        else:
+            shs = {" ".join(toks)}
+        hs = frozenset(xxh64_bytes(s.encode(), 42) & 0xFFFFFFFF for s in shs)
+        harr = np.fromiter(hs, dtype=np.uint64)
+        perm = (harr[:, None] * a_mul[None, :] + b_add[None, :]) & np.uint64(0xFFFFFFFF)
+        sig = perm.min(axis=0)
+        keys = []
+        for b in range(bands):
+            band = sig[b * rows_per_band: (b + 1) * rows_per_band]
+            keys.append(spark_xxhash64(
+                ",".join(str(int(v)) for v in band), b))
+        collided = any(kk in claimed for kk in keys)
+        claimed.update(keys)
+        if not collided:
+            kept.append(did)
+    return pa.table({"doc_id": pa.array(sorted(kept), pa.int64())})
+
+
 # -- q57: IVF-flat ---------------------------------------------------------------
 
 def gen_q57(vec_ids, raw_vecs, k=5, n_centroids=16, n_probe=8, iters=1):
@@ -427,6 +466,10 @@ def main() -> None:
     t53 = gen_q53(doc_ids, texts)
     pq.write_table(t53, os.path.join(OUT_DIR, "oracle_q53_sf001.parquet"))
     print(f"q53: {t53.num_rows} rows")
+
+    t75 = gen_q75(doc_ids, texts)
+    pq.write_table(t75, os.path.join(OUT_DIR, "oracle_q75_sf001.parquet"))
+    print(f"q75: {t75.num_rows} rows")
 
     emb = _read("embeddings")
     vec_ids = np.array(emb.column("vec_id").to_pylist(), dtype=np.int64)
