@@ -168,12 +168,25 @@ def minhash_lsh_pairs(
     unpersist the returned plan's sources) after materializing the result —
     the bench harness does exactly this between reps.
     """
-    rows_per_band = num_hashes // bands
     # sh feeds three consumers (signature aggregate, both sides of the
     # exact-verify intersection join) whose partitionings differ, so Spark
     # cannot reuse one exchange — persist so the tokenize→window→distinct
     # pipeline runs once, not 3× (r2 bench: 7.2 s → ~5 s at sf0.1)
     sh = shingle_hashes(df, id_col, text_col, shingle_k).persist()
+    return _pairs_from_shingles(sh, num_hashes=num_hashes, bands=bands,
+                                jaccard_threshold=jaccard_threshold)
+
+
+def _pairs_from_shingles(
+    sh: DataFrame,
+    num_hashes: int = 128,
+    bands: int = 32,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """minhash_lsh_pairs past the shingle stage: takes the distinct (id, h)
+    relation (cached, or re-read from columnar storage — see
+    tools/bench_q52_variants.py) and returns the verified pair set."""
+    rows_per_band = num_hashes // bands
 
     # One grouped pass produces the per-doc shingle count and the minhash
     # signature (128 fixed-width ints — bounded row payload). The exact-verify
