@@ -952,6 +952,13 @@ class PromQLEngine:
 
             if not _re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", dst) or dst.startswith("__"):
                 raise ValueError(f"invalid destination label name {dst!r}")
+            try:
+                _re.compile(regex)
+            except _re.error:
+                # promql/label.sql: malformed regex is rejected up front
+                raise ValueError(
+                    f"Invalid regular expression in label_replace(): {regex}"
+                ) from None
             if src in v.labels and regex == "":
                 return v  # existing src + empty regex → unchanged
             if src not in v.labels:
@@ -962,7 +969,19 @@ class PromQLEngine:
             anchored = f"^(?s:{regex})$"
             new = F.regexp_replace(F.coalesce(F.col(src), F.lit("")), anchored, repl)
             labels = v.labels + ([dst] if dst not in v.labels else [])
-            return VectorResult(v.df.withColumn(dst, new), labels)
+            out = v.df.withColumn(dst, new)
+            if dst in v.labels:
+                # overwriting an existing identity label can collapse two
+                # series onto one labelset — promql rejects that output
+                # (label.sql "vector cannot contain metrics with the same
+                # labelset"). Only possible when dst pre-exists, so the
+                # probe aggregate is gated to that case.
+                dup = (out.groupBy(*labels, "__t").count()
+                       .filter(F.col("count") > 1).limit(1).count())
+                if dup:
+                    raise ValueError(
+                        "vector cannot contain metrics with the same labelset")
+            return VectorResult(out, labels)
         if fn == "label_join":
             v = self._eval(node.args[0], ctx)
             dst = self._eval(node.args[1], ctx)

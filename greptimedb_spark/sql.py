@@ -1206,6 +1206,15 @@ class GreptimeSQL:
         partition_sql = pm.group(0) if pm else None
         if pm:
             text = text[: pm.start()] + text[pm.end():]
+            # validate the rule set up front: every boundary checkpoint must
+            # be covered exactly once (partition.sql invalid_rule* goldens)
+            body = re.match(
+                r"(?is)PARTITION\s+ON\s+COLUMNS\s*\([^)]*\)\s*\((.*)\)\s*$",
+                partition_sql)
+            if body:
+                rules = [r.strip() for r in body.group(1).split(",")
+                         if r.strip()]
+                self._check_partition_checkpoints(rules)
         # CREATE keeps its quotes (they decide identifier case); the parser
         # lowercases unquoted names like the reference's does
         text_q = text
@@ -1327,6 +1336,24 @@ class GreptimeSQL:
                         k, v = kv.split("=", 1)
                         # option keys are case-insensitive, stored lowercase
                         opts[k.strip().strip("'\"").lower()] = v.strip().strip("'\"")
+            for k in opts:
+                if not re.fullmatch(
+                        r"ttl|storage|comment|append_mode|merge_mode"
+                        r"|sst_format|skip_wal|auto_flush_interval"
+                        r"|write_buffer_size|max_row_group_row_count"
+                        r"|wal_options|table_data_model|primary_key_encoding"
+                        r"|physical_metric_table|on_physical_table"
+                        r"|memtable\.type|repartition\..+|greptime\..+"
+                        r"|compaction\..+|index\..+", k):
+                    # create_with_options.sql / show_create.sql goldens
+                    raise ValueError(f"Unrecognized table option key: {k}")
+            if opts.get("storage") and opts["storage"] != "File":
+                # only the default file-backed object store is configured
+                raise ValueError(f"Object store not found: {opts['storage']}")
+            tfn = opts.get("compaction.twcs.trigger_file_num")
+            if tfn and not re.fullmatch(r"\d+", tfn):
+                raise ValueError(
+                    "Invalid options: invalid digit found in string")
             is_metric = bool(re.search(r"ENGINE\s*=\s*metric", tail, re.IGNORECASE))
             if is_metric:
                 seen_names: dict[str, int] = {}
@@ -1440,6 +1467,16 @@ class GreptimeSQL:
             if time_index is None:
                 # reference create.result: 2000(InvalidSyntax)
                 raise ValueError("Missing time index constraint")
+            mm = opts.get("merge_mode") or None  # '' selects the default
+            if mm is not None and mm not in ("last_row", "last_non_null"):
+                # insert/merge_mode.sql: unknown variant is rejected
+                raise ValueError("Invalid options: Matching variant not "
+                                 "found at line 1 column 25")
+            if mm not in (None, "last_row") and opts.get(
+                    "append_mode", "false").lower() == "true":
+                raise ValueError(
+                    "Invalid region options, only last_row merge_mode is "
+                    "allowed when append_mode is enabled")
             meta = TableMeta(
                 name=name,
                 time_index=time_index,
@@ -1526,6 +1563,13 @@ class GreptimeSQL:
         if m:
             name, col_list, values_text = m.groups()
             name = self._resolve_table(name)
+            meta_t = self.catalog.meta(name)
+            if getattr(meta_t, "engine", "mito") == "metric" and \
+                    not getattr(meta_t, "on_physical", None):
+                # rows reach a physical metric region only through its
+                # logical tables (insert/physical_metric_table_insert.sql)
+                raise ValueError(
+                    "Write request to physical region is forbidden")
             # parse_vec('...') in VALUES: Spark inline tables reject UDF
             # calls; the vector coercion below re-packs the string anyway
             values_text = re.sub(r"\bparse_vec\s*\(\s*('[^']*')\s*\)", r"\1",
@@ -1551,6 +1595,13 @@ class GreptimeSQL:
                     )
                     for o in order
                 ]
+            if getattr(meta_t, "on_physical", None) and \
+                    meta_t.time_index not in {e[0] for e in cols}:
+                # logical metric tables require the time index explicitly
+                # (insert/logical_metric_table.sql t_default golden)
+                raise ValueError(
+                    "Invalid request for region, reason: missing required "
+                    f"time index column {meta_t.time_index}")
             # evaluate the VALUES rows with Spark itself (handles literals,
             # strings, nulls, ISO timestamps the same way the reference does);
             # integer literals for timestamp columns are epoch values in the
@@ -1763,6 +1814,19 @@ class GreptimeSQL:
                                 (F.expr(d).cast(t) if d else F.lit(None).cast(t)).alias(c)
                             )
                 df = df.select(*fill)
+            # explicit NULL into a NOT NULL column is rejected up front
+            # (drop_col_not_null_next.sql). Gated on a literal NULL in the
+            # statement text so the probe job doesn't tax the common path.
+            nn = [e[0] for e in cols if len(e) > 4 and e[4]]
+            if nn and re.search(r"(?i)\bNULL\b", text):
+                probe = df.select([
+                    F.sum(F.col(f"`{c}`").isNull().cast("int")).alias(c)
+                    for c in nn]).first()
+                for c in nn:
+                    if probe[c]:
+                        raise ValueError(
+                            "Invalid request to region, reason: column "
+                            f"{c} is not null but input has null")
             self.catalog.insert(name, df)
             self._refresh_table_view(name)
             self._refresh_views()
@@ -1780,6 +1844,10 @@ class GreptimeSQL:
                     for o in order
                 ]
             src = self.sql(select_text)
+            if len(src.columns) != len(cols):
+                # arity must match exactly (insert/insert_select.sql)
+                raise ValueError("Failed to plan SQL: Error during planning:"
+                                 " Column count doesn't match insert query!")
             # positional mapping: select output column i → listed column i;
             # numeric sources into timestamp columns are epochs in the
             # column's declared precision (same rule as VALUES literals)
@@ -1853,6 +1921,10 @@ class GreptimeSQL:
             name, pred = m.groups()
             name = self._resolve_table(name)
             meta = self.catalog.meta(name)
+            if getattr(meta, "append_mode", False):
+                # append-mode tables are write-once (insert/append_mode.sql)
+                raise ValueError("Invalid request to region, reason: "
+                                 "DELETE is not allowed under append mode")
             pred = pred.strip() if pred else "true"
             try:
                 self.catalog.delete(name, pred)
@@ -1884,7 +1956,7 @@ class GreptimeSQL:
         r"^\s*ALTER\s+TABLE\s+(\"[^\"]+\"|\w+)\s+(.*)$", re.IGNORECASE | re.DOTALL
     )
     _DESC_RE = re.compile(
-        r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?:information_schema\s*\.\s*)?\"?(\w+)\"?\s*$",
+        r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?:information_schema\s*\.\s*)?(\"\w+\"|\w+)\s*$",
         re.IGNORECASE,
     )
 
@@ -2375,6 +2447,32 @@ class GreptimeSQL:
         return {k.lower(): v.strip() for k, v in
                 re.findall(r"(\w+)\s*=\s*'?([^',]*)'?", opts_text or "")}
 
+    def _validate_skipping_opts(self, opts_text: str | None) -> None:
+        """Option validation for SET SKIPPING INDEX
+        (change_col_skipping_options.result error goldens)."""
+        opts = self._parse_index_opts(opts_text)
+        for k in opts:
+            if k not in ("granularity", "type", "false_positive_rate"):
+                raise ValueError(
+                    f"invalid SKIPPING INDEX option: {k}")
+        ty = opts.get("type")
+        if ty is not None and ty.upper() != "BLOOM":
+            raise ValueError(f"Invalid skipping index type: {ty}")
+        gr = opts.get("granularity")
+        if gr is not None and (not re.fullmatch(r"\d+", gr) or int(gr) <= 0):
+            raise ValueError("Invalid skipping index option: Invalid "
+                             f"granularity: {gr}, expected: positive integer")
+        fpr = opts.get("false_positive_rate")
+        if fpr is not None:
+            try:
+                ok = 0 < float(fpr) <= 1
+            except ValueError:
+                ok = False
+            if not ok:
+                raise ValueError(
+                    "Invalid skipping index option: Invalid false positive "
+                    f"rate: {fpr}, expected: 0.0 < rate <= 1.0")
+
     def _validate_fulltext_opts(self, opts_text: str | None) -> None:
         """Option-value validation for SET FULLTEXT INDEX (reference
         change_col_fulltext_options.result: 1002(Unexpected) messages)."""
@@ -2549,6 +2647,24 @@ class GreptimeSQL:
             return self._empty_ok()
         m = self._DESC_RE.match(stmt)
         if m:
+            # the generic preprocessor strips double quotes from `text`;
+            # text_q preserves them — needed for case-sensitive lookups
+            mq = self._DESC_RE.match((text_q or text).strip().rstrip(";"))
+            raw = mq.group(1) if mq else m.group(1)
+            if raw.startswith('"'):
+                # quoted identifiers are case-SENSITIVE: no lowercase
+                # fallback (rename_table.sql DESC TABLE "JkLmN" golden)
+                nm = raw[1:-1]
+                cur = getattr(self, "_current_db", "public")
+                keys = ([f"__{cur}__{nm}"] if cur != "public" else []) + [nm]
+                for k in keys:
+                    try:
+                        self.catalog.meta(k)
+                        return self._describe(k)
+                    except (FileNotFoundError, TableNotFoundError):
+                        continue
+                raise TableNotFoundError(f"Table not found: {nm}")
+            m = self._DESC_RE.match(stmt.replace('"', ""))
             pg = _PG_CATALOG_DESC.get(m.group(1).lower())
             if pg is not None and (
                     getattr(self, "_current_db", "public") == "pg_catalog"
@@ -2907,6 +3023,11 @@ class GreptimeSQL:
         if m:
             name, col_list, query = m.groups()
             replace = re.match(r"^\s*CREATE\s+OR\s+REPLACE", stmt, re.IGNORECASE)
+            if replace and re.search(r"(?i)\bIF\s+NOT\s+EXISTS\b", stmt):
+                # view/show_create.sql: the two clauses are contradictory
+                raise ValueError(
+                    "Invalid SQL, error: syntax error Create Or Replace and "
+                    "If Not Exist cannot be used together")
             self._views = getattr(self, "_views", {})
             if self._table_exists(name):
                 raise ValueError(f"table {name} already exists")
@@ -5307,40 +5428,70 @@ class GreptimeSQL:
 
     @staticmethod
     def _check_partition_checkpoints(rules: list) -> None:
-        """Single-column integer-range checker for the resulting partition
-        rule set (reference MultiDimPartitionRule checker): every boundary
-        checkpoint must be covered by exactly one partition. Rules it can't
-        parse (multi-column, strings, other operators) are left to the
-        metasrv-GC precondition error."""
-        INF = float("inf")
+        """Single-column range checker for the resulting partition rule set
+        (reference MultiDimPartitionRule checker): every boundary checkpoint
+        must be covered by exactly ONE partition. Handles </<=/>/>= over int
+        or string bounds (partition.sql invalid_rule* goldens). Rule sets it
+        can't parse (multi-column, other operators/types) are skipped."""
         col = None
-        intervals = []
+        kind = None  # 'int' | 'str' — bounds must be homogeneous
+        intervals = []  # (lo_val|None, lo_inclusive, hi_val|None, hi_incl)
         for r in rules:
-            lo, hi = -INF, INF
+            lo = hi = None
+            lo_inc = hi_inc = False
             for term in re.split(r"(?i)\s+AND\s+", r):
-                tm = re.match(r"^\s*(\w+)\s*(<|>=)\s*(-?\d+)\s*$", term)
+                tm = re.match(
+                    r"^\s*(\w+)\s*(<=|>=|<|>)\s*('[^']*'|-?\d+)\s*$", term)
                 if not tm:
                     return
                 if col is None:
                     col = tm.group(1)
                 elif tm.group(1) != col:
                     return
-                v = int(tm.group(3))
-                if tm.group(2) == "<":
-                    hi = min(hi, v)
+                raw = tm.group(3)
+                k = "str" if raw.startswith("'") else "int"
+                if kind is None:
+                    kind = k
+                elif kind != k:
+                    return
+                v = raw[1:-1] if k == "str" else int(raw)
+                op = tm.group(2)
+                if op in ("<", "<="):
+                    if hi is None or v < hi:
+                        hi, hi_inc = v, op == "<="
                 else:
-                    lo = max(lo, v)
-            intervals.append((lo, hi))
-        bounds = sorted({b for iv in intervals for b in iv if b != INF
-                         and b != -INF})
+                    if lo is None or v > lo:
+                        lo, lo_inc = v, op == ">="
+            intervals.append((lo, lo_inc, hi, hi_inc))
+
+        def covered(x) -> int:
+            n = 0
+            for lo, lo_inc, hi, hi_inc in intervals:
+                ok_lo = lo is None or x > lo or (x == lo and lo_inc)
+                ok_hi = hi is None or x < hi or (x == hi and hi_inc)
+                n += ok_lo and ok_hi
+            return n
+
+        bounds = sorted({b for lo, _l, hi, _h in intervals
+                         for b in (lo, hi) if b is not None})
         for i, b in enumerate(bounds):
-            nxt = bounds[i + 1] if i + 1 < len(bounds) else INF
-            probe = b if nxt == INF else (b + nxt) / 2
-            n = sum(1 for lo, hi in intervals if lo <= probe < hi)
-            if n == 0:
-                raise ValueError(f"Checkpoint `{col}={b}` is not covered")
-            if n > 1:
-                raise ValueError(f"Checkpoint `{col}={b}` is overlapped")
+            probes = [b]
+            # probe strictly above b when the domain has a value there
+            # (ints are discrete — adjacent bounds leave no gap to probe)
+            nxt = bounds[i + 1] if i + 1 < len(bounds) else None
+            if kind == "int":
+                if nxt is None or nxt - b > 1:
+                    probes.append(b + 1)
+            else:
+                probes.append(b + "\x00")
+            for p in probes:
+                n = covered(p)
+                if n == 0:
+                    raise ValueError(
+                        f"Checkpoint `{col}={b}` is not covered")
+                if n > 1:
+                    raise ValueError(
+                        f"Checkpoint `{col}={b}` is overlapped")
 
     def _alter(self, name: str, action: str):
         self.catalog.meta(name)  # raises if missing
@@ -5433,7 +5584,20 @@ class GreptimeSQL:
                 entry, _is_ti, is_pk = _parse_col_def(clause.strip())
                 if entry is None:
                     raise ValueError(f"cannot parse column definition {clause!r}")
+                if len(entry) > 4 and entry[4] and not entry[3]:
+                    # NOT NULL without DEFAULT cannot backfill existing rows
+                    # (add_incorrect_col.sql golden)
+                    raise ValueError(
+                        f"Invalid alter table({name}) request: no default "
+                        f"value for column {entry[0]}")
                 parsed.append((entry, if_not_exists, pos, after, is_pk))
+            meta0 = self.catalog.meta(name)
+            if getattr(meta0, "engine", "mito") == "metric" and \
+                    not getattr(meta0, "on_physical", None):
+                # columns reach a physical metric table only via its logical
+                # tables (alter_physical_table.sql golden)
+                raise ValueError(
+                    "Alter request to physical region is forbidden")
             existing = {e[0] for e in self._col_entries(name)}
             pending = set()
             for entry, if_not_exists, _pos, _after, _pk in parsed:
@@ -5483,13 +5647,31 @@ class GreptimeSQL:
             return self._empty_ok()
         dm = re.match(r"DROP\s+COLUMN\s+(\"[^\"]+\"|\w+)\s*$", action, re.IGNORECASE)
         if dm:
-            self.catalog.drop_column(name, _ident_case(dm.group(1)))
+            col = _ident_case(dm.group(1))
+            meta0 = self.catalog.meta(name)
+            if col not in {e[0] for e in self._col_entries(name)}:
+                raise ValueError(f"Column {col} not exists in table {name}")
+            if col == getattr(meta0, "time_index", None) or \
+                    col in (meta0.tags or []):
+                # drop_col.sql / alter_physical_table.sql index-column goldens
+                raise ValueError(
+                    f"Not allowed to remove index column {col} "
+                    f"from table {name}")
+            self.catalog.drop_column(name, col)
             self.catalog.read(name).createOrReplaceTempView(name)
             return self._empty_ok()
         rm = re.match(r"RENAME\s+(?:TO\s+)?(\"[^\"]+\"|'[^']+'|[\w👋]+)\s*$", action, re.IGNORECASE)
         if rm:
             new = rm.group(1)
             new = new[1:-1] if new[0] in "\"'" else new.lower()
+            # up-front validations (rename_table.sql error goldens): ascii
+            # word-char names only; the target name must be free
+            if not re.fullmatch(r"[A-Za-z0-9_]+", new):
+                raise ValueError(f"Invalid table name: {new}")
+            existing = {t.lower() for t in self.catalog.list_tables()}
+            if new.lower() in existing:
+                raise ValueError(
+                    f"Table already exists, table: greptime.public.{new}")
             self.catalog.rename_table(name, new)
             try:
                 self.spark.catalog.dropTempView(name)
@@ -5505,12 +5687,39 @@ class GreptimeSQL:
                     clause, re.IGNORECASE,
                 )
                 if sd:
-                    self.catalog.set_default(name, _ident_case(sd.group(1)), sd.group(2))
+                    col = _ident_case(sd.group(1))
+                    if sd.group(2).strip().lower() == "null":
+                        for e in self._col_entries(name):
+                            if e[0] == col and len(e) > 4 and e[4]:
+                                raise ValueError(
+                                    "Default value should not be null for "
+                                    "non null column")
+                    self.catalog.set_default(name, col, sd.group(2))
                     continue
                 dd = re.match(r"(\"[^\"]+\"|\w+)\s+DROP\s+DEFAULT\s*$", clause, re.IGNORECASE)
                 if dd:
-                    self.catalog.set_default(name, _ident_case(dd.group(1)), None)
+                    col = _ident_case(dd.group(1))
+                    for e in self._col_entries(name):
+                        if e[0] == col and len(e) > 4 and e[4]:
+                            # a NOT NULL column must keep a default — there
+                            # is nothing valid to fall back to
+                            raise ValueError(
+                                f"Invalid alter table({name}) request: "
+                                f"column {col} is not nullable and "
+                                "`default` cannot be dropped")
+                    self.catalog.set_default(name, col, None)
                     continue
+                bad_def = re.match(
+                    r"(\"[^\"]+\"|\w+)\s+SET\s+DEFAULT\s+(.+)$",
+                    clause, re.IGNORECASE | re.DOTALL)
+                if bad_def:
+                    # a SET DEFAULT whose expr the grammar above rejected —
+                    # explicit rejection, not a silent no-op
+                    # (alter_table_alter_column_set_default.sql)
+                    raise ValueError(
+                        "Unsupported default constraint for column: "
+                        f"'{_ident_case(bad_def.group(1))}', reason: expr "
+                        f"{bad_def.group(2).strip()!r} not supported")
                 im = re.match(
                     r"(\"[^\"]+\"|\w+)\s+(SET|UNSET)\s+(FULLTEXT|SKIPPING|INVERTED)"
                     r"\s+INDEX(?:\s+WITH\s*\(([^)]*)\))?\s*$",
@@ -5523,6 +5732,8 @@ class GreptimeSQL:
                     kind = im.group(3).lower()
                     if kind == "fulltext" and im.group(2).upper() == "SET":
                         self._validate_fulltext_opts(im.group(4))
+                    if kind == "skipping" and im.group(2).upper() == "SET":
+                        self._validate_skipping_opts(im.group(4))
                     cols = [list(c) for c in self._col_entries(name)]
                     for c in cols:
                         if c[0] == col:
@@ -5553,6 +5764,40 @@ class GreptimeSQL:
                 tm = re.match(r"(\"[^\"]+\"|\w+)\s+([\w()]+)\s*(?:NULL|NOT\s+NULL)?\s*$", clause, re.IGNORECASE)
                 if tm:
                     col, typ = _ident_case(tm.group(1)), tm.group(2)
+                    # up-front validations, matching the reference's order
+                    # and messages (change_col_type.sql,
+                    # change_col_type_not_null.sql error goldens)
+                    entries = self._col_entries(name)
+                    names_ = [e[0] for e in entries]
+                    meta = self.catalog.meta(self._resolve_table(name))
+                    if col not in names_:
+                        raise ValueError(
+                            f"Column {col} not exists in table {name}")
+                    if col in (meta.tags or []):
+                        raise ValueError(
+                            f"Invalid alter table({name}) request: Not "
+                            "allowed to change primary key index column "
+                            f"'{col}'")
+                    if col == getattr(meta, "time_index", None):
+                        raise ValueError(
+                            f"Invalid alter table({name}) request: Not "
+                            f"allowed to change timestamp index column "
+                            f"'{col}' datatype")
+                    entry = entries[names_.index(col)]
+                    if len(entry) > 4 and entry[4]:
+                        raise ValueError(
+                            f"Invalid alter table({name}) request: column "
+                            f"'{col}' must be nullable to ensure safe "
+                            "conversion.")
+                    try:
+                        # castability probe: pure analysis, no job
+                        self.spark.sql(f"SELECT CAST(CAST(NULL AS "
+                                       f"{entry[1]}) AS {_map_type(typ)})")
+                    except Exception:
+                        raise ValueError(
+                            f"Invalid alter table({name}) request: column "
+                            f"'{col}' cannot be cast automatically to type "
+                            f"'{typ.capitalize()}'") from None
                     self.catalog.modify_column(name, col, _map_type(typ), typ)
                     continue
                 raise ValueError(f"unsupported MODIFY COLUMN clause {clause!r}")
@@ -5563,6 +5808,35 @@ class GreptimeSQL:
             key, val = sm.group(1), sm.group(2)
             if not re.fullmatch(r"[A-Za-z0-9_.]+", key):
                 raise ValueError(f"invalid table option key {key!r}")
+            if getattr(self.catalog.meta(name), "on_physical", None):
+                # metric-engine logical tables accept only ADD COLUMN alters
+                # (alter_format.sql sst_format golden)
+                raise ValueError("Alter logical tables invalid arguments: "
+                                 "Only support add columns operation")
+            if key == "auto_flush_interval" and val not in (None, ""):
+                # NULL/'' clears the override (success golden); a non-empty
+                # value must be a positive duration
+                from greptimedb_spark.range_query import parse_duration_ms
+
+                try:
+                    flush_ms = parse_duration_ms(val)
+                except Exception:
+                    flush_ms = -1
+                if flush_ms <= 0:
+                    # must be a positive duration (alter_auto_flush_interval)
+                    raise ValueError(
+                        "Invalid set table option request: Invalid set "
+                        f"region option request, key: {key}, value: {val}")
+            if key == "append_mode" and (val or "").lower() == "false" and \
+                    self.catalog.meta(name).append_mode:
+                raise ValueError("Only allow changing append_mode from "
+                                 "false to true")
+            if key == "skip_wal" and (val or "").lower() != "true":
+                # skip_wal is one-way: rows already written without WAL
+                # cannot retroactively regain durability (skip_wal.sql)
+                raise ValueError(
+                    "Invalid set table option request: Invalid set region "
+                    f"option request, key: skip_wal, value: {val}")
             if key == "ttl":
                 if val and val.lower() not in ("instant", "forever") and \
                         _humantime(val) == val and not re.search(r"\d", val):
@@ -5613,6 +5887,14 @@ class GreptimeSQL:
         um = re.match(r"UNSET\s+'?([^'\s]+)'?\s*$", action, re.IGNORECASE)
         if um:
             key = um.group(1)
+            if not re.fullmatch(r"[A-Za-z0-9_.]+", key):
+                # same key validation as SET (alter_table_options 🕶️ golden)
+                raise ValueError(f"invalid table option key {key!r}")
+            if key == "skip_wal":
+                # one-way, like SET 'skip_wal'='false' (skip_wal.sql)
+                raise ValueError(
+                    "Invalid unset table option request: Invalid set region "
+                    "option request, key: skip_wal")
             if key == "ttl":
                 self.catalog._update_meta(name, ttl=None)
             elif key == "append_mode":
@@ -5758,6 +6040,13 @@ class GreptimeSQL:
     def sql(self, text: str, time_index: str = "ts") -> DataFrame:
         text = _strip_block_comments(text)
         text = _strip_line_comments(text)
+        cur_db = getattr(self, "_current_db", "public")
+        if cur_db in ("information_schema", "pg_catalog") and re.match(
+                r"(?is)\s*(CREATE\s+TABLE|DROP\s+TABLE|ALTER\s+TABLE"
+                r"|TRUNCATE|INSERT\s+INTO|DELETE\s+FROM)\b", text):
+            # system schemas reject every mutation (information_schema/
+            # tables.sql read-only goldens)
+            raise ValueError(f"Schema `{cur_db}` is read-only")
         pm = re.match(
             r"(?is)\s*PREPARE\s+(\w+)\s+FROM\s+'((?:[^']|'')*)'\s*;?\s*$",
             text)
@@ -6124,6 +6413,9 @@ class GreptimeSQL:
                         "Failed to parse value instant into key ttl")
                 dbs[dbname] = opts
             else:
+                if dbname in ("information_schema", "pg_catalog",
+                              "greptime_private"):
+                    raise ValueError(f"Schema `{dbname}` is read-only")
                 if dbname == getattr(self, "_current_db", "public") and \
                         not getattr(self, "_via_search_path", False):
                     raise ValueError(f"Schema `{dbname}` is in use")
@@ -6156,15 +6448,42 @@ class GreptimeSQL:
                                       m.group(3), m.group(4))
             if name not in dbs:
                 raise ValueError(f"database {name} does not exist")
+            # the reference validates option keys (and the ttl value) up
+            # front — alter_database.sql error goldens
+            allowed = re.fullmatch(
+                r"ttl|sst_format|compaction\.type"
+                r"|compaction\.twcs\.(?:time_window|trigger_file_num"
+                r"|max_output_file_size|fallback_to_local)", key) is not None
             if action == "SET":
-                if key == "ttl" and (val or "").strip().lower() == "instant":
-                    # same rule as CREATE: no instant TTL on databases
+                if not allowed:
                     raise ValueError("Invalid set database option, "
-                                     "key: ttl, value: instant")
+                                     f"key: {key}, value: {val or ''}")
+                if key == "ttl" and (val or "").strip():
+                    v = val.strip().lower()
+                    if v == "instant":
+                        # same rule as CREATE: no instant TTL on databases
+                        raise ValueError("Invalid set database option, "
+                                         "key: ttl, value: instant")
+                    if v != "forever":
+                        from greptimedb_spark.range_query import \
+                            parse_duration_ms
+
+                        try:
+                            # zero is a valid ttl ('0s' clears it —
+                            # show_ttl.sql); the shared parser rejects it
+                            if not re.fullmatch(r"0+\s*[a-zµ]*", v):
+                                parse_duration_ms(v)
+                        except Exception:
+                            raise ValueError(
+                                "Invalid set database option, "
+                                f"key: ttl, value: {val}") from None
                 # empty ttl normalizes to 'forever' (alter_database.result)
                 dbs[name][key] = ("forever" if key == "ttl" and not val
                                   else val or "")
             else:
+                if not allowed:
+                    raise ValueError(
+                        f"Invalid unset database option, key: {key}")
                 dbs[name].pop(key, None)
             if self.catalog is not None:
                 self.catalog.db_options = dbs
@@ -7249,6 +7568,25 @@ def _parse_col_def(item: str):
         idx["inverted"] = ""
     if json2_hints is not None:
         idx["json2_hints"] = json2_hints
+    # strict tail: after consuming every recognized option, leftover tokens
+    # are a syntax error, not a silent no-op (alter_table_first_after.sql
+    # `ADD COLUMN x int xxx` golden)
+    leftover = rest
+    for pat in (
+        r"\bDEFAULT\s+('(?:[^']*)'|[-+]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+        r"|\w+(?:\([^)]*\))?)",
+        r"\bNOT\s+NULL\b", r"\bNULL\b", r"\bTIME\s+INDEX\b",
+        r"\bPRIMARY\s+KEY\b", r"\bCOMMENT\s+'(?:[^']|'')*'",
+        r"\bFULLTEXT\s+INDEX(?:\s+WITH\s*\([^)]*\))?",
+        r"\bSKIPPING\s+INDEX(?:\s+WITH\s*\([^)]*\))?",
+        r"\bVECTOR\s+INDEX(?:\s+WITH\s*\([^)]*\))?",
+        r"\bINVERTED\s+INDEX\b",
+    ):
+        leftover = re.sub(pat, " ", leftover, flags=re.IGNORECASE)
+    if leftover.strip(" ,\t\n"):
+        raise ValueError(
+            f"Invalid column option, column name: {col}, error: "
+            f"unrecognized option {leftover.strip()!r}")
     return ((col, _map_type(typ), typ.lower(), default, not_null, comment,
              idx or None), is_ti, is_pk)
 

@@ -301,7 +301,11 @@ def _norm_cell(v):
             f = float(s)
             if math.isnan(f):
                 return "NaN"
-            return round(f, 9)
+            f = round(f, 9)
+            # canonicalize -0.0: Spark normalizes negative zero on output
+            # (SPARK-26021) and -0.0 == 0.0 anyway — but their str() differs,
+            # which would make the row sort-key inconsistent with equality
+            return 0.0 if f == 0 else f
         except (ValueError, TypeError):
             pass
     # ascii-table cells lose edge whitespace in the golden parser —
@@ -545,6 +549,30 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
                 # EXECUTE of a prepared SELECT is read-only; binder errors
                 # (missing/unconvertible parameters) are parity-checkable
                 r"|EXECUTE"
+                # SHOW / DESC / TQL EVAL are read-only — error parity is
+                # always safe to check
+                r"|SHOW\b|DESC(?:RIBE)?\b|TQL\s+EVAL"
+                # DROP DATABASE/SCHEMA/VIEW error-goldens: a rejection drops
+                # nothing; a lenient accept deletes state later goldens read
+                r"|DROP\s+(?:DATABASE|SCHEMA|VIEW|FLOW)"
+                # DELETE error-goldens (system/read-only tables): same
+                # loud-if-lenient argument as INSERT VALUES
+                r"|DELETE\s+FROM"
+                # CREATE VIEW error-goldens (clause conflicts, name
+                # collisions, non-query bodies): a lenient accept surfaces in
+                # the case's later SHOW CREATE VIEW / catalog goldens
+                r"|CREATE\s+(?:OR\s+REPLACE\s+)?VIEW"
+                # RENAME / MODIFY COLUMN error-goldens: a lenient accept
+                # changes names/types that every later golden in the case
+                # reads — loud
+                r"|ALTER\s+TABLE\s+[^;]*?\bRENAME\b"
+                r"|ALTER\s+TABLE\s+[^;]*?\bMODIFY\s+COLUMN\b"
+                # table-option and ADD COLUMN error-goldens: same
+                # loud-if-lenient argument (SHOW CREATE / DESC goldens read
+                # the mutated state)
+                r"|ALTER\s+TABLE\s+[^;]*?\b(?:SET|UNSET)\b"
+                r"|ALTER\s+TABLE\s+[^;]*?\bADD\b"
+                r"|ALTER\s+TABLE\s+[^;]*?\bDROP\s+COLUMN\b"
                 # ALTER…REPARTITION is rejected up front by both engines
                 # (metasrv GC precondition) — parity-checkable without any
                 # state mutation, unlike general DDL error-goldens
@@ -560,7 +588,7 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
                 # rejection writes nothing; if the engine were lenient the
                 # bad row would make the case's later SELECT goldens fail
                 # loudly, so parity-checking is safe
-                r"|INSERT\s+INTO\s+\S+(?:\s*\([^)]*\))?\s+VALUES"
+                r"|INSERT\s+INTO\s+\S+(?:\s*\([^)]*\))?\s+(?:VALUES|SELECT)"
                 # CREATE TABLE error-goldens (invalid schema: missing/
                 # nullable/duplicate time index, bad names): a rejection
                 # creates nothing; a lenient accept would leave a spurious
@@ -1338,9 +1366,11 @@ _CONFORMANCE_CASES_KNOWN_DIFFS = [
     # DataFusion star-expands a second USING join with both sides' key
     # column; Spark coalesces every USING key
     ("join/using_join", 3, ("JOIN user_profiles USING",)),
-    # Spark normalizes -0.0 to +0.0 on output (SPARK-26021); the float_special
-    # table's negative-zero row renders without the sign
-    ("types/float/ieee_floating_points", 2, ("FROM float_special",)),
+    # Spark treats NaN = NaN as TRUE (SQL NaN-equality) where the reference
+    # follows IEEE: the `WHERE f != f` probe returns the NaN row there, no
+    # rows here. The -0.0 rendering rows now compare fine (negative zero is
+    # canonicalized in _norm_cell).
+    ("types/float/ieee_floating_points", 7, ("WHERE f != f", "WHERE d != d")),
     # DATE - DATE is an int day-count in DataFusion, an interval in Spark
     ("types/date/test_date", 8, ("i - DATE '1993-08-14'",)),
     # full SELECT * over the system tables pins the reference's internal
