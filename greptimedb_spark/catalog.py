@@ -277,8 +277,13 @@ class Catalog:
             )
             .withColumn(BUCKET_COL, F.date_trunc(meta.partition_granularity, F.col(meta.time_index)))
         )
+        # explicit numPartitions: AQE must NOT coalesce the write exchange
+        # (with coalescePartitions.parallelismFirst=false a ~50MB batch would
+        # collapse to one advisory-sized partition = one serial write task —
+        # the exact r5 ingest bug, resurrected through AQE)
+        n_write = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         if df.rdd.getNumPartitions() > 1:
-            out = out.repartition(F.col(BUCKET_COL))  # AQE coalesces small buckets
+            out = out.repartition(n_write, F.col(BUCKET_COL))
         else:
             # Single-partition input (e.g. a one-file scan or COPY FROM):
             # skipping the shuffle is right for tiny inserts, but a LARGE
@@ -291,7 +296,7 @@ class Catalog:
             except Exception:
                 est = 0
             if est > (32 << 20):
-                out = out.repartition(F.col(BUCKET_COL))
+                out = out.repartition(n_write, F.col(BUCKET_COL))
         (
             out.write.mode("append")
             .partitionBy(BUCKET_COL)

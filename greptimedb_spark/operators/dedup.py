@@ -167,6 +167,14 @@ def minhash_lsh_pairs(
     them. In a long-lived session, call spark.catalog.clearCache() (or
     unpersist the returned plan's sources) after materializing the result —
     the bench harness does exactly this between reps.
+
+    PERF EXPERIMENTS (r7, tools/bench_q52_variants.py, solo sf0.1): spilling
+    sh to parquet and re-reading LOST to persist() (2.9s vs winner below);
+    the real lever was scheduling width — AQE
+    coalescePartitions.parallelismFirst=false (session default now) lets the
+    many small exchanges coalesce to advisory size: 3.3s -> ~2.65s. A raw
+    shuffle.partitions=16 benched 2.03s but hard-coding width is
+    anti-scale; the AQE route gets most of it and stays wide at 100TB.
     """
     # sh feeds three consumers (signature aggregate, both sides of the
     # exact-verify intersection join) whose partitionings differ, so Spark

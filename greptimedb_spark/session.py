@@ -21,6 +21,13 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # parallelismFirst (default true) makes AQE keep default parallelism
+    # instead of honoring the advisory partition size — every multi-stage
+    # pipeline then pays full-width scheduling on tiny exchanges. With it
+    # off, small exchanges coalesce to ~64MB partitions (solo A/B at sf0.1:
+    # q52 4.37→3.03s, q02 1.42→1.17s, q54 0.96→0.81s, q03 1.41→1.25s) while
+    # 100TB-scale exchanges exceed the advisory size and stay wide.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
