@@ -451,7 +451,9 @@ def _render_opaque(df, rows, replaces, pg=False) -> str:
             return ""
         if isinstance(v, bool):
             return ("t" if v else "f") if pg else ("true" if v else "false")
-        return str(v)
+        # sqlness/arrow rendering (ISO-T timestamps, float32 repr, hex
+        # binary) so the REPLACE regexes see the same text they redacted
+        return _render_cell(v)
 
     cols = list(df.columns)
     border = "+" + "-+" * max(len(cols), 1)
