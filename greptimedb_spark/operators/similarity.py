@@ -285,56 +285,19 @@ def brute_force_neardup_pairs(
     )
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_centroids: int = 64,
-    n_probe: int = 8,
-    iters: int = 1,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    query_vec_col: str = "query_vec",
-) -> DataFrame:
-    """IVF-flat ANN: Voronoi-partition the corpus around ``n_centroids``
-    centroids (deterministic hash-sampled init + ``iters`` Lloyd
-    refinements, all DataFrame ops — the centroid table never leaves the
-    cluster, it is broadcast as a 64-row relation); each query probes only
-    its ``n_probe`` nearest cells.
-
-    Scale shape: at 100 TB the cell id is the stored index — one int per
-    row, usable as a partition/bucket key so a query scans
-    n_probe/n_centroids of the corpus; the inline rebuild here stands in
-    for that one-time index build. Reference analog: the per-SST vector
-    index (src/index/src/vector.rs, RFC docs/rfcs/2025-12-05-vector-index.md).
-    Returns (query_id, vec_id, sim, rank) like brute_force_topk; with
-    n_probe == n_centroids the result is exact."""
-    # corpus norms precomputed once per row (the assign/probe/score cosines
-    # all reuse them — same IEEE-754 folds, 3x less interpreted-HOF work)
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
-                      vec_norm(F.col(vec_col)).alias("cvn"))
-
-    # deterministic init: the n_centroids corpus vectors with the smallest
-    # id-hash (TakeOrdered — no full sort); row_number runs on ≤64 rows
+def _train_ivf(c: DataFrame, n_centroids: int, iters: int):
+    """Deterministic IVF coarse trainer (shared by ivf_topk and
+    build_ivf_index): hash-sampled init, ``iters`` Lloyd rounds,
+    tie-deterministic assignment. ``c`` is (cid, cv, cvn). Returns
+    (cent, corpus_cells) with cent = (centroid_id, cvec, cn) and
+    corpus_cells = (cid, centroid_id, cv, cvn)."""
     sample = c.orderBy(F.xxhash64(F.col("cid").cast("string"))).limit(n_centroids)
     cent = sample.select(
         (F.row_number().over(Window.orderBy("cid")) - 1).alias("centroid_id"),
         F.col("cv").alias("cvec"),
-    )
-
-    def with_cnorm(ct: DataFrame) -> DataFrame:
-        return ct.select("centroid_id", "cvec",
-                         vec_norm(F.col("cvec")).alias("cn"))
-
-    cent = with_cnorm(cent)
+    ).select("centroid_id", "cvec", vec_norm(F.col("cvec")).alias("cn"))
 
     def assign(df: DataFrame) -> DataFrame:
-        """Nearest centroid per corpus row: broadcast the centroid relation,
-        one shuffle on the row id (min-struct hash aggregate, no window
-        sort). min(struct(-csim, centroid_id)) is tie-DETERMINISTIC — cosine
-        ties go to the lower centroid id, matching the fixture oracle's
-        strict comparison (F.max_by leaves ties unspecified)."""
         scored = df.crossJoin(broadcast(cent)).select(
             "cid", "cv", "cvn", "centroid_id",
             (vec_dot_product(F.col("cv"), F.col("cvec"))
@@ -349,21 +312,90 @@ def ivf_topk(
 
     for _ in range(max(0, iters)):
         assigned = assign(c)
-        # Lloyd step: elementwise mean per cell — (cell, pos) partial-agg
-        # then re-pack; both aggregates are map-side combinable
-        cent = with_cnorm(
+        cent = (
             assigned.select("centroid_id", F.posexplode("cv").alias("pos", "x"))
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id", "pos").agg(F.avg("x").alias("m"))
             .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("cvec")
-            )
-        )
-    corpus_cells = assign(c)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("cvec"))
+        ).select("centroid_id", "cvec", vec_norm(F.col("cvec")).alias("cn"))
+    return cent, assign(c)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_path: str,
+    n_centroids: int = 64,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and PERSIST the IVF coarse index: ``centroids/`` (the ≤
+    n_centroids-row relation) and ``cells/`` (one (id, cell) int pair per
+    corpus row — the stored index key the reference's per-SST vector index
+    keeps, RFC docs/rfcs/2025-12-05-vector-index.md). All data-only
+    parquet; ``ivf_topk(..., index_path=...)`` then searches without
+    retraining. At 100 TB the cells relation is the natural bucketing
+    column for the corpus itself."""
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+                      vec_norm(F.col(vec_col)).alias("cvn"))
+    cent, cells = _train_ivf(c, n_centroids, iters)
+    import os
+
+    cent.write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))
+    cells.select("cid", "centroid_id").write.mode("overwrite").parquet(
+        os.path.join(index_path, "cells"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    index_path: str | None = None,
+) -> DataFrame:
+    """IVF-flat ANN: Voronoi-partition the corpus around ``n_centroids``
+    centroids (deterministic hash-sampled init + ``iters`` Lloyd
+    refinements, all DataFrame ops — the centroid table never leaves the
+    cluster, it is broadcast as a 64-row relation); each query probes only
+    its ``n_probe`` nearest cells.
+
+    Scale shape: at 100 TB the cell id is the stored index — one int per
+    row, usable as a partition/bucket key so a query scans
+    n_probe/n_centroids of the corpus; the inline rebuild here stands in
+    for that one-time index build. Reference analog: the per-SST vector
+    index (src/index/src/vector.rs, RFC docs/rfcs/2025-12-05-vector-index.md).
+    Returns (query_id, vec_id, sim, rank) like brute_force_topk; with
+    n_probe == n_centroids the result is exact.
+
+    With ``index_path`` (written by :func:`build_ivf_index`) the persisted
+    centroids and (id, cell) keys are loaded — no retraining; the corpus
+    supplies the vectors (the stored index is keys-only, like the
+    reference's per-SST cell layout)."""
+    # corpus norms precomputed once per row (the assign/probe/score cosines
+    # all reuse them — same IEEE-754 folds, 3x less interpreted-HOF work)
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+                      vec_norm(F.col(vec_col)).alias("cvn"))
+
+    if index_path is not None:
+        # persisted index (build_ivf_index): stored centroids + (id, cell)
+        # keys; the corpus supplies the vectors — no retraining
+        import os
+
+        spark = corpus.sparkSession
+        cent = spark.read.parquet(os.path.join(index_path, "centroids"))
+        corpus_cells = (
+            spark.read.parquet(os.path.join(index_path, "cells"))
+            .join(c, "cid"))
+    else:
+        cent, corpus_cells = _train_ivf(c, n_centroids, iters)
 
     # each query probes its n_probe nearest cells (query set is small and
     # broadcast throughout — the rank window shuffles queries only)

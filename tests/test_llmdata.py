@@ -295,6 +295,28 @@ def test_hnsw_index_persistence(spark, sf_dir, tmp_path):
     assert len(s1) > 0
 
 
+def test_ivf_index_persistence(spark, sf_dir, tmp_path):
+    """build_ivf_index writes centroids + (id, cell) keys; ivf_topk
+    (index_path=) searches without retraining, identical to the inline
+    trainer."""
+    from greptimedb_spark.queries import read
+
+    e = read(spark, sf_dir, "embeddings").limit(300).cache()
+    queries = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = str(tmp_path / "ivf_idx")
+    sim.build_ivf_index(e, idx, n_centroids=16, iters=1)
+    inline = sorted((r.query_id, r.vec_id, r.sim, r.rank)
+                    for r in sim.ivf_topk(e, queries, k=5, n_centroids=16,
+                                          n_probe=8, iters=1).collect())
+    stored = sorted((r.query_id, r.vec_id, r.sim, r.rank)
+                    for r in sim.ivf_topk(e, queries, k=5, n_probe=8,
+                                          index_path=idx).collect())
+    assert stored == inline
+    assert len(stored) > 0
+
+
 def test_dedup_clusters_connected_components(spark):
     """a-b, b-c chain into one component; d-e another; singleton f absent
     (no edges). keep_id = min member."""
