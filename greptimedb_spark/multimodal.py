@@ -83,6 +83,47 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, media_col).mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, n_channels int, "
+    "orig_width int, orig_height int, resized binary"
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  id_col: str = "doc_id",
+                  media_col: str = "media") -> DataFrame:
+    """Resize plumbing over mapInPandas: one Arrow batch in, one out, with
+    typed (width, height, n_channels) metadata and the resized payload.
+
+    The pixel work is the documented codec stub — a real deployment decodes
+    with Pillow and emits the actual width*height*3 buffer:
+
+        raise NotImplementedError("install pillow and replace this stub")
+
+    The fake emits a DETERMINISTIC 64-byte digest of (payload, dims) as the
+    'resized' bytes, so the schema/partitioning/batch shape — the parts
+    Spark owns — are fully exercised and byte-stable for tests. Output rows
+    ride the input's partitioning (no shuffle: resize is a map stage)."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, b in zip(pdf[id_col], pdf[media_col]):
+                b = bytes(b)
+                meta = decode_image_stub(b)
+                digest = hashlib.blake2b(
+                    b + f":{width}x{height}".encode(), digest_size=64
+                ).digest()
+                rows.append((int(did), width, height, 3,
+                             meta["fake_width"], meta["fake_height"], digest))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_channels",
+                "orig_width", "orig_height", "resized"])
+
+    return df.select(id_col, media_col).mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def sample_frames(df: DataFrame, id_col: str, media_col: str,
                   every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing: explode a media payload into frame rows with

@@ -254,6 +254,25 @@ def test_multimodal_frame_sampling(spark, sf_dir):
     assert len(frames) >= 10
 
 
+def test_multimodal_resize(spark, sf_dir):
+    """resize_images: typed dims metadata + deterministic stub payload, a
+    pure map stage (schema + Arrow batch shape are the Spark-owned parts)."""
+    import hashlib
+
+    from greptimedb_spark.queries import read
+
+    d = read(spark, sf_dir, "documents").limit(20)
+    out = MM.resize_images(MM.attach_binary(d, "text"), 224, 224).collect()
+    assert len(out) == 20
+    raw = {r.doc_id: r.text.encode() for r in d.collect()}
+    for r in out:
+        assert (r.width, r.height, r.n_channels) == (224, 224, 3)
+        assert r.orig_width == (len(raw[r.doc_id]) % 64) + 1
+        want = hashlib.blake2b(raw[r.doc_id] + b":224x224",
+                               digest_size=64).digest()
+        assert bytes(r.resized) == want
+
+
 def test_flow_session_window(spark, tmp_path):
     """Session windows — Spark-native bonus beyond the reference's tumble-only
     flow engine (SURVEY §2.11)."""
