@@ -151,10 +151,14 @@ def register(spark) -> None:
         "try_to_timestamp(trim(x), 'yyyy-MM-dd HH:mm:ssXXX'), "
         "try_to_timestamp(trim(x), 'yyyy-MM-dd'))) END"
     )
-    # clamp family (reference scalars/math/clamp.rs) — pure min/max algebra
+    # clamp family (reference scalars/math/clamp.rs) — pure min/max algebra;
+    # min > max raises (function/arithmetic.sql golden), via raise_error in
+    # the branch so constant-folding surfaces it at execution
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION clamp(x DOUBLE, lo DOUBLE, "
-        "hi DOUBLE) RETURNS DOUBLE RETURN least(greatest(x, lo), hi)"
+        "hi DOUBLE) RETURNS DOUBLE RETURN CASE WHEN lo > hi THEN "
+        "CAST(raise_error(concat('min ', lo, ' > max ', hi)) AS DOUBLE) "
+        "ELSE least(greatest(x, lo), hi) END"
     )
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION clamp_min(x DOUBLE, lo DOUBLE) "

@@ -7,7 +7,10 @@ from pyspark.sql import functions as F
 
 
 def clamp(col, lo, hi) -> Column:
-    """clamp(v, lo, hi) — reference math/clamp.rs."""
+    """clamp(v, lo, hi) — reference math/clamp.rs (min > max is rejected,
+    function/arithmetic.sql golden)."""
+    if isinstance(lo, (int, float)) and isinstance(hi, (int, float)) and lo > hi:
+        raise ValueError(f"min '{lo}' > max '{hi}'")
     return F.least(F.greatest(F.col(col) if isinstance(col, str) else col, F.lit(lo)), F.lit(hi))
 
 

@@ -851,6 +851,10 @@ class PromQLEngine:
             c = F.col("value")
             if fn == "clamp":
                 lo, hi = self._eval(node.args[1], ctx), self._eval(node.args[2], ctx)
+                if isinstance(lo, (int, float)) and isinstance(hi, (int, float)) \
+                        and lo > hi:
+                    # promql/scalar.sql: clamp with min > max is an error
+                    raise ValueError(f"min '{lo}' > max '{hi}'")
                 c = F.least(F.greatest(c, F.lit(lo)), F.lit(hi))
             elif fn == "clamp_min":
                 c = F.greatest(c, F.lit(self._eval(node.args[1], ctx)))
@@ -903,10 +907,11 @@ class PromQLEngine:
             # single-series input passes through row-for-row (missing steps
             # stay missing); zero rows or >1 series → full NaN grid
             v = self._eval(node.args[0], ctx)
-            if isinstance(v, (int, float)):
-                return self._scalar_vector(float(v), ctx)
-            if v.is_scalar:
-                return v
+            if isinstance(v, (int, float)) or v.is_scalar:
+                # promql/scalar.sql: scalar() of something already scalar
+                # (literal arithmetic, nested scalar()) is a type error
+                raise ValueError(
+                    "invalid parameter of function scalar, expected vector")
             if v.labels:
                 ns = F.count_distinct(F.struct(*[F.col(l) for l in v.labels]))
             else:
@@ -1147,6 +1152,10 @@ class PromQLEngine:
             sc = F.lit(s)
             a, b = (sc, c) if flipped else (c, sc)
             if op in self._CMP:
+                if v.is_scalar and not node.bool_modifier:
+                    # promql/time_fn.sql: scalar-vs-scalar comparison
+                    raise ValueError(
+                        "comparisons between scalars must use BOOL modifier")
                 cond = self._cmp_col(op, a, b)
                 if node.bool_modifier or v.is_scalar:
                     out = v.df.withColumn("value", cond.cast("double"))
@@ -1163,6 +1172,9 @@ class PromQLEngine:
             )
             a, b = F.col("__lv"), F.col("__rv")
             if op in self._CMP:
+                if not node.bool_modifier:
+                    raise ValueError(
+                        "comparisons between scalars must use BOOL modifier")
                 val = self._cmp_col(op, a, b).cast("double")
             else:
                 val = self._arith_col(op, a, b)

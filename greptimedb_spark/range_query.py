@@ -80,6 +80,22 @@ def parse_duration_ms(text) -> int:
     return int(total)
 
 
+def parse_range_ms(text) -> int:
+    """RANGE/ALIGN interval parse with the reference planner's extra rules
+    (range/to.sql, range/interval.sql error goldens): calendar year/month
+    units are rejected (variable length — a fixed-ms grid would be silently
+    wrong) and the folded value must be strictly positive."""
+    raw = text if isinstance(text, str) else str(text)
+    if re.search(r"(?i)\b(?:years?|months?|mons?)\b|\d\s*y\b", raw):
+        raise ValueError(
+            f"Year or month interval is not allowed in range query: {raw!r}")
+    ms = parse_duration_ms(text)
+    if ms <= 0:
+        raise ValueError(
+            f"Illegal argument {raw!r} in range select query")
+    return ms
+
+
 def _fold_now_expr(t: str) -> int:
     """Constant-fold a TO expression whose now() terms cancel (range/to.sql):
     now()→0, INTERVAL literals→ms, then arithmetic."""
@@ -192,7 +208,7 @@ def range_select(
     """
     by_specs = _normalize_by(by)
     by = [a for _, a in by_specs]
-    align_ms = parse_duration_ms(align)
+    align_ms = parse_range_ms(align)
     to_ms = _origin_ms(to)
     if not aggs:
         # e.g. `RANGE (now() - INTERVAL '1' day)` — a non-constant range
@@ -294,6 +310,16 @@ def range_select(
                 ),
             )
         else:  # constant literal, e.g. FILL 6 / FILL 1.5
+            # the constant must fit the aggregate's type — FILL 3.0 into an
+            # integer column is rejected, not silently widened
+            # (range/error.sql fill-option golden)
+            col_type = dict(out.dtypes).get(a.alias, "")
+            lit = str(a.fill).strip("'\"")
+            if col_type in ("bigint", "int", "smallint", "tinyint") and \
+                    not re.fullmatch(r"[+-]?\d+", lit):
+                raise ValueError(
+                    f"{a.fill} is not a valid fill option, fail to convert "
+                    f"to a const value of {col_type}")
             out = out.withColumn(a.alias, F.coalesce(c, F.expr(str(a.fill))))
     return out.select(
         F.timestamp_millis(F.col("__step")).alias(time_index), *by, *[a.alias for a in aggs]
@@ -437,7 +463,7 @@ def parse_range_sql(sql: str) -> dict:
         body = item[: alias_m.start()] if alias_m else item
 
         def sub(m: re.Match, idx=idx) -> str:
-            rng = parse_duration_ms(m.group("range") or m.group("range_p"))
+            rng = parse_range_ms(m.group("range") or m.group("range_p"))
             agg_text = m.group("agg")
             if agg_text.lstrip().startswith("("):
                 # (min(val) + max(val)) RANGE '20s': the range applies to

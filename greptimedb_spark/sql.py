@@ -1282,12 +1282,14 @@ class GreptimeSQL:
             with_text = _balanced_paren(tail[wm.end() - 1 :])[0] if wm else None
         if m:
             cols, tags, time_index = [], [], None
+            pk_sites = 0
             for item in _split_columns(cols_text):
                 item = item.strip()
                 if not item:
                     continue
                 pk_inline = re.match(r"PRIMARY\s+KEY\s*\(([^)]*)\)", item, re.IGNORECASE)
                 if pk_inline:
+                    pk_sites += 1
                     tags.extend(
                         _ident_case(c.strip()) for c in pk_inline.group(1).split(",")
                     )
@@ -1328,7 +1330,24 @@ class GreptimeSQL:
                             " timestamp")
                     time_index = entry[0]
                 if is_pk:
+                    pk_sites += 1
                     tags.append(entry[0])
+            if pk_sites > 1:
+                # one PRIMARY KEY definition only — inline or constraint,
+                # never both / twice (create/create.sql goldens)
+                raise ValueError(
+                    "Illegal primary keys definition: found definitions of "
+                    "primary keys in multiple places")
+            for entry in cols:
+                idx6 = entry[6] if len(entry) > 6 and isinstance(entry[6], dict) else None
+                if idx6 and "fulltext" in idx6:
+                    # CREATE-time fulltext validation: string columns only,
+                    # option values checked (create_with_fulltext.sql)
+                    if entry[1] != "string":
+                        raise ValueError(
+                            f"Invalid column option, column name: {entry[0]}"
+                            ", error: FULLTEXT index only supports string type")
+                    self._validate_fulltext_opts(idx6["fulltext"])
             opts = {}
             if with_text:
                 for kv in _split_quoted_csv(with_text):
@@ -1354,6 +1373,12 @@ class GreptimeSQL:
             if tfn and not re.fullmatch(r"\d+", tfn):
                 raise ValueError(
                     "Invalid options: invalid digit found in string")
+            rgc = opts.get("max_row_group_row_count")
+            if rgc is not None and (not re.fullmatch(r"\d+", rgc) or
+                                    not (0 < int(rgc) <= 10485760)):
+                raise ValueError(
+                    "Invalid region options, max_row_group_row_count must "
+                    f"be in (0, 10485760], got {rgc}")
             is_metric = bool(re.search(r"ENGINE\s*=\s*metric", tail, re.IGNORECASE))
             if is_metric:
                 seen_names: dict[str, int] = {}
@@ -3306,6 +3331,14 @@ class GreptimeSQL:
                 return self._empty_ok()
             if not or_replace:
                 raise ValueError(f"Flow already exists: greptime.{name}")
+        # the sink must not be one of the flow body's source tables —
+        # a flow feeding itself recomputes forever (flow_basic.sql golden)
+        src_tables = {t.lower() for t in re.findall(
+            r"(?is)\bFROM\s+([A-Za-z_]\w*)", select_text or "")}
+        if sink.lower() in src_tables:
+            raise ValueError(
+                "Invalid flow query: sink table "
+                f"{sink} is same as source table")
         if re.search(r"EVAL\s+INTERVAL", stmt or "", re.IGNORECASE):
             # a SCHEDULED TQL flow's range bounds must be now()-relative —
             # absolute numeric bounds are rejected by the parser
@@ -5598,6 +5631,13 @@ class GreptimeSQL:
                 # tables (alter_physical_table.sql golden)
                 raise ValueError(
                     "Alter request to physical region is forbidden")
+            for entry, *_rest in parsed:
+                if len(entry) > 2 and str(entry[2]).lower().startswith("json2") \
+                        and not getattr(meta0, "append_mode", False):
+                    # same rule as CREATE (types/json/json2_limit.sql)
+                    raise ValueError(
+                        f"Invalid SQL, error: JSON2 column `{entry[0]}` "
+                        "requires append_mode='true'")
             existing = {e[0] for e in self._col_entries(name)}
             pending = set()
             for entry, if_not_exists, _pos, _after, _pk in parsed:
@@ -5824,6 +5864,13 @@ class GreptimeSQL:
                     flush_ms = -1
                 if flush_ms <= 0:
                     # must be a positive duration (alter_auto_flush_interval)
+                    raise ValueError(
+                        "Invalid set table option request: Invalid set "
+                        f"region option request, key: {key}, value: {val}")
+            if key == "max_row_group_row_count" and val not in (None, ""):
+                if not re.fullmatch(r"\d+", val) or \
+                        not (0 < int(val) <= 10485760):
+                    # create_row_group_size.sql: must be in (0, 10485760]
                     raise ValueError(
                         "Invalid set table option request: Invalid set "
                         f"region option request, key: {key}, value: {val}")
@@ -7548,6 +7595,16 @@ def _parse_col_def(item: str):
         rest, re.IGNORECASE,
     )
     default = dm.group(1) if dm else None
+    if default is not None and re.fullmatch(r"[A-Za-z_]\w*", default) and \
+            default.upper() not in ("NULL", "TRUE", "FALSE",
+                                    # SQL-standard paren-less datetime forms
+                                    "CURRENT_TIMESTAMP", "CURRENT_DATE",
+                                    "CURRENT_TIME"):
+        # any other bare identifier is not a value — `default now` needs
+        # now() (create/current_timestamp.sql golden)
+        raise ValueError(
+            f"Unsupported default constraint for column: '{col}', "
+            f"reason: expr '{default}' not supported")
     not_null = bool(re.search(r"\bNOT\s+NULL\b", rest, re.IGNORECASE))
     is_ti = bool(re.search(r"TIME\s+INDEX", rest, re.IGNORECASE))
     if is_ti and re.search(r"TIME\s+INDEX\s+NULL\b", rest, re.IGNORECASE):
