@@ -613,3 +613,55 @@ def ivfpq_topk(
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k)
+
+
+def semdedup(
+    corpus: DataFrame,
+    eps: float = 0.5,
+    n_centroids: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication à la SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the deterministic IVF coarse
+    trainer, then inside each cluster drop every vector whose cosine
+    similarity to a LOWER-id cluster member reaches ``eps`` (the lowest id
+    of each semantic group survives). Returns the keepers as
+    (``id_col``, cell).
+
+    Scale shape: the quadratic compare is confined to one cluster at a time
+    — exactly the paper's trick for web-scale corpora. The join key is the
+    cell id, so candidate pairs are O(Σ |cell|²) instead of O(n²), and the
+    cell sizes are controlled by ``n_centroids``. No driver-side
+    materialization; the centroid relation rides a broadcast inside
+    ``_train_ivf``.
+
+    Determinism: same pinned spec as ivf_topk/gen_q57 (hash-sampled init,
+    ``iters`` Lloyd rounds, cosine ties to the lower centroid id); the
+    duplicate test compares the UNROUNDED float64 ordered-fold cosine so an
+    independent sequential reimplementation reproduces it bit-for-bit.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        vec_norm(F.col(vec_col)).alias("cvn"),
+    )
+    _, cells = _train_ivf(c, n_centroids, iters)
+    a, b = cells.alias("a"), cells.alias("b")
+    sim = vec_dot_product(F.col("a.cv"), F.col("b.cv")) / (
+        F.col("a.cvn") * F.col("b.cvn")
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.cid") < F.col("b.cid")),
+        )
+        .filter(sim >= eps)
+        .select(F.col("b.cid").alias("cid"))
+        .distinct()
+    )
+    return cells.join(dups, "cid", "left_anti").select(
+        F.col("cid").alias(id_col), F.col("centroid_id").alias("cell")
+    )

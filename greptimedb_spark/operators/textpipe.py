@@ -1,0 +1,231 @@
+"""Training-data text-pipeline operators: repetition/quality signals,
+concat-and-chunk sequence packing, and hash-threshold stratified sampling.
+
+These extend the reference's text surface (full-text search + the scalar
+text helpers in functions/text.py) with the document-level operations a
+100 TB pretraining-data pipeline runs between dedup and tokenization:
+
+- :func:`repetition_signals` — Gopher-style repetition ratios (distinct-token
+  ratio, top-bigram fraction, duplicate-trigram fraction), computed entirely
+  with array column algebra inside the scan stage: no explode, no shuffle,
+  no UDF. At 100 TB this is a map-only pass.
+- :func:`pack_concat_chunks` — GPT-style "concatenate all documents in a
+  fixed order and cut into fixed-size token chunks" packing. The global
+  running token offset is computed with a two-level cumulative sum (per-
+  bucket windows in parallel + one tiny window over bucket totals) so no
+  single reducer ever sees more than one bucket of rows.
+- :func:`stratified_hash_sample` — deterministic per-stratum subsampling
+  (data mixing) by comparing a content-independent md5(id) prefix against a
+  per-stratum threshold. Map-only: no shuffle, no count pass, reproducible
+  across engines and runs.
+
+Reference scope note: GreptimeDB itself stops at full-text search and scalar
+string functions; these operators are the "beyond the reference" pipeline
+surface called for by the project brief, built Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm_tokens(text_col) -> Column:
+    """Whitespace tokens of the normalized text (same normalization as the
+    dedup family: lower, trim, collapse whitespace runs)."""
+    c = text_col if isinstance(text_col, Column) else F.col(text_col)
+    return F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
+
+
+def _token_ngrams(toks: Column, n: int) -> Column:
+    """Token n-grams joined by a single space, as an array column.
+    size = max(0, size(toks) - n + 1); pure column algebra. Docs shorter than
+    ``n`` tokens get an empty array (sequence(1, 0) would count DOWN)."""
+    cnt = F.size(toks) - (n - 1)
+    return F.when(cnt <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def _max_element_count(arr: Column) -> Column:
+    """Count of the most frequent element of ``arr``: sort the array, then a
+    single ordered fold tracks the current run length and the best run.
+    Stays in whole-stage codegen — no explode/groupBy for a per-row mode."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    return F.aggregate(
+        F.array_sort(arr),
+        acc0,
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_bigram_frac: float = 0.08,
+    max_dup_trigram_frac: float = 0.05,
+    min_distinct_ratio: float = 0.3,
+) -> DataFrame:
+    """Per-document repetition/quality signals in the spirit of the Gopher
+    quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1) adapted to
+    token n-grams:
+
+    - ``distinct_ratio``   = |distinct tokens| / |tokens|
+    - ``top_bigram_frac``  = occurrences of the most frequent token 2-gram
+                             / total 2-grams (0.0 when the doc has < 2 tokens)
+    - ``dup_trigram_frac`` = fraction of 3-gram occurrences that are repeats
+                             of an earlier identical 3-gram
+    - ``repetition_ok``    = all three signals inside the thresholds
+
+    Everything is array column algebra on the scan stage: the plan is a
+    single Project over the parquet scan (no shuffle, no Python). At 100 TB
+    this is the cheapest possible shape — one map-only pass, usually fused
+    with whatever filter consumes ``repetition_ok``.
+    """
+    toks = _norm_tokens(text_col)
+    d = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        _token_ngrams(toks, 2).alias("_bi"),
+        _token_ngrams(toks, 3).alias("_tri"),
+    )
+    n_tok = F.size("_toks")
+    n_bi = F.size("_bi")
+    n_tri = F.size("_tri")
+    distinct_ratio = F.round(F.size(F.array_distinct("_toks")) / n_tok, 6)
+    top_bigram_frac = F.when(n_bi == 0, F.lit(0.0)).otherwise(
+        F.round(_max_element_count(F.col("_bi")) / n_bi, 6)
+    )
+    dup_trigram_frac = F.when(n_tri == 0, F.lit(0.0)).otherwise(
+        F.round((n_tri - F.size(F.array_distinct("_tri"))) / n_tri, 6)
+    )
+    out = d.select(
+        F.col(id_col),
+        n_tok.cast("bigint").alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        dup_trigram_frac.alias("dup_trigram_frac"),
+    )
+    return out.withColumn(
+        "repetition_ok",
+        (F.col("distinct_ratio") >= min_distinct_ratio)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        & (F.col("dup_trigram_frac") <= max_dup_trigram_frac),
+    )
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    bucket_span: int = 4096,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: documents are laid end to end
+    in ``id_col`` order and the token stream is cut into fixed
+    ``chunk_tokens``-size training chunks (the classic GPT pretraining
+    packing). Returns per document: token count, global start/end chunk
+    index, and how many chunks the document spans.
+
+    Scale shape: the naive ``Window.orderBy(id)`` running sum puts the whole
+    table on ONE reducer. Instead the cumulative sum is two-level:
+
+    1. rows are grouped into buckets of ``bucket_span`` ids; the within-
+       bucket running sum is a window PARTITIONED by bucket (parallel);
+    2. bucket totals (|rows| / bucket_span of them) get their own tiny
+       exclusive-prefix window and are broadcast back as per-bucket offsets.
+
+    No reducer ever holds more than one bucket; the bucket-totals window is
+    a few thousand rows per billion documents.
+    """
+    toks = _norm_tokens(text_col)
+    d = df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.floor(F.col(id_col) / bucket_span).alias("_bucket"),
+    )
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
+    totals = d.groupBy("_bucket").agg(F.sum("n_tokens").alias("_tot"))
+    w_off = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_bucket", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+    )
+    cum = F.col("_off") + F.col("_cum_in")
+    start = cum - F.col("n_tokens")
+    return (
+        d.join(F.broadcast(offsets), "_bucket")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.floor(start / chunk_tokens).cast("bigint").alias("start_chunk"),
+            F.floor((cum - 1) / chunk_tokens).cast("bigint").alias("end_chunk"),
+        )
+        .withColumn(
+            "n_chunks", (F.col("end_chunk") - F.col("start_chunk") + 1).cast("bigint")
+        )
+    )
+
+
+def _frac_to_hex8(frac: float) -> str:
+    """Per-stratum keep threshold as an 8-hex-digit string: a row is kept iff
+    the first 8 hex chars of md5(id) compare lexicographically below it.
+    Hex-string order == numeric order for fixed-width lowercase hex, and the
+    md5 prefix is uniform, so P(keep) = floor(frac * 2^32) / 2^32 exactly —
+    the same rows in any engine with a standard md5."""
+    n = int(frac * 4294967296.0)
+    if n >= 4294967296:
+        return "g"  # above every hex digit: keep all
+    return format(max(0, n), "08x")
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    fractions: dict[str, float] | None = None,
+    default_frac: float = 0.1,
+) -> DataFrame:
+    """Deterministic stratified subsample (training-data mixing): keep each
+    row with its stratum's probability, decided by hashing the row id —
+    ``substr(md5(cast(id as string)), 1, 8) < threshold(stratum)``.
+
+    Map-only: no shuffle, no per-group count pass, no RNG state. The same
+    (id, stratum) always makes the same decision, so mixes are reproducible
+    across runs, engines, and data layouts — at 100 TB the sample is a pure
+    filter pushed to the scan, and re-running after appending new data never
+    flips old rows. (Per-stratum counts land within binomial noise of the
+    target fraction; use a window-rank variant when an exact quota matters
+    more than a second shuffle.)
+    """
+    fractions = fractions or {}
+    u = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    thresh = F.lit(_frac_to_hex8(default_frac))
+    for key, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == key, F.lit(_frac_to_hex8(frac))).otherwise(
+            thresh
+        )
+    return df.filter(u < thresh)

@@ -109,8 +109,97 @@ FROM documents
 """
 
 
+# -- q87: InfluxDB line-protocol ingest round-trip ------------------------------------
+# Events are FORMATTED as line protocol inside Spark, then PARSED back by
+# sources/protocols.parse_influx_lines (the reference's /influxdb/write
+# conversion, src/servers/src/influxdb.rs:55-105) and aggregated. The oracle
+# computes the same aggregate straight from the table, so the whole
+# format→tokenize→type→timestamp path must be the identity to hash-match.
+
+def q87_influx_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    from greptimedb_spark.sources import protocols as proto
+
+    e = read(spark, sf, "events")
+    lines = e.select(F.format_string(
+        "events,event_type=%s value=%s,user_id=%si %d",
+        "event_type", F.col("value").cast("string"), "user_id",
+        F.unix_micros("ts") * 1000).alias("line"))
+    parsed = proto.parse_influx_lines(lines, precision="ns")
+    vals = parsed.filter(F.col("field_key") == "value")
+    uids = parsed.filter(F.col("field_key") == "user_id")
+    return (
+        vals.groupBy(F.col("tags")["event_type"].alias("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("v_f64").cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_value"),
+            F.unix_millis(F.max(proto.TIME_INDEX)).alias("max_ts_ms"),
+        )
+        .join(
+            uids.groupBy(F.col("tags")["event_type"].alias("event_type"))
+            .agg(F.sum("v_i64").alias("sum_user_id")),
+            "event_type",
+        )
+        .select("event_type", "n", "sum_value", "sum_user_id", "max_ts_ms")
+    )
+
+
+Q87_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+       MAX(epoch_ms(ts)) AS max_ts_ms
+FROM events GROUP BY event_type
+"""
+
+
+# -- q88: OpenTSDB put-line ingest round-trip ------------------------------------------
+# Same identity proof for the pure-column-algebra opentsdb parser
+# (src/servers/src/opentsdb/codec.rs:38-183): seconds-vs-ms heuristic is
+# exercised by emitting second-resolution stamps for even event_ids.
+
+def q88_opentsdb_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    from greptimedb_spark.sources import protocols as proto
+
+    e = read(spark, sf, "events")
+    ms = F.unix_millis("ts")
+    lines = e.select(F.format_string(
+        "put events.value %d %s event_type=%s uid=%d",
+        F.when(F.col("event_id") % 2 == 0, (ms / 1000).cast("long")).otherwise(ms),
+        F.col("value").cast("string"), "event_type", "user_id").alias("line"))
+    parsed = proto.parse_opentsdb_puts(lines)
+    return (
+        parsed.filter(F.col("err").isNull())
+        .groupBy(F.col("tags")["event_type"].alias("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col(proto.VALUE_COL).cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_value"),
+            F.sum(F.unix_millis(proto.TIME_INDEX)).alias("sum_ts_ms"),
+        )
+    )
+
+
+Q88_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+       CAST(SUM(CASE WHEN event_id % 2 = 0
+                THEN (epoch_ms(ts) // 1000) * 1000
+                ELSE epoch_ms(ts) END) AS BIGINT) AS sum_ts_ms
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q70_logquery": QuerySpec(q70_logquery, Q70_SQL, "log DSL: compound/prefix/regex/between"),
     "q71_pipeline": QuerySpec(q71_pipeline, Q71_SQL, "ETL: dissect/letter/json/digest/join"),
     "q72_multimodal": QuerySpec(q72_multimodal, Q72_SQL, "binary col + mapInPandas features"),
+    "q87_influx_ingest": QuerySpec(
+        q87_influx_ingest, Q87_SQL, "influx line-protocol parse round-trip"
+    ),
+    "q88_opentsdb_ingest": QuerySpec(
+        q88_opentsdb_ingest, Q88_SQL, "opentsdb put parse round-trip"
+    ),
 }

@@ -1,0 +1,267 @@
+"""Ingest-protocol parsers: InfluxDB line protocol and OpenTSDB ``put``.
+
+The reference ingests both text protocols over HTTP/TCP and converts them to
+row inserts (influx: src/servers/src/influxdb.rs:55-105, opentsdb:
+src/servers/src/opentsdb/codec.rs:38-105). Here the same conversion is a
+DataFrame transformation over a column of protocol lines — the Spark-side
+stand-in is "read the protocol payloads as text (batch or readStream) and
+parse them to typed rows", after which `Catalog.insert` or a streaming sink
+takes over. Semantics parity:
+
+- influx: measurement → table, tags → string key columns, fields typed by
+  the public line-protocol suffix rules (bare float, ``i`` int64, ``u``
+  uint64, quoted string, t/f/true/false bool), timestamp defaults to
+  NANOSECOND precision (influxdb.rs:28) and lands in the reference's default
+  time-index column name ``greptime_timestamp``; full escape handling
+  (measurement: ``\\,`` ``\\ ``; tag/field keys+tag values: ``\\,`` ``\\=``
+  ``\\ ``; string field values: ``\\"`` ``\\\\``) per the published InfluxDB
+  line-protocol spec.
+- opentsdb: ``put <metric> <ts> <value> <tag=v>...``; ts with fewer than 13
+  digits is seconds → ms (codec.rs:175-183), value is f64 in
+  ``greptime_value``, duplicate tags are an error. Malformed lines surface
+  the reference's error strings in an ``err`` column instead of failing the
+  batch (a server rejects one request; a 100 TB backfill must quarantine bad
+  lines and keep going).
+
+Parsing influx lines is a character-level tokenizer (escapes make it
+non-regular), so it runs as an Arrow-batched ``mapInPandas`` — the slow path
+is confined to the ingest edge, one pass, no shuffle. OpenTSDB's
+whitespace-split grammar stays in pure column algebra.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TIME_INDEX = "greptime_timestamp"  # reference default time-index column name
+VALUE_COL = "greptime_value"       # reference default value column name
+
+# Long-format output: one row per field so heterogeneous field types survive
+# without a per-measurement schema. `influx_pivot` turns one measurement's
+# rows into a wide table.
+_INFLUX_SCHEMA = (
+    "table string, tags map<string,string>, field_key string, "
+    "field_type string, v_f64 double, v_i64 long, v_str string, v_bool boolean, "
+    f"{TIME_INDEX} timestamp, err string"
+)
+
+
+def _split_unescaped(s: str, seps: str) -> list[str]:
+    """Split on any char in ``seps`` that is neither backslash-escaped nor
+    inside a double-quoted string field value (quoted values may contain
+    spaces, commas, and '=' per the line-protocol spec)."""
+    out, cur, i, in_quotes = [], [], 0, False
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            cur.append(c)
+            cur.append(s[i + 1])
+            i += 2
+            continue
+        if c == '"':
+            in_quotes = not in_quotes
+            cur.append(c)
+        elif c in seps and not in_quotes:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return out
+
+
+def _unescape(s: str) -> str:
+    out, i = [], 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            out.append(s[i + 1])
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+def _parse_field_value(raw: str):
+    """(field_type, f64, i64, str, bool) per the line-protocol value grammar."""
+    if len(raw) >= 2 and raw[0] == '"' and raw[-1] == '"':
+        body, out, i = raw[1:-1], [], 0
+        while i < len(body):
+            if body[i] == "\\" and i + 1 < len(body) and body[i + 1] in ('"', "\\"):
+                out.append(body[i + 1])
+                i += 2
+            else:
+                out.append(body[i])
+                i += 1
+        return ("string", None, None, "".join(out), None)
+    if raw in ("t", "T", "true", "True", "TRUE"):
+        return ("boolean", None, None, None, True)
+    if raw in ("f", "F", "false", "False", "FALSE"):
+        return ("boolean", None, None, None, False)
+    if raw.endswith("i"):
+        return ("int64", None, int(raw[:-1]), None, None)
+    if raw.endswith("u"):
+        return ("uint64", None, int(raw[:-1]), None, None)
+    v = float(raw)  # raises ValueError on garbage → caught by caller
+    if math.isinf(v) or math.isnan(v):
+        raise ValueError(f"non-finite field value: {raw}")
+    return ("float64", v, None, None, None)
+
+
+_PRECISION_NS = {"ns": 1, "us": 1_000, "ms": 1_000_000, "s": 1_000_000_000}
+
+
+def _parse_influx_line(line: str, precision: str):
+    """One line → list of long-format tuples (or a single err tuple)."""
+    line = line.strip()
+    if not line or line.startswith("#"):
+        return []
+    try:
+        # 1. split off the field-set and optional timestamp on unescaped
+        #    spaces; the first segment is measurement[,tag=v...]
+        parts = _split_unescaped(line, " ")
+        parts = [p for p in parts if p != ""]
+        if len(parts) < 2:
+            raise ValueError("missing field set")
+        head, fieldset = parts[0], parts[1]
+        ts_raw = parts[2] if len(parts) > 2 else None
+        if len(parts) > 3:
+            raise ValueError("unexpected trailing tokens")
+
+        head_parts = _split_unescaped(head, ",")
+        table = _unescape(head_parts[0])
+        if not table:
+            raise ValueError("empty measurement")
+        tags = {}
+        for t in head_parts[1:]:
+            kv = _split_unescaped(t, "=")
+            if len(kv) != 2 or not kv[0] or not kv[1]:
+                raise ValueError(f"invalid tag: {t}")
+            tags[_unescape(kv[0])] = _unescape(kv[1])
+
+        ts = None
+        if ts_raw is not None:
+            ns = int(ts_raw) * _PRECISION_NS[precision]
+            # timestamp column is µs-resolution (Spark TimestampType); the
+            # reference stores the declared precision — ns truncate to µs
+            ts = pd.Timestamp(ns // 1000, unit="us")
+
+        rows = []
+        for fkv in _split_unescaped(fieldset, ","):
+            kv = _split_unescaped(fkv, "=")
+            if len(kv) != 2 or not kv[0]:
+                raise ValueError(f"invalid field: {fkv}")
+            ftype, f64, i64, s, b = _parse_field_value(kv[1])
+            rows.append((table, tags, _unescape(kv[0]), ftype, f64, i64, s, b, ts, None))
+        if not rows:
+            raise ValueError("missing field set")
+        return rows
+    except (ValueError, KeyError, OverflowError) as e:
+        return [(None, None, None, None, None, None, None, None, None,
+                 f"invalid line protocol: {e}: {line[:120]}")]
+
+
+def parse_influx_lines(
+    lines: DataFrame, line_col: str = "line", precision: str = "ns"
+) -> DataFrame:
+    """Parse a column of InfluxDB line-protocol text into long-format typed
+    rows: (table, tags, field_key, field_type, v_*, greptime_timestamp, err).
+
+    ``precision`` mirrors the protocol's ``precision=`` query param; the
+    default is nanoseconds like the reference (influxdb.rs:28). Malformed
+    lines come back with ``err`` set and everything else NULL. Runs as one
+    Arrow-batched ``mapInPandas`` pass — no shuffle; downstream
+    ``influx_pivot`` or an aggregation decides the layout.
+    """
+    if precision not in _PRECISION_NS:
+        raise ValueError(f"unsupported precision: {precision}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["table", "tags", "field_key", "field_type", "v_f64", "v_i64",
+                "v_str", "v_bool", TIME_INDEX, "err"]
+        for pdf in batches:
+            out = []
+            for line in pdf[line_col]:
+                if line is not None:
+                    out.extend(_parse_influx_line(str(line), precision))
+            yield pd.DataFrame(out, columns=cols)
+
+    return lines.mapInPandas(gen, schema=_INFLUX_SCHEMA)
+
+
+def influx_pivot(parsed: DataFrame, table: str) -> DataFrame:
+    """One measurement's long-format rows → a wide table: tag columns stay in
+    the map, each field becomes a typed column (reference: one row-insert
+    schema per measurement, influxdb.rs:55-105). Field columns are typed by
+    their parsed type; conflicting types for one field key follow the
+    last-writer of the pivot aggregate (the reference rejects such batches)."""
+    rows = parsed.filter(F.col("err").isNull() & (F.col("table") == table))
+    keyed = rows.groupBy("tags", TIME_INDEX).pivot("field_key").agg(
+        F.first(
+            F.coalesce(
+                F.col("v_f64").cast("string"),
+                F.col("v_i64").cast("string"),
+                F.col("v_str"),
+                F.col("v_bool").cast("string"),
+            )
+        )
+    )
+    return keyed
+
+
+def parse_opentsdb_puts(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse OpenTSDB telnet-style ``put`` lines with pure column algebra
+    (the grammar is whitespace-split — no escapes, so no Python is needed):
+    ``put <metric> <ts> <value> [<tagk=tagv> ...]``.
+
+    Output: (metric, greptime_timestamp, greptime_value, tags, err); the
+    reference's error strings are reproduced in ``err`` for malformed lines
+    (opentsdb/codec.rs:38-105). ts < 13 digits is seconds → ms
+    (codec.rs:175-183)."""
+    toks = F.split(F.trim(F.col(line_col)), r"\s+")
+    cmd = F.element_at(toks, 1)
+    metric = F.element_at(toks, 2)
+    ts_raw = F.element_at(toks, 3)
+    val_raw = F.element_at(toks, 4)
+    tag_toks = F.slice(toks, 5, F.greatest(F.size(toks) - 4, F.lit(0)))
+
+    ts_num = ts_raw.try_cast("long")
+    # digits < 13 means seconds (reference comment: 13-digit epoch-ms starts
+    # in 2286 and 12-digit ms ended in 2001)
+    ts_ms = F.when(F.length(F.regexp_replace(ts_raw, "^-", "")) < 13, ts_num * 1000).otherwise(ts_num)
+    val_num = val_raw.try_cast("double")
+
+    tag_pairs = F.transform(tag_toks, lambda t: F.split(t, "="))
+    bad_tag = F.exists(
+        tag_pairs,
+        lambda kv: (F.size(kv) != 2) | (F.element_at(kv, 1) == "") | (F.element_at(kv, 2) == ""),
+    )
+    tag_keys = F.transform(tag_pairs, lambda kv: F.element_at(kv, 1))
+    dup_tag = F.size(F.array_distinct(tag_keys)) != F.size(tag_keys)
+
+    err = (
+        F.when(cmd != "put", F.concat(F.lit("unknown command "), F.coalesce(cmd, F.lit("")), F.lit(".")))
+        .when(F.size(toks) < 4, F.format_string(
+            "put: illegal argument: not enough arguments (need least 4, got %d)", F.size(toks)))
+        .when(ts_num.isNull(), F.concat(F.lit("put: invalid timestamp: "), ts_raw))
+        .when(val_num.isNull(), F.concat(F.lit("put: invalid value: "), val_raw))
+        .when(bad_tag, F.lit("put: invalid tag"))
+        .when(dup_tag, F.lit("put: illegal argument: duplicate tag"))
+    )
+    tags = F.map_from_entries(
+        F.transform(tag_pairs, lambda kv: F.struct(
+            F.element_at(kv, 1).alias("key"), F.element_at(kv, 2).alias("value")))
+    )
+    return lines.select(
+        F.when(err.isNull(), metric).alias("metric"),
+        F.when(err.isNull(), F.timestamp_millis(ts_ms)).alias(TIME_INDEX),
+        F.when(err.isNull(), val_num).alias(VALUE_COL),
+        F.when(err.isNull(), tags).alias("tags"),
+        err.alias("err"),
+    )

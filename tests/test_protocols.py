@@ -1,0 +1,125 @@
+"""Tests for sources/protocols.py: InfluxDB line protocol + OpenTSDB put.
+
+Behavioral parity targets: reference influx conversion
+(src/servers/src/influxdb.rs:55-133, incl. its 4-line test vector) and
+opentsdb codec (src/servers/src/opentsdb/codec.rs:38-183).
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from greptimedb_spark.sources import protocols as proto
+
+
+def _parse(spark, lines, **kw):
+    df = spark.createDataFrame([Row(line=l) for l in lines])
+    return proto.parse_influx_lines(df, **kw).collect()
+
+
+def test_influx_reference_vector(spark):
+    # the reference's own test lines (influxdb.rs:127-131): 2 measurements,
+    # host tag, cpu/memory float fields, ns timestamps
+    rows = _parse(spark, [
+        "monitor1,host=host1 cpu=66.6,memory=1024 1663840496100023100",
+        "monitor1,host=host2 memory=1027 1663840496400340001",
+        "monitor2,host=host3 cpu=66.5 1663840496100023102",
+        "monitor2,host=host4 cpu=66.3,memory=1029 1663840496400340003",
+    ])
+    assert all(r["err"] is None for r in rows)
+    assert len(rows) == 6  # one long-format row per field
+    by_tbl = {}
+    for r in rows:
+        by_tbl.setdefault(r["table"], []).append(r)
+    assert {len(by_tbl["monitor1"]), len(by_tbl["monitor2"])} == {3}
+    m1 = {(r["tags"]["host"], r["field_key"]): r for r in by_tbl["monitor1"]}
+    assert m1[("host1", "cpu")]["v_f64"] == 66.6
+    assert m1[("host1", "memory")]["v_f64"] == 1024.0
+    # ns → µs truncation
+    assert m1[("host1", "cpu")][proto.TIME_INDEX].microsecond == 100023
+
+
+def test_influx_types_and_escapes(spark):
+    rows = _parse(spark, [
+        'weather,city=San\\ Diego temp=21.5,count=3i,ok=t,desc="clear \\"sky\\"" 1000000000',
+        'disk\\,0,path=/var used=12u',
+    ])
+    w = {r["field_key"]: r for r in rows if r["table"] == "weather"}
+    assert w["temp"]["field_type"] == "float64" and w["temp"]["v_f64"] == 21.5
+    assert w["count"]["field_type"] == "int64" and w["count"]["v_i64"] == 3
+    assert w["ok"]["field_type"] == "boolean" and w["ok"]["v_bool"] is True
+    assert w["desc"]["field_type"] == "string" and w["desc"]["v_str"] == 'clear "sky"'
+    assert w["temp"]["tags"]["city"] == "San Diego"
+    assert w["temp"][proto.TIME_INDEX].isoformat() == "1970-01-01T00:00:01"
+    d = [r for r in rows if r["table"] == "disk,0"]
+    assert len(d) == 1 and d[0]["v_i64"] == 12 and d[0][proto.TIME_INDEX] is None
+
+
+def test_influx_precision_and_errors(spark):
+    ok = _parse(spark, ["m f=1 1663840496"], precision="s")
+    assert ok[0][proto.TIME_INDEX].year == 2022
+    bad = _parse(spark, ["m1,badtag novalue", "", "# comment", "onlymeasurement"])
+    errs = [r for r in bad if r["err"] is not None]
+    assert len(errs) == 2  # blank + comment are dropped, two malformed lines
+    assert all(r["table"] is None for r in errs)
+    with pytest.raises(ValueError):
+        proto.parse_influx_lines(None, precision="h")
+
+
+def test_influx_pivot(spark):
+    df = spark.createDataFrame([Row(line=l) for l in [
+        "monitor1,host=host1 cpu=66.6,memory=1024 1663840496100023100",
+        "monitor1,host=host2 memory=1027 1663840496400340001",
+    ]])
+    wide = proto.influx_pivot(proto.parse_influx_lines(df), "monitor1")
+    got = {r["tags"]["host"]: r for r in wide.collect()}
+    assert got["host1"]["cpu"] == "66.6" and got["host1"]["memory"] == "1024.0"
+    assert got["host2"]["cpu"] is None and got["host2"]["memory"] == "1027.0"
+
+
+def test_opentsdb_put(spark):
+    df = spark.createDataFrame([Row(line=l) for l in [
+        "put sys.cpu.user 1663840496 42.5 host=web01 dc=lax",
+        "put sys.cpu.user 1663840496123 7 host=web02",       # 13 digits → ms
+        "get sys.cpu.user 1 2",                              # wrong command
+        "put sys.cpu.user notanumber 1 host=a",              # bad ts
+        "put sys.cpu.user 1663840496 NOPE host=a",           # bad value
+        "put sys.cpu.user 1663840496 1 host=a host=b",       # duplicate tag
+        "put m 1",                                           # not enough args
+    ]])
+    rows = proto.parse_opentsdb_puts(df).collect()
+    ok = [r for r in rows if r["err"] is None]
+    assert len(ok) == 2
+    a, b = sorted(ok, key=lambda r: r[proto.VALUE_COL])
+    assert b[proto.VALUE_COL] == 42.5 and b["tags"] == {"host": "web01", "dc": "lax"}
+    # seconds → ms conversion: both land at the same second
+    assert a[proto.TIME_INDEX].second == b[proto.TIME_INDEX].second
+    errs = {r["err"] for r in rows if r["err"] is not None}
+    assert "unknown command get." in errs
+    assert "put: invalid timestamp: notanumber" in errs
+    assert "put: invalid value: NOPE" in errs
+    assert "put: illegal argument: duplicate tag" in errs
+    assert "put: illegal argument: not enough arguments (need least 4, got 3)" in errs
+
+
+def test_influx_roundtrip_events(spark, sf_dir):
+    """format events as line protocol inside Spark, parse back, and compare
+    an aggregate against the direct path — parse ∘ format = identity."""
+    from pyspark.sql import functions as F
+
+    from greptimedb_spark.queries import read
+
+    e = read(spark, sf_dir, "events").limit(200)
+    lines = e.select(F.format_string(
+        "events,event_type=%s value=%s,user_id=%si %d",
+        "event_type", F.col("value").cast("string"), "user_id",
+        F.unix_micros("ts") * 1000).alias("line"))
+    parsed = proto.parse_influx_lines(lines)
+    assert parsed.filter(F.col("err").isNotNull()).count() == 0
+    got = (parsed.filter(F.col("field_key") == "value")
+           .groupBy(F.col("tags")["event_type"].alias("t"))
+           .agg(F.sum(F.col("v_f64").cast("decimal(18,2)")).alias("s"),
+                F.count("*").alias("c")))
+    want = e.groupBy(F.col("event_type").alias("t")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        F.count("*").alias("c"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

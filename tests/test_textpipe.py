@@ -1,0 +1,125 @@
+"""Tests for operators/textpipe.py (repetition signals, concat-and-chunk
+packing, hash-threshold stratified sampling) and similarity.semdedup."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from greptimedb_spark.operators import textpipe as tp
+from greptimedb_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a a a a"),
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="x y x y x y x y"),
+            Row(doc_id=3, text="one"),
+            Row(doc_id=4, text="  Mixed   CASE   mixed case  "),
+        ]
+    )
+
+
+def test_repetition_signals_values(docs):
+    rows = {r["doc_id"]: r for r in tp.repetition_signals(docs).collect()}
+    # "a a a a": 4 tokens, 1 distinct; bigrams ["a a"]*3 -> top frac 1.0;
+    # trigrams ["a a a"]*2 -> dup frac (2-1)/2 = 0.5
+    r0 = rows[0]
+    assert r0["n_tokens"] == 4
+    assert r0["distinct_ratio"] == 0.25
+    assert r0["top_bigram_frac"] == 1.0
+    assert r0["dup_trigram_frac"] == 0.5
+    assert not r0["repetition_ok"]
+    # 9 distinct-ish tokens: "the" twice; all bigrams unique
+    r1 = rows[1]
+    assert r1["n_tokens"] == 9
+    assert r1["distinct_ratio"] == round(8 / 9, 6)
+    assert r1["top_bigram_frac"] == round(1 / 8, 6)
+    assert r1["dup_trigram_frac"] == 0.0
+    # single-token doc: no bigrams/trigrams -> fracs 0, ratio 1
+    r3 = rows[3]
+    assert r3["n_tokens"] == 1
+    assert r3["distinct_ratio"] == 1.0
+    assert r3["top_bigram_frac"] == 0.0
+    assert r3["dup_trigram_frac"] == 0.0
+    # normalization: lower + collapse whitespace -> "mixed case mixed case"
+    r4 = rows[4]
+    assert r4["n_tokens"] == 4
+    assert r4["distinct_ratio"] == 0.5
+
+
+def test_pack_concat_chunks_exact(spark):
+    # token counts 3, 4, 5 with chunk size 4:
+    # doc 0: offs 0-2  -> chunk 0
+    # doc 1: offs 3-6  -> chunks 0-1
+    # doc 2: offs 7-11 -> chunks 1-2
+    d = spark.createDataFrame(
+        [Row(doc_id=0, text="a b c"), Row(doc_id=1, text="a b c d"),
+         Row(doc_id=2, text="a b c d e")]
+    )
+    rows = {r["doc_id"]: r for r in tp.pack_concat_chunks(d, chunk_tokens=4).collect()}
+    assert (rows[0]["start_chunk"], rows[0]["end_chunk"], rows[0]["n_chunks"]) == (0, 0, 1)
+    assert (rows[1]["start_chunk"], rows[1]["end_chunk"], rows[1]["n_chunks"]) == (0, 1, 2)
+    assert (rows[2]["start_chunk"], rows[2]["end_chunk"], rows[2]["n_chunks"]) == (1, 2, 2)
+
+
+def test_pack_concat_chunks_bucket_invariance(spark, sf_dir):
+    """The two-level cumulative sum must give the same global offsets for any
+    bucket_span — the parallel decomposition cannot change the math."""
+    from greptimedb_spark.queries import read
+
+    d = read(spark, sf_dir, "documents")
+    a = tp.pack_concat_chunks(d, chunk_tokens=128, bucket_span=7)
+    b = tp.pack_concat_chunks(d, chunk_tokens=128, bucket_span=10**6)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_stratified_hash_sample_exact_and_nested(spark, sf_dir):
+    from greptimedb_spark.queries import read
+
+    d = read(spark, sf_dir, "documents")
+    got = tp.stratified_hash_sample(
+        d, fractions={"en": 0.5}, default_frac=0.25
+    ).select("doc_id", "lang").collect()
+    for r in got:
+        u = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8]
+        assert u < ("80000000" if r["lang"] == "en" else "40000000")
+    # every kept row at frac f is kept at any f' > f (threshold monotonicity)
+    small = {r["doc_id"] for r in got}
+    big = {
+        r["doc_id"]
+        for r in tp.stratified_hash_sample(
+            d, fractions={"en": 0.9}, default_frac=0.5
+        ).select("doc_id").collect()
+    }
+    assert small <= big
+    # frac 1.0 keeps everything; frac 0.0 keeps nothing
+    assert tp.stratified_hash_sample(d, fractions={}, default_frac=1.0).count() == d.count()
+    assert tp.stratified_hash_sample(d, fractions={}, default_frac=0.0).count() == 0
+
+
+def test_semdedup_bounds(spark, sf_dir):
+    from greptimedb_spark.queries import read
+
+    e = read(spark, sf_dir, "embeddings").limit(120)
+    n = e.count()
+    # eps above +1: cosine never reaches it -> everything kept
+    all_kept = sim.semdedup(e, eps=1.01, n_centroids=8)
+    assert all_kept.count() == n
+    # eps at -1: every pair qualifies -> exactly one survivor per cell, and it
+    # is the cell's lowest id
+    one_per_cell = sim.semdedup(e, eps=-1.0, n_centroids=8).collect()
+    cells = {}
+    for r in all_kept.collect():
+        cells.setdefault(r["cell"], []).append(r["vec_id"])
+    assert sorted((r["cell"], r["vec_id"]) for r in one_per_cell) == sorted(
+        (c, min(ids)) for c, ids in cells.items()
+    )
+    # monotone: a stricter eps (lower) keeps a subset
+    k_040 = {r["vec_id"] for r in sim.semdedup(e, eps=0.40, n_centroids=8).collect()}
+    k_030 = {r["vec_id"] for r in sim.semdedup(e, eps=0.30, n_centroids=8).collect()}
+    assert k_030 <= k_040

@@ -492,6 +492,10 @@ def main() -> None:
     pq.write_table(t58, os.path.join(OUT_DIR, "oracle_q58_sf001.parquet"))
     print(f"q58: {t58.num_rows} rows")
 
+    t79 = gen_q79(vec_ids, raw_vecs)
+    pq.write_table(t79, os.path.join(OUT_DIR, "oracle_q79_sf001.parquet"))
+    print(f"q79: {t79.num_rows} rows")
+
     t84 = gen_q84()
     pq.write_table(t84, os.path.join(OUT_DIR, "oracle_q84_sf001.parquet"))
     print(f"q84: {t84.num_rows} rows")
@@ -685,6 +689,64 @@ def gen_q84():
         "last_lat": pa.array([r[4] for r in rows], pa.float64()),
     })
 
+
+
+
+# -- q79: SemDeDup (independent reimplementation of operators/similarity.py
+# semdedup's pinned spec: gen_q57's coarse trainer + "drop any vector with a
+# lower-id same-cell member at cosine >= eps", unrounded float64 compare) --
+
+def gen_q79(vec_ids, raw_vecs, eps=0.4, n_centroids=16, iters=1):
+    n = len(vec_ids)
+    hashed = sorted(range(n), key=lambda i: spark_xxhash64(str(int(vec_ids[i]))))
+    sample = sorted(hashed[:n_centroids], key=lambda i: vec_ids[i])
+    cents = {cidx: [float(x) for x in raw_vecs[i]] for cidx, i in enumerate(sample)}
+
+    def assign(cents):
+        cells = []
+        for i in range(n):
+            best, best_sim = -1, -math.inf
+            for cidx in sorted(cents):
+                s = cos_sim(raw_vecs[i], cents[cidx])
+                if s > best_sim:  # strict: cosine ties go to the LOWER id
+                    best, best_sim = cidx, s
+            cells.append(best)
+        return cells
+
+    dim = len(raw_vecs[0])
+    for _ in range(iters):
+        cells = assign(cents)
+        sums: dict[int, list] = {}
+        cnts: dict[int, int] = {}
+        for i, c in enumerate(cells):
+            if c not in sums:
+                sums[c] = [0.0] * dim
+                cnts[c] = 0
+            cnts[c] += 1
+            for p, x in enumerate(raw_vecs[i]):
+                sums[c][p] += float(x)
+        cents = {c: [s / cnts[c] for s in sums[c]] for c in sums}
+    cells = assign(cents)
+
+    by_cell: dict[int, list[int]] = {}
+    for i, c in enumerate(cells):
+        by_cell.setdefault(c, []).append(i)
+    keep_ids, keep_cells = [], []
+    for c, members in sorted(by_cell.items()):
+        members = sorted(members, key=lambda i: vec_ids[i])
+        for pos, i in enumerate(members):
+            dup = any(
+                cos_sim(raw_vecs[j], raw_vecs[i]) >= eps
+                for j in members[:pos]
+            )
+            if not dup:
+                keep_ids.append(int(vec_ids[i]))
+                keep_cells.append(int(c))
+    order = np.argsort(keep_ids)
+    return pa.table({
+        "vec_id": pa.array(np.array(keep_ids)[order], type=pa.int64()),
+        "cell": pa.array(np.array(keep_cells)[order], type=pa.int32()),
+    })
 
 if __name__ == "__main__":
     main()
