@@ -54,7 +54,10 @@ def main():
         checked = skipped = failed = 0
         fail_msgs = []
         for stmt, expected, replaces in _parse_result_file(_case_path(case)):
-            replaces = [r for r in replaces if r[0] != "__SLEEP__"]
+            # drop pseudo-replace directives (sleep/restart/sort markers
+            # carry non-string payloads the regex sub can't take)
+            replaces = [r for r in replaces
+                        if not r[0].startswith("__") and isinstance(r[1], str)]
             if any(re.search(p, stmt, re.IGNORECASE) for p in _SKIP_PATTERNS) or expected == "error":
                 skipped += 1
                 continue
@@ -75,7 +78,8 @@ def main():
             rows = _normalize_f32(df, rows)
             rows = _expand_multiline_rows(rows)
             if replaces:
-                got_cells = [[_apply_replaces(c, replaces) for c in row] for row in rows]
+                got_cells = [[_apply_replaces(c, replaces) if isinstance(c, str) else c
+                              for c in row] for row in rows]
             else:
                 got_cells = rows
             eng_cols = {c.lower(): j for j, c in enumerate(df.columns)}
