@@ -229,3 +229,37 @@ def stratified_hash_sample(
             thresh
         )
     return df.filter(u < thresh)
+
+
+# Category → (pattern, replacement token). Patterns stay inside the regex
+# subset Java util.regex and RE2 share (\b, \d, classes, bounded reps), so a
+# SQL engine can reproduce the scrub exactly.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+\d{7,15}\b", "[PHONE]"),
+)
+
+
+def scrub_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns=PII_PATTERNS,
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, IPv4 literals, international phone
+    numbers) from a text column — the C4-style scrubbing pass a pretraining
+    pipeline runs before tokenization. Returns the input columns plus
+    ``scrubbed`` and one ``n_<category>`` count per pattern.
+
+    Applied strictly in ``patterns`` order on the progressively-scrubbed
+    text (an email's digits must not double-count as a phone). Pure
+    ``regexp_count``/``regexp_replace`` column algebra: map-only, scan-stage,
+    no Python in the loop at any scale.
+    """
+    out = df
+    cur = F.col(text_col)
+    for name, pat, token in patterns:
+        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, token)
+    return out.withColumn("scrubbed", cur)

@@ -256,6 +256,49 @@ GROUP BY bucket_ms
 """
 
 
+# -- q89: session windows (gap-based sessionization) --------------------------------
+# Spark's session_window is the batch/streaming dual of the reference's flow
+# tumble windows (SURVEY §2.11): merge a user's events into sessions closed
+# by an 8h silence. The oracle derives the same islands with lag + a gap
+# flag + a running session counter. session_window.start = first event;
+# .end = last event + gap, so last_ms = end - gap.
+
+def q89_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    e = read(spark, sf, "events")
+    gap_ms = 8 * 3600 * 1000
+    return (
+        e.groupBy(F.session_window("ts", "8 hours"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+            (F.unix_millis(F.col("session_window.end")) - gap_ms).alias("last_ms"),
+            "n_events",
+        )
+    )
+
+
+Q89_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 8 HOUR OR
+                   LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(epoch_ms(ts)) AS session_start_ms,
+       MAX(epoch_ms(ts)) AS last_ms,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
 QUERIES = {
     "q20_time_bucket_agg": QuerySpec(q20_time_bucket_agg, Q20_SQL, "hourly multi-agg by type"),
     "q21_lastpoint": QuerySpec(q21_lastpoint, Q21_SQL, "newest row per series"),
@@ -265,4 +308,7 @@ QUERIES = {
     "q25_topk_per_bucket": QuerySpec(q25_topk_per_bucket, Q25_SQL, "top-k per bucket"),
     "q26_gapfill_prev": QuerySpec(q26_gapfill_prev, Q26_SQL, "RANGE FILL PREV"),
     "q27_active_users": QuerySpec(q27_active_users, Q27_SQL, "two-level time rollup"),
+    "q89_session_window": QuerySpec(
+        q89_session_window, Q89_SQL, "gap-based sessionization (session_window)"
+    ),
 }

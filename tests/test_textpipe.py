@@ -123,3 +123,26 @@ def test_semdedup_bounds(spark, sf_dir):
     k_040 = {r["vec_id"] for r in sim.semdedup(e, eps=0.40, n_centroids=8).collect()}
     k_030 = {r["vec_id"] for r in sim.semdedup(e, eps=0.30, n_centroids=8).collect()}
     assert k_030 <= k_040
+
+
+def test_scrub_pii(spark):
+    d = spark.createDataFrame([
+        Row(doc_id=0, text="mail a.b+c@ex-ample.org and b@x.io, ip 192.168.0.1 call +4915112345678"),
+        Row(doc_id=1, text="no pii here, just 1.2 numbers and v1.2.3.4.5 though"),
+        Row(doc_id=2, text="edge: version 1.2.3.4 is an ip shape; +123 too short"),
+    ])
+    rows = {r["doc_id"]: r for r in tp.scrub_pii(d).collect()}
+    r0 = rows[0]
+    assert (r0["n_email"], r0["n_ip"], r0["n_phone"]) == (2, 1, 1)
+    assert r0["scrubbed"] == "mail [EMAIL] and [EMAIL], ip [IP] call [PHONE]"
+    # 1.2.3.4.5 contains the 4-octet shape as a substring boundary-wise:
+    # \b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b matches "1.2.3.4" then ".5" stays
+    r1 = rows[1]
+    assert r1["n_email"] == 0 and r1["n_phone"] == 0
+    r2 = rows[2]
+    assert r2["n_ip"] == 1 and r2["n_phone"] == 0
+    assert "[IP]" in r2["scrubbed"] and "+123" in r2["scrubbed"]
+    # ordering: an email must not leave digits behind that count as phone
+    e = spark.createDataFrame([Row(doc_id=0, text="x +12345678@mail.com y")])
+    r = tp.scrub_pii(e).collect()[0]
+    assert r["n_email"] == 1 and r["n_phone"] == 0
