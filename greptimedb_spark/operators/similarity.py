@@ -427,67 +427,25 @@ def ivf_topk(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def ivfpq_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_centroids: int = 16,
-    n_probe: int = 8,
-    m_sub: int = 8,
-    n_codes: int = 16,
-    iters: int = 1,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    query_vec_col: str = "query_vec",
-    dim: int | None = None,
-) -> DataFrame:
-    """IVF-PQ ANN: coarse Voronoi cells (same deterministic trainer as
-    ivf_topk) + PRODUCT-QUANTIZED codes — each vector stores m_sub uint8
-    codes instead of its floats, and queries score candidates by ADC
-    (asymmetric distance computation) against a broadcast lookup table.
+def _subslices(df: DataFrame, vcol: str, keep: list, m_sub: int, ds: int) -> DataFrame:
+    """Explode a vector column into its m_sub consecutive ds-component
+    subspace slices: one (sub, sv) row per subspace."""
+    return df.select(
+        *keep,
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("sub"),
+                     F.slice(F.col(vcol), j * ds + 1, ds).alias("sv"))
+            for j in range(m_sub)])).alias("e"),
+    ).select(*keep, F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
 
-    This is the memory-bounded scale path: at 100 TB the stored index is
-    (cell id + m_sub bytes) per vector — with m_sub=8 that is 72x smaller
-    than a float32[64] embedding — and search reads codes only, never the
-    raw vectors. Reference analog: the quantized variants of the per-SST
-    vector index (RFC docs/rfcs/2025-12-05-vector-index.md).
 
-    DETERMINISM SPEC (pinned for the independent fixture oracle,
-    tools/gen_oracle_fixtures.gen_q74):
-    - coarse init/Lloyd/assignment: exactly ivf_topk's (smallest
-      xxhash64(str(id)) sample, numbered by id asc; cosine assignment with
-      ties to the LOWER centroid_id; a cell that empties during Lloyd just
-      disappears — surviving centroids KEEP their ids, no renumbering).
-    - subspaces: m_sub consecutive slices of dim/m_sub components.
-    - codebook init: the n_codes corpus rows with smallest xxhash64(str(id)),
-      code_id = rank of id ascending, codebook[sub][code] = that row's
-      sub-slice; `iters` Lloyd rounds with SQUARED-L2 assignment, ties to
-      the lower code_id; empty codes keep their id (no renumbering).
-    - ADC score: cosine of the query against the RECONSTRUCTED vector =
-      sum_j dot(q_j, cb[j][code_j]) / (||q|| * sqrt(sum_j ||cb[j][code_j]||^2)),
-      rounded to 6 (Spark HALF_UP); rank by (sim desc, id asc).
-    Returns (query_id, vec_id, sim, rank).
-
-    ``dim`` (the embedding dimension) should be passed by callers — it is
-    known at every call site and skips a probe job. When absent, it is read
-    with a single-row aggregate (one scalar to the driver, not row data)."""
-    if dim is None:
-        dim_row = corpus.select(F.max(F.size(vec_col)).alias("d")).first()
-        if dim_row is None or dim_row["d"] is None:
-            raise ValueError("ivfpq_topk: corpus is empty — nothing to index")
-        dim = int(dim_row["d"])
-    if dim % m_sub != 0:
-        raise ValueError(
-            f"ivfpq_topk: dim={dim} is not divisible by m_sub={m_sub}; the "
-            "trailing dim % m_sub components would be silently dropped — "
-            "pick m_sub dividing dim"
-        )
-    ds = dim // m_sub
-
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
-                      vec_norm(F.col(vec_col)).alias("cvn"))
-
+def _train_ivfpq(c: DataFrame, n_centroids: int, n_codes: int, m_sub: int,
+                 ds: int, iters: int):
+    """Deterministic IVF-PQ trainer (the pinned spec in ivfpq_topk's
+    docstring). ``c`` is (cid, cv, cvn). Returns (cent, corpus_cells, cb,
+    pq_codes): the broadcast-size centroid relation, the (cid, centroid_id)
+    keys, the (sub, code, cbv) codebooks, and the (cid, sub, code) codes —
+    exactly what build_ivfpq_index persists and search consumes."""
     # ---- coarse cells (identical shape to ivf_topk) -------------------
     sample = c.orderBy(F.xxhash64(F.col("cid").cast("string"))).limit(n_centroids)
     cent = sample.select(
@@ -522,24 +480,15 @@ def ivfpq_topk(
     corpus_cells = coarse_assign(c).select("cid", "centroid_id")
 
     # ---- PQ codebooks --------------------------------------------------
-    def subslices(df: DataFrame, vcol: str, keep: list) -> DataFrame:
-        return df.select(
-            *keep,
-            F.explode(F.array(*[
-                F.struct(F.lit(j).alias("sub"),
-                         F.slice(F.col(vcol), j * ds + 1, ds).alias("sv"))
-                for j in range(m_sub)])).alias("e"),
-        ).select(*keep, F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
-
     cb_sample = c.orderBy(F.xxhash64(F.col("cid").cast("string"))).limit(n_codes)
-    cb = subslices(
+    cb = _subslices(
         cb_sample.select(
             (F.row_number().over(Window.orderBy("cid")) - 1).alias("code"),
             F.col("cv")),
-        "cv", ["code"],
+        "cv", ["code"], m_sub, ds,
     ).select("sub", "code", F.col("sv").alias("cbv"))
 
-    sub_rows = subslices(c, "cv", ["cid"])
+    sub_rows = _subslices(c, "cv", ["cid"], m_sub, ds)
 
     def pq_assign(codebook: DataFrame) -> DataFrame:
         # squared L2 via dots; deterministic tie-break by min struct(dist, code)
@@ -565,6 +514,134 @@ def ivfpq_topk(
                 lambda s: s["m"]).alias("cbv"))
         )
     pq_codes = pq_assign(cb)
+    return cent, corpus_cells, cb, pq_codes
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    index_path: str,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Build and PERSIST the full IVF-PQ index: ``centroids/`` (coarse
+    relation), ``codebooks/`` ((sub, code, cbv) — m_sub * n_codes rows), and
+    ``codes/`` ((id, cell, sub, code) — the complete stored index,
+    cell id + m_sub uint8-range codes per vector). All data-only parquet.
+
+    Unlike the IVF-flat index (keys-only; the corpus supplies vectors at
+    search time), the PQ index is SELF-CONTAINED: ``ivfpq_topk(queries,
+    index_path=...)`` searches without touching the corpus at all — the
+    100 TB promise is that the raw embeddings can live in cold storage once
+    the codes are built. m_sub is recovered from the persisted codes, so
+    search needs no shape parameters."""
+    dim, ds = _ivfpq_dims(corpus, dim, m_sub, vec_col)
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+                      vec_norm(F.col(vec_col)).alias("cvn"))
+    cent, corpus_cells, cb, pq_codes = _train_ivfpq(
+        c, n_centroids, n_codes, m_sub, ds, iters)
+    import os
+
+    cent.write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))
+    cb.write.mode("overwrite").parquet(os.path.join(index_path, "codebooks"))
+    (corpus_cells.join(pq_codes, "cid")
+     .select("cid", "centroid_id", "sub", F.col("code").cast("smallint").alias("code"))
+     .write.mode("overwrite").parquet(os.path.join(index_path, "codes")))
+
+
+def _ivfpq_dims(corpus, dim, m_sub, vec_col):
+    if dim is None:
+        dim_row = corpus.select(F.max(F.size(vec_col)).alias("d")).first()
+        if dim_row is None or dim_row["d"] is None:
+            raise ValueError("ivfpq: corpus is empty — nothing to index")
+        dim = int(dim_row["d"])
+    if dim % m_sub != 0:
+        raise ValueError(
+            f"ivfpq: dim={dim} is not divisible by m_sub={m_sub}; the "
+            "trailing dim % m_sub components would be silently dropped — "
+            "pick m_sub dividing dim"
+        )
+    return dim, dim // m_sub
+
+
+def ivfpq_topk(
+    corpus: DataFrame | None,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int | None = None,
+    index_path: str | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN: coarse Voronoi cells (same deterministic trainer as
+    ivf_topk) + PRODUCT-QUANTIZED codes — each vector stores m_sub uint8
+    codes instead of its floats, and queries score candidates by ADC
+    (asymmetric distance computation) against a broadcast lookup table.
+
+    This is the memory-bounded scale path: at 100 TB the stored index is
+    (cell id + m_sub bytes) per vector — with m_sub=8 that is 72x smaller
+    than a float32[64] embedding — and search reads codes only, never the
+    raw vectors. Reference analog: the quantized variants of the per-SST
+    vector index (RFC docs/rfcs/2025-12-05-vector-index.md).
+
+    With ``index_path`` (written by :func:`build_ivfpq_index`) the persisted
+    centroids, codebooks, and codes are loaded and NO training runs;
+    ``corpus`` may be None — PQ search never reads raw vectors (m_sub and
+    the query slicing width are recovered from the persisted codebooks).
+
+    DETERMINISM SPEC (pinned for the independent fixture oracle,
+    tools/gen_oracle_fixtures.gen_q74):
+    - coarse init/Lloyd/assignment: exactly ivf_topk's (smallest
+      xxhash64(str(id)) sample, numbered by id asc; cosine assignment with
+      ties to the LOWER centroid_id; a cell that empties during Lloyd just
+      disappears — surviving centroids KEEP their ids, no renumbering).
+    - subspaces: m_sub consecutive slices of dim/m_sub components.
+    - codebook init: the n_codes corpus rows with smallest xxhash64(str(id)),
+      code_id = rank of id ascending, codebook[sub][code] = that row's
+      sub-slice; `iters` Lloyd rounds with SQUARED-L2 assignment, ties to
+      the lower code_id; empty codes keep their id (no renumbering).
+    - ADC score: cosine of the query against the RECONSTRUCTED vector =
+      sum_j dot(q_j, cb[j][code_j]) / (||q|| * sqrt(sum_j ||cb[j][code_j]||^2)),
+      rounded to 6 (Spark HALF_UP); rank by (sim desc, id asc).
+    Returns (query_id, vec_id, sim, rank).
+
+    ``dim`` (the embedding dimension) should be passed by callers — it is
+    known at every call site and skips a probe job. When absent, it is read
+    with a single-row aggregate (one scalar to the driver, not row data)."""
+    if index_path is not None:
+        import os
+
+        spark = queries.sparkSession
+        cent = spark.read.parquet(os.path.join(index_path, "centroids"))
+        cb = spark.read.parquet(os.path.join(index_path, "codebooks"))
+        stored = spark.read.parquet(os.path.join(index_path, "codes"))
+        corpus_cells = stored.select("cid", "centroid_id").distinct()
+        pq_codes = stored.select("cid", "sub", "code")
+        # recover the subspace geometry from the persisted codebooks (one
+        # tiny row — the codebook relation is m_sub * n_codes rows)
+        g = cb.select(F.max("sub").alias("ms"), F.max(F.size("cbv")).alias("ds")).first()
+        m_sub, ds = int(g["ms"]) + 1, int(g["ds"])
+    else:
+        if corpus is None:
+            raise ValueError("ivfpq_topk: pass a corpus or an index_path")
+        dim, ds = _ivfpq_dims(corpus, dim, m_sub, vec_col)
+        c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+                          vec_norm(F.col(vec_col)).alias("cvn"))
+        cent, corpus_cells, cb, pq_codes = _train_ivfpq(
+            c, n_centroids, n_codes, m_sub, ds, iters)
+
     cb_norm2 = cb.select(
         "sub", "code", vec_dot_product(F.col("cbv"), F.col("cbv")).alias("n2"))
 
@@ -583,7 +660,8 @@ def ivfpq_topk(
               .select("qid", "centroid_id"))
 
     # ADC lookup table: (qid, sub, code) -> dot(q_sub, codebook vec)
-    lut = subslices(q, "qv", ["qid", "qvn"]).join(broadcast(cb), "sub").select(
+    lut = _subslices(q, "qv", ["qid", "qvn"], m_sub, ds).join(
+        broadcast(cb), "sub").select(
         "qid", "qvn", "sub", "code",
         vec_dot_product(F.col("sv"), F.col("cbv")).alias("pdot"))
 
@@ -613,6 +691,7 @@ def ivfpq_topk(
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k)
+
 
 
 def semdedup(

@@ -344,3 +344,28 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(9)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         dd.connected_components(pairs, max_iter=2)
+
+
+def test_ivfpq_index_persistence(spark, sf_dir, tmp_path):
+    """build_ivfpq_index persists centroids + codebooks + codes; ivfpq_topk
+    (corpus=None, index_path=) searches WITHOUT the corpus — the PQ index is
+    self-contained — and matches the inline trainer exactly (m_sub and the
+    slice width are recovered from the stored codebooks)."""
+    from greptimedb_spark.queries import read
+
+    e = read(spark, sf_dir, "embeddings").limit(300).cache()
+    queries = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = str(tmp_path / "ivfpq_idx")
+    sim.build_ivfpq_index(e, idx, n_centroids=16, m_sub=8, n_codes=16,
+                          iters=1, dim=64)
+    inline = sorted((r.query_id, r.vec_id, r.sim, r.rank)
+                    for r in sim.ivfpq_topk(e, queries, k=5, n_centroids=16,
+                                            n_probe=8, m_sub=8, n_codes=16,
+                                            iters=1, dim=64).collect())
+    stored = sorted((r.query_id, r.vec_id, r.sim, r.rank)
+                    for r in sim.ivfpq_topk(None, queries, k=5, n_probe=8,
+                                            index_path=idx).collect())
+    assert stored == inline
+    assert len(stored) > 0
