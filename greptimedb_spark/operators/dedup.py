@@ -175,6 +175,11 @@ def minhash_lsh_pairs(
     many small exchanges coalesce to advisory size: 3.3s -> ~2.65s. A raw
     shuffle.partitions=16 benched 2.03s but hard-coding width is
     anti-scale; the AQE route gets most of it and stays wide at 100TB.
+    Also benched and rejected (r7 late):
+    spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true (let AQE
+    re-coalesce the persisted stages) — no effect inside noise (5-rep A/B
+    medians 2.48s vs 2.37s); per-session warm-up dominates the first rep.
+    Current solo floor: ~2.4s median / ~1.9s min.
     """
     # sh feeds three consumers (signature aggregate, both sides of the
     # exact-verify intersection join) whose partitionings differ, so Spark
