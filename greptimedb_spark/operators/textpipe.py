@@ -263,3 +263,36 @@ def scrub_pii(
         out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
         cur = F.regexp_replace(cur, pat, token)
     return out.withColumn("scrubbed", cur)
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    fractions: dict[str, float] | None = None,
+    default_frac: float = 0.1,
+) -> DataFrame:
+    """EXACT-quota stratified sample: keep precisely ceil(frac * |stratum|)
+    rows per stratum, chosen as the lowest md5(id) ranks — still fully
+    deterministic and engine-reproducible, unlike RNG sampling.
+
+    Costs one extra shuffle over :func:`stratified_hash_sample` (rank within
+    stratum + a per-stratum count): use it when the mixing recipe demands
+    exact proportions (e.g. a fixed epoch budget). Scale note: each stratum
+    ranks on ONE reducer — fine for the usual few-hundred-strata mixing
+    table; for billion-row single-stratum quotas prefer the hash-threshold
+    variant, whose deviation is binomial noise.
+    """
+    fractions = fractions or {}
+    u = F.substring(F.md5(F.col(id_col).cast("string")), 1, 16)
+    frac = F.lit(float(default_frac))
+    for key, fr in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == key, F.lit(float(fr))).otherwise(frac)
+    w_rank = Window.partitionBy(strata_col).orderBy(u, F.col(id_col))
+    w_all = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w_rank))
+        .withColumn("_quota", F.ceil(frac * F.count(F.lit(1)).over(w_all)))
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .drop("_rk", "_quota")
+    )

@@ -146,3 +146,22 @@ def test_scrub_pii(spark):
     e = spark.createDataFrame([Row(doc_id=0, text="x +12345678@mail.com y")])
     r = tp.scrub_pii(e).collect()[0]
     assert r["n_email"] == 1 and r["n_phone"] == 0
+
+
+def test_stratified_exact_sample_quota(spark, sf_dir):
+    from greptimedb_spark.queries import read
+    import math
+
+    d = read(spark, sf_dir, "documents")
+    counts = {r["lang"]: r["n"] for r in
+              d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = tp.stratified_exact_sample(
+        d, fractions={"en": 0.5}, default_frac=0.2
+    ).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    for r in got:
+        frac = 0.5 if r["lang"] == "en" else 0.2
+        assert r["n"] == math.ceil(frac * counts[r["lang"]])
+    # deterministic: two runs pick the identical rows
+    a = {r["doc_id"] for r in tp.stratified_exact_sample(d).select("doc_id").collect()}
+    b = {r["doc_id"] for r in tp.stratified_exact_sample(d).select("doc_id").collect()}
+    assert a == b
