@@ -192,6 +192,43 @@ FROM events GROUP BY event_type
 """
 
 
+# -- q92: Loki push-payload ingest round-trip ------------------------------------------
+# Events are rendered as /loki/api/v1/push JSON payloads, parsed back by
+# sources/protocols.parse_loki_push (from_json + explodes — JVM-side), and
+# aggregated per label; the oracle aggregates the table directly
+# (src/servers/src/http/loki.rs:61-91).
+
+def q92_loki_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    from greptimedb_spark.sources import protocols as proto
+
+    e = read(spark, sf, "events")
+    payloads = e.select(F.format_string(
+        '{"streams":[{"stream":{"source":"app","event_type":"%s"},'
+        '"values":[["%d","evt %d val %s"]]}]}',
+        "event_type", F.unix_micros("ts") * 1000, "event_id",
+        F.col("value").cast("string")).alias("payload"))
+    rows = proto.parse_loki_push(payloads).filter(F.col("err").isNull())
+    return (
+        rows.groupBy(F.col("labels")["event_type"].alias("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.unix_millis(F.max(proto.TIME_INDEX)).alias("max_ts_ms"),
+            F.round(F.sum(
+                F.regexp_extract("line", r"val (\S+)$", 1).cast("decimal(18,2)")
+            ), 2).cast("double").alias("sum_value"),
+        )
+    )
+
+
+Q92_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       MAX(epoch_ms(ts)) AS max_ts_ms,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q70_logquery": QuerySpec(q70_logquery, Q70_SQL, "log DSL: compound/prefix/regex/between"),
     "q71_pipeline": QuerySpec(q71_pipeline, Q71_SQL, "ETL: dissect/letter/json/digest/join"),
@@ -201,5 +238,8 @@ QUERIES = {
     ),
     "q88_opentsdb_ingest": QuerySpec(
         q88_opentsdb_ingest, Q88_SQL, "opentsdb put parse round-trip"
+    ),
+    "q92_loki_ingest": QuerySpec(
+        q92_loki_ingest, Q92_SQL, "loki push payload parse round-trip"
     ),
 }

@@ -265,3 +265,53 @@ def parse_opentsdb_puts(lines: DataFrame, line_col: str = "line") -> DataFrame:
         F.when(err.isNull(), tags).alias("tags"),
         err.alias("err"),
     )
+
+
+# Loki push payload: {"streams": [{"stream": {label: value, ...},
+#                                  "values": [["<ts_ns>", "<line>"], ...]}]}
+_LOKI_SCHEMA = (
+    "streams array<struct<stream:map<string,string>,"
+    " values:array<array<string>>>>"
+)
+
+
+def parse_loki_push(payloads: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Parse Loki push-API JSON payloads into log rows — the reference's
+    /loki/api/v1/push ingestion (src/servers/src/http/loki.rs:61-91: labels
+    become tag columns, the message lands in ``line``, timestamps are
+    nanoseconds in the default time-index column).
+
+    Pure column algebra: ``from_json`` with an explicit schema, two explodes
+    (streams, then values) — fully JVM-side and shuffle-free, so a 100 TB
+    backfill of push payloads parses at scan speed. Returns
+    (labels map, greptime_timestamp, line, err); rows whose payload does not
+    parse carry ``err``. Structured-metadata third elements (rare) are not
+    modeled — the value pair is [ts, line].
+    """
+    parsed = payloads.select(
+        F.col(payload_col).alias("_raw"),
+        F.from_json(F.col(payload_col), _LOKI_SCHEMA).alias("p"),
+    )
+    bad = parsed.filter(F.col("p").isNull() | F.col("p.streams").isNull()).select(
+        F.lit(None).cast("map<string,string>").alias("labels"),
+        F.lit(None).cast("timestamp").alias(TIME_INDEX),
+        F.lit(None).cast("string").alias("line"),
+        F.concat(F.lit("invalid loki push payload: "),
+                 F.substring("_raw", 1, 120)).alias("err"),
+    )
+    good = (
+        parsed.filter(F.col("p.streams").isNotNull())
+        .select(F.explode("p.streams").alias("s"))
+        .select(F.col("s.stream").alias("labels"), F.explode("s.values").alias("v"))
+        .select(
+            "labels",
+            F.timestamp_micros(
+                (F.element_at("v", 1).try_cast("long") / 1000).cast("long")
+            ).alias(TIME_INDEX),
+            F.element_at("v", 2).alias("line"),
+            F.when(F.element_at("v", 1).try_cast("long").isNull(),
+                   F.concat(F.lit("invalid loki timestamp: "),
+                            F.element_at("v", 1))).alias("err"),
+        )
+    )
+    return good.unionByName(bad)

@@ -123,3 +123,23 @@ def test_influx_roundtrip_events(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
         F.count("*").alias("c"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_loki_push(spark):
+    good = ('{"streams":[{"stream":{"app":"web","env":"prod"},'
+            '"values":[["1663840496000000000","first line"],'
+            '["1663840497000000000","second line"]]},'
+            '{"stream":{"app":"db"},"values":[["1663840498000000000","third"]]}]}')
+    df = spark.createDataFrame([Row(payload=good), Row(payload="{nope"),
+                                Row(payload='{"streams":[{"stream":{"a":"b"},'
+                                            '"values":[["xyz","bad ts"]]}]}')])
+    rows = proto.parse_loki_push(df).collect()
+    ok = sorted((r for r in rows if r["err"] is None), key=lambda r: r["line"])
+    assert [r["line"] for r in ok] == ["first line", "second line", "third"]
+    assert ok[0]["labels"] == {"app": "web", "env": "prod"}
+    assert ok[2]["labels"] == {"app": "db"}
+    assert ok[0][proto.TIME_INDEX].year == 2022
+    errs = [r["err"] for r in rows if r["err"] is not None]
+    assert len(errs) == 2
+    assert any("invalid loki push payload" in e for e in errs)
+    assert any("invalid loki timestamp: xyz" in e for e in errs)
