@@ -229,6 +229,46 @@ FROM events GROUP BY event_type
 """
 
 
+# -- q93: Elasticsearch _bulk ingest round-trip ----------------------------------------
+# Events become (create-command, document) NDJSON pairs, parsed back by
+# sources/protocols.parse_elasticsearch_bulk and re-aggregated from the
+# document JSON (src/servers/src/elasticsearch.rs:291-380).
+
+def q93_es_bulk_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    from greptimedb_spark.sources import protocols as proto
+
+    e = read(spark, sf, "events")
+    payloads = e.select(F.format_string(
+        '{"create":{"_index":"events"}}\n'
+        '{"event_id":%d,"event_type":"%s","value":%s,"ts_ms":%d}',
+        "event_id", "event_type", F.col("value").cast("string"),
+        F.unix_millis("ts")).alias("payload"))
+    rows = proto.parse_elasticsearch_bulk(payloads).filter(F.col("err").isNull())
+    return (
+        rows.select(
+            F.get_json_object("document", "$.event_type").alias("event_type"),
+            F.get_json_object("document", "$.value").alias("v"),
+            F.get_json_object("document", "$.ts_ms").try_cast("long").alias("ts_ms"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("v").cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_value"),
+            F.max("ts_ms").alias("max_ts_ms"),
+        )
+    )
+
+
+Q93_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+       MAX(epoch_ms(ts)) AS max_ts_ms
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q70_logquery": QuerySpec(q70_logquery, Q70_SQL, "log DSL: compound/prefix/regex/between"),
     "q71_pipeline": QuerySpec(q71_pipeline, Q71_SQL, "ETL: dissect/letter/json/digest/join"),
@@ -241,5 +281,8 @@ QUERIES = {
     ),
     "q92_loki_ingest": QuerySpec(
         q92_loki_ingest, Q92_SQL, "loki push payload parse round-trip"
+    ),
+    "q93_es_bulk_ingest": QuerySpec(
+        q93_es_bulk_ingest, Q93_SQL, "elasticsearch _bulk parse round-trip"
     ),
 }

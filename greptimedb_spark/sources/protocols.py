@@ -315,3 +315,65 @@ def parse_loki_push(payloads: DataFrame, payload_col: str = "payload") -> DataFr
         )
     )
     return good.unionByName(bad)
+
+
+def parse_elasticsearch_bulk(
+    payloads: DataFrame,
+    payload_col: str = "payload",
+    default_index: str | None = None,
+    msg_field: str | None = None,
+) -> DataFrame:
+    """Parse Elasticsearch ``_bulk`` NDJSON payloads into (table, document)
+    rows — the reference's /_bulk log ingestion
+    (src/servers/src/elasticsearch.rs:291-380): lines come in (command,
+    document) pairs; the command must be ``create`` or ``index`` (treated
+    identically — no upsert), its ``_index`` names the target table, falling
+    back to ``default_index`` (the URL path parameter); with ``msg_field``
+    only that field of the document is kept as the log line.
+
+    Pure column algebra: split the body into lines, pair them positionally
+    with a transform over an index sequence, ``from_json`` the command.
+    Shuffle-free and JVM-side; the document stays an opaque JSON string for
+    a downstream pipeline (pipeline.py) to shred. Malformed pairs carry
+    ``err`` (reference error phrasing) with everything else NULL.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(payload_col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(lines) - 1) / 2).cast("int")),
+        lambda i: F.struct(
+            F.get(lines, i * 2).alias("cmd"),      # F.get: NULL out of range
+            F.get(lines, i * 2 + 1).alias("doc"),
+        ),
+    )
+    # a dangling trailing command with no document is silently dropped,
+    # matching the reference's while-let pairing loop
+    rows = payloads.select(F.explode(pairs).alias("p")).filter(
+        F.col("p.doc").isNotNull()
+    ).select(
+        F.from_json(
+            F.col("p.cmd"), "map<string,struct<_index:string>>"
+        ).alias("cmd"),
+        F.col("p.cmd").alias("cmd_raw"),
+        F.col("p.doc").alias("doc"),
+    )
+    op = F.element_at(F.map_keys("cmd"), 1)
+    idx = F.coalesce(
+        F.element_at(F.map_values("cmd"), 1)["_index"],
+        F.lit(default_index).cast("string"),
+    )
+    err = (
+        F.when(F.col("cmd").isNull() | ~op.isin("create", "index"),
+               F.concat(F.lit("invalid bulk request, expected 'create' or "
+                              "'index' but got "), F.substring("cmd_raw", 1, 80)))
+        .when(idx.isNull(), F.lit("missing index in bulk request"))
+    )
+    doc = (F.get_json_object("doc", f"$.{msg_field}") if msg_field
+           else F.col("doc"))
+    return rows.select(
+        F.when(err.isNull(), idx).alias("table"),
+        F.when(err.isNull(), doc).alias("document"),
+        err.alias("err"),
+    )

@@ -143,3 +143,29 @@ def test_loki_push(spark):
     assert len(errs) == 2
     assert any("invalid loki push payload" in e for e in errs)
     assert any("invalid loki timestamp: xyz" in e for e in errs)
+
+
+def test_elasticsearch_bulk(spark):
+    body = ('{"create":{"_index":"logs"}}\n'
+            '{"msg":"hello","level":"info"}\n'
+            '{"index":{"_index":"metrics","_id":"7"}}\n'
+            '{"msg":"world"}\n'
+            '{"create":{}}\n'
+            '{"msg":"no index"}\n'
+            '{"delete":{"_index":"logs"}}\n'
+            '{"msg":"bad op"}\n'
+            '{"create":{"_index":"dangling"}}')
+    df = spark.createDataFrame([Row(payload=body)])
+    rows = proto.parse_elasticsearch_bulk(df).collect()
+    assert len(rows) == 4  # dangling trailing command dropped like the reference
+    ok = {r["table"]: r["document"] for r in rows if r["err"] is None}
+    assert set(ok) == {"logs", "metrics"}
+    assert '"hello"' in ok["logs"]
+    errs = [r["err"] for r in rows if r["err"] is not None]
+    assert any("missing index in bulk request" in e for e in errs)
+    assert any("expected 'create' or 'index'" in e for e in errs)
+    # default_index fills missing _index; msg_field projects one field
+    rows2 = proto.parse_elasticsearch_bulk(
+        df, default_index="fallback", msg_field="msg").collect()
+    ok2 = {r["table"]: r["document"] for r in rows2 if r["err"] is None}
+    assert ok2["fallback"] == "no index" and ok2["logs"] == "hello"
