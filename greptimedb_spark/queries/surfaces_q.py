@@ -269,6 +269,46 @@ FROM events GROUP BY event_type
 """
 
 
+# -- q94: OTLP/JSON metrics ingest round-trip ------------------------------------------
+# Events are rendered as OTLP/JSON gauge exports and parsed back by
+# sources/protocols.parse_otlp_metrics_json; the table name exercises the
+# legacy normalization (Events.Value -> events_value) and the value the f64
+# coercion path (src/servers/src/otlp/metrics.rs:99-567).
+
+def q94_otlp_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    from greptimedb_spark.sources import protocols as proto
+
+    e = read(spark, sf, "events")
+    payloads = e.select(F.format_string(
+        '{"resourceMetrics":[{"resource":{"attributes":['
+        '{"key":"service.name","value":{"stringValue":"app"}}]},'
+        '"scopeMetrics":[{"metrics":[{"name":"Events.Value","gauge":{"dataPoints":['
+        '{"timeUnixNano":"%d","asDouble":%s,"attributes":['
+        '{"key":"event_type","value":{"stringValue":"%s"}}]}]}}]}]}]}',
+        F.unix_micros("ts") * 1000, F.col("value").cast("string"),
+        "event_type").alias("payload"))
+    rows = proto.parse_otlp_metrics_json(payloads).filter(F.col("err").isNull())
+    return (
+        rows.groupBy("table", F.col("tags")["event_type"].alias("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col(proto.VALUE_COL).cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_value"),
+            F.unix_millis(F.max(proto.TIME_INDEX)).alias("max_ts_ms"),
+        )
+    )
+
+
+Q94_SQL = """
+SELECT 'events_value' AS "table",
+       event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+       MAX(epoch_ms(ts)) AS max_ts_ms
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q70_logquery": QuerySpec(q70_logquery, Q70_SQL, "log DSL: compound/prefix/regex/between"),
     "q71_pipeline": QuerySpec(q71_pipeline, Q71_SQL, "ETL: dissect/letter/json/digest/join"),
@@ -284,5 +324,8 @@ QUERIES = {
     ),
     "q93_es_bulk_ingest": QuerySpec(
         q93_es_bulk_ingest, Q93_SQL, "elasticsearch _bulk parse round-trip"
+    ),
+    "q94_otlp_ingest": QuerySpec(
+        q94_otlp_ingest, Q94_SQL, "OTLP/JSON metrics parse round-trip"
     ),
 }

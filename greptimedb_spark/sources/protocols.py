@@ -377,3 +377,103 @@ def parse_elasticsearch_bulk(
         F.when(err.isNull(), doc).alias("document"),
         err.alias("err"),
     )
+
+
+# OTLP/JSON metrics (gauge + sum number points). Protobuf-JSON renders int64
+# as strings, hence asInt:string; attributes are AnyValue wrappers — the
+# stringValue arm covers metric tags.
+_OTLP_ATTR = "array<struct<key:string,value:struct<stringValue:string>>>"
+_OTLP_DP = (f"struct<timeUnixNano:string,asDouble:double,asInt:string,"
+            f"attributes:{_OTLP_ATTR}>")
+_OTLP_SCHEMA = (
+    f"resourceMetrics array<struct<"
+    f"resource:struct<attributes:{_OTLP_ATTR}>,"
+    f"scopeMetrics:array<struct<metrics:array<struct<"
+    f"name:string,"
+    f"gauge:struct<dataPoints:array<{_OTLP_DP}>>,"
+    f"sum:struct<dataPoints:array<{_OTLP_DP}>,isMonotonic:boolean>"
+    f">>>>>>"
+)
+
+
+def normalize_otlp_name(name) -> "F.Column":
+    """The reference's legacy OTLP table-name normalization: lowercase,
+    '.'/'-' → '_' (src/servers/src/otlp/metrics/translator.rs:281-283)."""
+    c = name if not isinstance(name, str) else F.col(name)
+    return F.translate(F.lower(c), ".-", "__")
+
+
+def parse_otlp_metrics_json(
+    payloads: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Parse OTLP/JSON metrics export payloads (gauge and sum number data
+    points) into rows — the reference's /v1/otlp/v1/metrics ingestion
+    (src/servers/src/otlp/metrics.rs:99-567): metric name → table (legacy
+    normalization), resource + data-point attributes → tags (data-point
+    keys win on collision), values coerced to f64 (metrics.rs:460-477:
+    asInt/asDouble both land as f64 in ``greptime_value``), timeUnixNano →
+    the default time index.
+
+    Pure ``from_json`` + nested explodes — JVM-side, shuffle-free. Payloads
+    that do not parse yield one row with ``err`` set. Histogram/summary
+    points are out of this subset (the reference shreds them into multiple
+    semantic tables); number points are the TSBS-style hot path.
+    """
+    parsed = payloads.select(
+        F.col(payload_col).alias("_raw"),
+        F.from_json(F.col(payload_col), _OTLP_SCHEMA).alias("p"),
+    )
+    bad = parsed.filter(
+        F.col("p").isNull() | F.col("p.resourceMetrics").isNull()
+    ).select(
+        F.lit(None).cast("string").alias("table"),
+        F.lit(None).cast("map<string,string>").alias("tags"),
+        F.lit(None).cast("timestamp").alias(TIME_INDEX),
+        F.lit(None).cast("double").alias(VALUE_COL),
+        F.lit(None).cast("string").alias("metric_type"),
+        F.concat(F.lit("invalid otlp metrics payload: "),
+                 F.substring("_raw", 1, 120)).alias("err"),
+    )
+    rm = (
+        parsed.filter(F.col("p.resourceMetrics").isNotNull())
+        .select(F.explode("p.resourceMetrics").alias("rm"))
+        .select(F.col("rm.resource.attributes").alias("res_attrs"),
+                F.explode("rm.scopeMetrics").alias("sm"))
+        .select("res_attrs", F.explode("sm.metrics").alias("m"))
+    )
+    # one branch per point kind; a metric carries exactly one kind
+    kinds = []
+    for kind in ("gauge", "sum"):
+        kinds.append(
+            rm.filter(F.col(f"m.{kind}").isNotNull())
+            .select("res_attrs", F.col("m.name").alias("name"),
+                    F.lit(kind).alias("metric_type"),
+                    F.explode(f"m.{kind}.dataPoints").alias("dp"))
+        )
+    pts = kinds[0].unionByName(kinds[1])
+    dp_attrs = F.coalesce(F.col("dp.attributes"),
+                          F.expr(f"CAST(array() AS {_OTLP_ATTR})"))
+    res_attrs = F.coalesce(F.col("res_attrs"),
+                           F.expr(f"CAST(array() AS {_OTLP_ATTR})"))
+    dp_keys = F.transform(dp_attrs, lambda e: e["key"])
+    res_kept = F.filter(res_attrs, lambda e: ~F.array_contains(dp_keys, e["key"]))
+    entries = F.transform(
+        F.concat(res_kept, dp_attrs),
+        lambda e: F.struct(e["key"].alias("key"),
+                           e["value"]["stringValue"].alias("value")),
+    )
+    value = F.coalesce(F.col("dp.asDouble"), F.col("dp.asInt").try_cast("double"))
+    return pts.select(
+        normalize_otlp_name(F.col("name")).alias("table"),
+        F.map_from_entries(entries).alias("tags"),
+        F.timestamp_micros(
+            (F.col("dp.timeUnixNano").try_cast("long") / 1000).cast("long")
+        ).alias(TIME_INDEX),
+        value.alias(VALUE_COL),
+        "metric_type",
+        F.when(value.isNull(), F.lit("missing data point value"))
+        .when(F.col("dp.timeUnixNano").try_cast("long").isNull(),
+              F.concat(F.lit("invalid otlp timestamp: "),
+                       F.coalesce(F.col("dp.timeUnixNano"), F.lit("null"))))
+        .alias("err"),
+    ).unionByName(bad)

@@ -169,3 +169,33 @@ def test_elasticsearch_bulk(spark):
         df, default_index="fallback", msg_field="msg").collect()
     ok2 = {r["table"]: r["document"] for r in rows2 if r["err"] is None}
     assert ok2["fallback"] == "no index" and ok2["logs"] == "hello"
+
+
+def test_otlp_metrics_json(spark):
+    good = (
+        '{"resourceMetrics":[{"resource":{"attributes":['
+        '{"key":"service.name","value":{"stringValue":"app"}},'
+        '{"key":"host","value":{"stringValue":"res-host"}}]},'
+        '"scopeMetrics":[{"metrics":['
+        '{"name":"JVM.Memory-Free","gauge":{"dataPoints":['
+        '{"timeUnixNano":"1663840496000000000","asDouble":12.5,'
+        '"attributes":[{"key":"host","value":{"stringValue":"dp-host"}}]}]}},'
+        '{"name":"requests.total","sum":{"isMonotonic":true,"dataPoints":['
+        '{"timeUnixNano":"1663840497000000000","asInt":"42"}]}}'
+        ']}]}]}'
+    )
+    df = spark.createDataFrame([Row(payload=good), Row(payload="still not json")])
+    rows = proto.parse_otlp_metrics_json(df).collect()
+    ok = {r["table"]: r for r in rows if r["err"] is None}
+    # legacy name normalization: lowercase, ./- -> _
+    assert set(ok) == {"jvm_memory_free", "requests_total"}
+    g = ok["jvm_memory_free"]
+    assert g["metric_type"] == "gauge" and g[proto.VALUE_COL] == 12.5
+    # data-point attribute wins over the resource attribute on key collision
+    assert g["tags"] == {"service.name": "app", "host": "dp-host"}
+    assert g[proto.TIME_INDEX].year == 2022
+    s = ok["requests_total"]
+    assert s["metric_type"] == "sum" and s[proto.VALUE_COL] == 42.0  # f64 coercion
+    assert s["tags"] == {"service.name": "app", "host": "res-host"}
+    errs = [r["err"] for r in rows if r["err"] is not None]
+    assert len(errs) == 1 and "invalid otlp metrics payload" in errs[0]
