@@ -309,6 +309,57 @@ FROM events GROUP BY event_type
 """
 
 
+# -- q95: OTLP/JSON logs ingest round-trip ---------------------------------------------
+# Events become OTLP log records (body + severity + log attributes), parsed
+# by sources/protocols.parse_otlp_logs_json into the reference's identity
+# log schema (src/servers/src/otlp/logs.rs:199-311) and re-aggregated.
+
+def q95_otlp_logs_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    from greptimedb_spark.sources import protocols as proto
+
+    e = read(spark, sf, "events")
+    sev = F.when(F.col("event_type") == "error", F.lit('"severityNumber":17,"severityText":"ERROR",')) \
+        .otherwise(F.lit('"severityNumber":9,"severityText":"INFO",'))
+    payloads = e.select(F.concat(
+        F.lit('{"resourceLogs":[{"resource":{"attributes":['
+              '{"key":"service.name","value":{"stringValue":"app"}}]},'
+              '"scopeLogs":[{"scope":{"name":"pipeline"},"logRecords":['
+              '{"timeUnixNano":"'),
+        (F.unix_micros("ts") * 1000).cast("string"),
+        F.lit('",'), sev,
+        F.lit('"body":{"stringValue":"evt '),
+        F.col("event_id").cast("string"),
+        F.lit(' val '), F.col("value").cast("string"),
+        F.lit('"},"attributes":[{"key":"event_type","value":{"stringValue":"'),
+        F.col("event_type"),
+        F.lit('"}}]}]}]}]}'),
+    ).alias("payload"))
+    rows = proto.parse_otlp_logs_json(payloads).filter(F.col("err").isNull())
+    return (
+        rows.groupBy(
+            F.get_json_object("log_attributes", "$.event_type").alias("event_type"),
+            "severity_text",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(
+                F.regexp_extract("body", r"val (\S+)$", 1).cast("decimal(18,2)")
+            ), 2).cast("double").alias("sum_value"),
+            F.unix_millis(F.max("timestamp")).alias("max_ts_ms"),
+        )
+    )
+
+
+Q95_SQL = """
+SELECT event_type,
+       CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END AS severity_text,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+       MAX(epoch_ms(ts)) AS max_ts_ms
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q70_logquery": QuerySpec(q70_logquery, Q70_SQL, "log DSL: compound/prefix/regex/between"),
     "q71_pipeline": QuerySpec(q71_pipeline, Q71_SQL, "ETL: dissect/letter/json/digest/join"),
@@ -327,5 +378,8 @@ QUERIES = {
     ),
     "q94_otlp_ingest": QuerySpec(
         q94_otlp_ingest, Q94_SQL, "OTLP/JSON metrics parse round-trip"
+    ),
+    "q95_otlp_logs_ingest": QuerySpec(
+        q95_otlp_logs_ingest, Q95_SQL, "OTLP/JSON logs parse round-trip"
     ),
 }

@@ -477,3 +477,81 @@ def parse_otlp_metrics_json(
                        F.coalesce(F.col("dp.timeUnixNano"), F.lit("null"))))
         .alias("err"),
     ).unionByName(bad)
+
+
+OTLP_LOG_TABLE = "opentelemetry_logs"  # reference default (otlp/logs.rs:52)
+
+_OTLP_LOGREC = (
+    f"struct<timeUnixNano:string,observedTimeUnixNano:string,"
+    f"severityNumber:int,severityText:string,"
+    f"body:struct<stringValue:string>,attributes:{_OTLP_ATTR},"
+    f"traceId:string,spanId:string,flags:int>"
+)
+_OTLP_LOGS_SCHEMA = (
+    f"resourceLogs array<struct<"
+    f"resource:struct<attributes:{_OTLP_ATTR}>,"
+    f"scopeLogs:array<struct<"
+    f"scope:struct<name:string,version:string>,"
+    f"logRecords:array<{_OTLP_LOGREC}>>>>>"
+)
+
+
+def parse_otlp_logs_json(
+    payloads: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Parse OTLP/JSON logs export payloads into the reference's identity
+    log schema (src/servers/src/otlp/logs.rs:199-311: timestamp(ns),
+    trace_id, span_id, severity_text, severity_number, body, log_attributes
+    json, scope_name tag, resource_attributes json; default table
+    ``opentelemetry_logs``). timeUnixNano falls back to
+    observedTimeUnixNano when zero/absent, matching the collector
+    convention. ``from_json`` + nested explodes, shuffle-free."""
+    parsed = payloads.select(
+        F.col(payload_col).alias("_raw"),
+        F.from_json(F.col(payload_col), _OTLP_LOGS_SCHEMA).alias("p"),
+    )
+    bad = parsed.filter(
+        F.col("p").isNull() | F.col("p.resourceLogs").isNull()
+    ).select(
+        F.lit(None).cast("timestamp").alias("timestamp"),
+        *[F.lit(None).cast(t).alias(n) for n, t in (
+            ("trace_id", "string"), ("span_id", "string"),
+            ("severity_text", "string"), ("severity_number", "int"),
+            ("body", "string"), ("log_attributes", "string"),
+            ("scope_name", "string"), ("resource_attributes", "string"))],
+        F.concat(F.lit("invalid otlp logs payload: "),
+                 F.substring("_raw", 1, 120)).alias("err"),
+    )
+    recs = (
+        parsed.filter(F.col("p.resourceLogs").isNotNull())
+        .select(F.explode("p.resourceLogs").alias("rl"))
+        .select(F.col("rl.resource.attributes").alias("res_attrs"),
+                F.explode("rl.scopeLogs").alias("sl"))
+        .select("res_attrs", F.col("sl.scope.name").alias("scope_name"),
+                F.explode("sl.logRecords").alias("r"))
+    )
+
+    def _attrs_json(col):
+        entries = F.transform(
+            F.coalesce(col, F.expr(f"CAST(array() AS {_OTLP_ATTR})")),
+            lambda e: F.struct(e["key"].alias("key"),
+                               e["value"]["stringValue"].alias("value")),
+        )
+        return F.to_json(F.map_from_entries(entries))
+
+    ts_ns = F.coalesce(
+        F.nullif(F.col("r.timeUnixNano").try_cast("long"), F.lit(0)),
+        F.col("r.observedTimeUnixNano").try_cast("long"),
+    )
+    return recs.select(
+        F.timestamp_micros((ts_ns / 1000).cast("long")).alias("timestamp"),
+        F.col("r.traceId").alias("trace_id"),
+        F.col("r.spanId").alias("span_id"),
+        F.col("r.severityText").alias("severity_text"),
+        F.col("r.severityNumber").alias("severity_number"),
+        F.col("r.body.stringValue").alias("body"),
+        _attrs_json(F.col("r.attributes")).alias("log_attributes"),
+        "scope_name",
+        _attrs_json(F.col("res_attrs")).alias("resource_attributes"),
+        F.when(ts_ns.isNull(), F.lit("missing log record timestamp")).alias("err"),
+    ).unionByName(bad)

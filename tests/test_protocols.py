@@ -199,3 +199,33 @@ def test_otlp_metrics_json(spark):
     assert s["tags"] == {"service.name": "app", "host": "res-host"}
     errs = [r["err"] for r in rows if r["err"] is not None]
     assert len(errs) == 1 and "invalid otlp metrics payload" in errs[0]
+
+
+def test_otlp_logs_json(spark):
+    good = (
+        '{"resourceLogs":[{"resource":{"attributes":['
+        '{"key":"service.name","value":{"stringValue":"app"}}]},'
+        '"scopeLogs":[{"scope":{"name":"lib","version":"1.0"},"logRecords":['
+        '{"timeUnixNano":"1663840496000000000","severityNumber":9,'
+        '"severityText":"INFO","body":{"stringValue":"hello log"},'
+        '"attributes":[{"key":"k","value":{"stringValue":"v"}}],'
+        '"traceId":"0af7651916cd43dd8448eb211c80319c","spanId":"b7ad6b7169203331"},'
+        '{"timeUnixNano":"0","observedTimeUnixNano":"1663840497000000000",'
+        '"body":{"stringValue":"fallback ts"}}'
+        ']}]}]}'
+    )
+    df = spark.createDataFrame([Row(payload=good), Row(payload="[oops")])
+    rows = proto.parse_otlp_logs_json(df).collect()
+    ok = sorted((r for r in rows if r["err"] is None), key=lambda r: r["body"])
+    assert [r["body"] for r in ok] == ["fallback ts", "hello log"]
+    h = ok[1]
+    assert h["severity_text"] == "INFO" and h["severity_number"] == 9
+    assert h["scope_name"] == "lib"
+    assert h["trace_id"].startswith("0af76519")
+    assert h["log_attributes"] == '{"k":"v"}'
+    assert h["resource_attributes"] == '{"service.name":"app"}'
+    assert h["timestamp"].year == 2022
+    # zero timeUnixNano falls back to observedTimeUnixNano (...497 -> :57)
+    assert ok[0]["timestamp"].second == 57
+    errs = [r["err"] for r in rows if r["err"] is not None]
+    assert len(errs) == 1 and "invalid otlp logs payload" in errs[0]
