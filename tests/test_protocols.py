@@ -229,3 +229,30 @@ def test_otlp_logs_json(spark):
     assert ok[0]["timestamp"].second == 57
     errs = [r["err"] for r in rows if r["err"] is not None]
     assert len(errs) == 1 and "invalid otlp logs payload" in errs[0]
+
+
+def test_influx_streaming_ingest(spark, tmp_path):
+    """The codec composes with Structured Streaming: text-file stream ->
+    parse_influx_lines (mapInPandas works on streaming DFs) -> parquet sink.
+    This is the continuous-ingest shape the reference's /influxdb/write
+    endpoint feeds; one availableNow micro-batch keeps it deterministic."""
+    src = tmp_path / "lines"
+    src.mkdir()
+    (src / "batch0.txt").write_text(
+        "monitor1,host=host1 cpu=66.6,memory=1024 1663840496100023100\n"
+        "monitor1,host=host2 memory=1027 1663840496400340001\n"
+        "this is not line protocol\n"
+    )
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.format("text").load(str(src))
+    parsed = proto.parse_influx_lines(stream, line_col="value")
+    q = (parsed.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt).outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.read.parquet(sink).collect()
+    ok = [r for r in rows if r["err"] is None]
+    errs = [r for r in rows if r["err"] is not None]
+    assert len(ok) == 3 and len(errs) == 1
+    assert {r["field_key"] for r in ok} == {"cpu", "memory"}
