@@ -135,3 +135,54 @@ def sample_frames(df: DataFrame, id_col: str, media_col: str,
         .withColumn("offset_ms", F.col("frame_idx") * every_ms)
         .withColumn("frame_bytes", F.expr(f"substring({media_col}, frame_idx * 16 + 1, 16)"))
     )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, n_bytes long, fake_duration_ms long, fake_sample_rate int, "
+    "n_windows int, rms double"
+)
+
+
+def decode_audio_stub(payload: bytes) -> dict:
+    """Deterministic fake audio 'decode'. A real deployment plugs soundfile/
+    ffmpeg here:
+
+        raise NotImplementedError("install soundfile and replace this stub")
+
+    The fake derives a stable pseudo-duration and sample rate from the byte
+    length and treats the raw bytes as the waveform for the RMS, so the full
+    Spark-side shape (schema, Arrow batches, windowing math) is exercised
+    byte-stably."""
+    n = len(payload)
+    sr = 8000 + (n % 3) * 4000  # 8/12/16 kHz
+    return {
+        "n_bytes": n,
+        "fake_duration_ms": n * 1000 // sr if sr else 0,
+        "fake_sample_rate": sr,
+        "rms": (sum(b * b for b in payload) / n) ** 0.5 if n else 0.0,
+    }
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "doc_id",
+                           media_col: str = "media",
+                           window_ms: int = 25) -> DataFrame:
+    """Audio feature plumbing over mapInPandas (Arrow-batched, map-only):
+    per payload the stubbed decode yields (duration, sample rate, RMS) and
+    the number of ``window_ms`` analysis windows — the frame count a real
+    MFCC/fbank extractor would produce. Mirrors extract_image_features; the
+    codec stays a documented stub (see decode_audio_stub)."""
+    import math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, b in zip(pdf[id_col], pdf[media_col]):
+                m = decode_audio_stub(bytes(b))
+                n_windows = math.ceil(m["fake_duration_ms"] / window_ms) if window_ms else 0
+                rows.append((int(did), m["n_bytes"], m["fake_duration_ms"],
+                             m["fake_sample_rate"], n_windows, m["rms"]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_bytes", "fake_duration_ms", "fake_sample_rate",
+                "n_windows", "rms"])
+
+    return df.select(id_col, media_col).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)

@@ -374,3 +374,20 @@ def test_flow_sql_vs_native_streaming_parity(spark, tmp_path):
     assert batch == native
     assert batch == {(0, "a"): 3.0, (0, "b"): 3.0, (5, "a"): 4.0,
                      (5, "b"): 5.0, (10, "a"): 6.0}
+
+
+def test_multimodal_audio_features(spark, sf_dir):
+    from greptimedb_spark.queries import read
+
+    d = read(spark, sf_dir, "documents").limit(20)
+    feats = MM.extract_audio_features(MM.attach_binary(d, "text")).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert r["n_bytes"] > 0
+        assert r["fake_sample_rate"] in (8000, 12000, 16000)
+        # windows cover the duration: ceil(duration / 25ms)
+        assert r["n_windows"] == -(-r["fake_duration_ms"] // 25)
+        assert r["rms"] > 0
+    # deterministic: same payload -> same features
+    again = MM.extract_audio_features(MM.attach_binary(d, "text")).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
