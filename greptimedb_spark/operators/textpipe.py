@@ -296,3 +296,49 @@ def stratified_exact_sample(
         .filter(F.col("_rk") <= F.col("_quota"))
         .drop("_rk", "_quota")
     )
+
+
+def corpus_frequency_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level token-frequency quality score — the shape of CCNet-style
+    LM filtering (Wenzek et al. 2019, arXiv:1911.00359) with the language
+    model replaced by the corpus's own unigram distribution: documents made
+    of common tokens score high, gibberish scores low.
+
+    score = (Σ_t count_corpus(t)) / (n_tokens_doc * N_corpus_tokens)
+          = mean over the doc's tokens of their corpus relative frequency.
+
+    Exactly engine-reproducible by construction: the numerator is an INTEGER
+    sum of corpus counts (no float fold order to pin) and the only floating
+    operation is one final division. Returns (id, n_tokens, sum_tok_freq,
+    freq_score).
+
+    Scale shape: one count aggregate builds the vocabulary, one join scores
+    the exploded tokens (Spark picks broadcast vs shuffle from the vocab
+    size — web-scale vocabularies shuffle cleanly on the token key), one
+    groupBy folds back to documents; the corpus total rides a broadcast
+    one-row relation, never the driver.
+    """
+    toks = _norm_tokens(text_col)
+    tok_rows = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    vocab = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_total"))
+    return (
+        tok_rows.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("sum_tok_freq"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("sum_tok_freq"),
+            (F.col("sum_tok_freq") / (F.col("n_tokens") * F.col("n_total")))
+            .alias("freq_score"),
+        )
+    )

@@ -165,3 +165,18 @@ def test_stratified_exact_sample_quota(spark, sf_dir):
     a = {r["doc_id"] for r in tp.stratified_exact_sample(d).select("doc_id").collect()}
     b = {r["doc_id"] for r in tp.stratified_exact_sample(d).select("doc_id").collect()}
     assert a == b
+
+
+def test_corpus_frequency_score(spark):
+    # corpus: "a" x5, "b" x2, "z" x1 across docs -> total 8
+    d = spark.createDataFrame([
+        Row(doc_id=0, text="a a a"),     # sum 5+5+5=15, score 15/(3*8)
+        Row(doc_id=1, text="a b z"),     # sum 5+2+1=8, score 8/(3*8)
+        Row(doc_id=2, text="b a"),       # sum 2+5=7, score 7/(2*8)
+    ])
+    rows = {r["doc_id"]: r for r in tp.corpus_frequency_score(d).collect()}
+    assert rows[0]["sum_tok_freq"] == 15 and rows[0]["freq_score"] == 15 / 24
+    assert rows[1]["sum_tok_freq"] == 8 and rows[1]["freq_score"] == 8 / 24
+    assert rows[2]["sum_tok_freq"] == 7 and rows[2]["freq_score"] == 7 / 16
+    # common-token doc scores above the one with a rare token
+    assert rows[0]["freq_score"] > rows[1]["freq_score"]
