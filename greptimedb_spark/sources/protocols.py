@@ -51,55 +51,27 @@ _INFLUX_SCHEMA = (
 )
 
 
-def _split_unescaped(s: str, seps: str) -> list[str]:
-    """Split on any char in ``seps`` that is neither backslash-escaped nor
-    inside a double-quoted string field value (quoted values may contain
-    spaces, commas, and '=' per the line-protocol spec)."""
-    out, cur, i, in_quotes = [], [], 0, False
-    while i < len(s):
-        c = s[i]
-        if c == "\\" and i + 1 < len(s):
-            cur.append(c)
-            cur.append(s[i + 1])
+def _scan_escaped(line: str, i: int, stops: str) -> tuple[str, int]:
+    """Consume chars from ``i`` until an unescaped char in ``stops`` (or end
+    of line); backslash escapes the next char. Returns (text, next index)."""
+    out = []
+    n = len(line)
+    while i < n:
+        c = line[i]
+        if c == "\\" and i + 1 < n:
+            out.append(line[i + 1])
             i += 2
             continue
-        if c == '"':
-            in_quotes = not in_quotes
-            cur.append(c)
-        elif c in seps and not in_quotes:
-            out.append("".join(cur))
-            cur = []
-        else:
-            cur.append(c)
+        if c in stops:
+            break
+        out.append(c)
         i += 1
-    out.append("".join(cur))
-    return out
-
-
-def _unescape(s: str) -> str:
-    out, i = [], 0
-    while i < len(s):
-        if s[i] == "\\" and i + 1 < len(s):
-            out.append(s[i + 1])
-            i += 2
-        else:
-            out.append(s[i])
-            i += 1
-    return "".join(out)
+    return "".join(out), i
 
 
 def _parse_field_value(raw: str):
-    """(field_type, f64, i64, str, bool) per the line-protocol value grammar."""
-    if len(raw) >= 2 and raw[0] == '"' and raw[-1] == '"':
-        body, out, i = raw[1:-1], [], 0
-        while i < len(body):
-            if body[i] == "\\" and i + 1 < len(body) and body[i + 1] in ('"', "\\"):
-                out.append(body[i + 1])
-                i += 2
-            else:
-                out.append(body[i])
-                i += 1
-        return ("string", None, None, "".join(out), None)
+    """(field_type, f64, i64, str, bool) for UNQUOTED field values per the
+    line-protocol grammar (quoted strings are handled by the scanner)."""
     if raw in ("t", "T", "true", "True", "TRUE"):
         return ("boolean", None, None, None, True)
     if raw in ("f", "F", "false", "False", "FALSE"):
@@ -108,7 +80,7 @@ def _parse_field_value(raw: str):
         return ("int64", None, int(raw[:-1]), None, None)
     if raw.endswith("u"):
         return ("uint64", None, int(raw[:-1]), None, None)
-    v = float(raw)  # raises ValueError on garbage → caught by caller
+    v = float(raw)  # raises ValueError on garbage -> caught by caller
     if math.isinf(v) or math.isnan(v):
         raise ValueError(f"non-finite field value: {raw}")
     return ("float64", v, None, None, None)
@@ -118,50 +90,83 @@ _PRECISION_NS = {"ns": 1, "us": 1_000, "ms": 1_000_000, "s": 1_000_000_000}
 
 
 def _parse_influx_line(line: str, precision: str):
-    """One line → list of long-format tuples (or a single err tuple)."""
+    """One line -> list of long-format tuples (or a single err tuple).
+
+    Positional scanner matching the published grammar: double quotes are
+    significant ONLY at the start of a field value (a literal '"' anywhere
+    in a measurement, tag, or key is just a character) — a subtlety a
+    quote-aware splitter gets wrong; found by the hypothesis round-trip
+    test (tests/test_protocols_property.py)."""
     line = line.strip()
     if not line or line.startswith("#"):
         return []
     try:
-        # 1. split off the field-set and optional timestamp on unescaped
-        #    spaces; the first segment is measurement[,tag=v...]
-        parts = _split_unescaped(line, " ")
-        parts = [p for p in parts if p != ""]
-        if len(parts) < 2:
-            raise ValueError("missing field set")
-        head, fieldset = parts[0], parts[1]
-        ts_raw = parts[2] if len(parts) > 2 else None
-        if len(parts) > 3:
-            raise ValueError("unexpected trailing tokens")
-
-        head_parts = _split_unescaped(head, ",")
-        table = _unescape(head_parts[0])
+        n = len(line)
+        table, i = _scan_escaped(line, 0, ", ")
         if not table:
             raise ValueError("empty measurement")
         tags = {}
-        for t in head_parts[1:]:
-            kv = _split_unescaped(t, "=")
-            if len(kv) != 2 or not kv[0] or not kv[1]:
-                raise ValueError(f"invalid tag: {t}")
-            tags[_unescape(kv[0])] = _unescape(kv[1])
+        while i < n and line[i] == ",":
+            k, i = _scan_escaped(line, i + 1, "=, ")
+            if i >= n or line[i] != "=":
+                raise ValueError(f"invalid tag: {k}")
+            v, i = _scan_escaped(line, i + 1, "=, ")
+            if (i < n and line[i] == "=") or not k or not v:
+                raise ValueError(f"invalid tag: {k}")
+            tags[k] = v
+        if i >= n or line[i] != " ":
+            raise ValueError("missing field set")
+        while i < n and line[i] == " ":
+            i += 1
+
+        fields = []
+        while True:
+            k, i = _scan_escaped(line, i, "=, ")
+            if i >= n or line[i] != "=" or not k:
+                raise ValueError(f"invalid field: {k}")
+            i += 1
+            if i < n and line[i] == '"':
+                # quoted string value: \" and \\ escape; others literal
+                i += 1
+                out = []
+                while i < n and line[i] != '"':
+                    if (line[i] == "\\" and i + 1 < n
+                            and line[i + 1] in ('"', "\\")):
+                        out.append(line[i + 1])
+                        i += 2
+                    else:
+                        out.append(line[i])
+                        i += 1
+                if i >= n:
+                    raise ValueError("unterminated string field value")
+                i += 1
+                fields.append((k, ("string", None, None, "".join(out), None)))
+            else:
+                raw = []
+                while i < n and line[i] not in ", ":
+                    raw.append(line[i])
+                    i += 1
+                fields.append((k, _parse_field_value("".join(raw))))
+            if i < n and line[i] == ",":
+                i += 1
+                continue
+            break
+        if not fields:
+            raise ValueError("missing field set")
 
         ts = None
-        if ts_raw is not None:
-            ns = int(ts_raw) * _PRECISION_NS[precision]
-            # timestamp column is µs-resolution (Spark TimestampType); the
-            # reference stores the declared precision — ns truncate to µs
-            ts = pd.Timestamp(ns // 1000, unit="us")
+        if i < n:
+            if line[i] != " ":
+                raise ValueError("invalid field separator")
+            ts_raw = line[i:].strip()
+            if ts_raw:
+                ns = int(ts_raw) * _PRECISION_NS[precision]
+                # timestamp column is us-resolution (Spark TimestampType);
+                # the reference stores the declared precision — ns truncate
+                ts = pd.Timestamp(ns // 1000, unit="us")
 
-        rows = []
-        for fkv in _split_unescaped(fieldset, ","):
-            kv = _split_unescaped(fkv, "=")
-            if len(kv) != 2 or not kv[0]:
-                raise ValueError(f"invalid field: {fkv}")
-            ftype, f64, i64, s, b = _parse_field_value(kv[1])
-            rows.append((table, tags, _unescape(kv[0]), ftype, f64, i64, s, b, ts, None))
-        if not rows:
-            raise ValueError("missing field set")
-        return rows
+        return [(table, tags, k, ftype, f64, i64, s, b, ts, None)
+                for k, (ftype, f64, i64, s, b) in fields]
     except (ValueError, KeyError, OverflowError) as e:
         return [(None, None, None, None, None, None, None, None, None,
                  f"invalid line protocol: {e}: {line[:120]}")]
@@ -555,3 +560,41 @@ def parse_otlp_logs_json(
         _attrs_json(F.col("res_attrs")).alias("resource_attributes"),
         F.when(ts_ns.isNull(), F.lit("missing log record timestamp")).alias("err"),
     ).unionByName(bad)
+
+
+def _esc(s: str, special: str) -> str:
+    out = []
+    for ch in s:
+        if ch == "\\" or ch in special:
+            out.append("\\")
+        out.append(ch)
+    return "".join(out)
+
+
+def format_influx_line(table: str, tags: dict, fields: dict,
+                       ts_ns: int | None = None) -> str:
+    """Render one line of InfluxDB line protocol with full escaping — the
+    emitter dual of :func:`parse_influx_lines` (measurement escapes ',' and
+    ' '; tag/field keys and tag values escape ',', '=', ' '; string field
+    values are quoted with '\"' and '\\\\' escaped; floats use repr, ints get
+    the 'i' suffix, bools t/f). Useful for tests and for exporting tables as
+    line protocol."""
+    head = _esc(table, ", ")
+    for k in sorted(tags):
+        head += "," + _esc(str(k), ",= ") + "=" + _esc(str(tags[k]), ",= ")
+    parts = []
+    for k in sorted(fields):
+        v = fields[k]
+        if isinstance(v, bool):
+            rv = "t" if v else "f"
+        elif isinstance(v, int):
+            rv = f"{v}i"
+        elif isinstance(v, float):
+            rv = repr(v)
+        else:
+            rv = '"' + str(v).replace("\\", "\\\\").replace('"', '\\"') + '"'
+        parts.append(_esc(str(k), ",= ") + "=" + rv)
+    line = head + " " + ",".join(parts)
+    if ts_ns is not None:
+        line += f" {ts_ns}"
+    return line

@@ -1,0 +1,69 @@
+"""Property-based round-trip tests for the influx line-protocol tokenizer.
+
+format_influx_line (escaping emitter) and _parse_influx_line (tokenizer)
+are pure Python, so hypothesis can hammer the grammar without a Spark
+session: any measurement/tag/field content made of printable characters
+must survive format -> parse exactly.
+"""
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from greptimedb_spark.sources.protocols import (
+    _parse_influx_line,
+    format_influx_line,
+)
+
+# printable, no newline (one line per record by definition); allow every
+# escape-relevant char: space, comma, '=', backslash, double quote
+_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    min_size=1,
+    max_size=12,
+)
+# keys/measurement cannot START with '#' (comment) per our parser's skip rule
+_key = _text.filter(lambda s: s.strip() and not s.startswith("#"))
+
+_field_val = st.one_of(
+    st.booleans(),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    _text,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    table=_key,
+    tags=st.dictionaries(_key, _text, max_size=3),
+    fields=st.dictionaries(_key, _field_val, min_size=1, max_size=4),
+    ts=st.one_of(st.none(), st.integers(min_value=0, max_value=2**62)),
+)
+def test_influx_format_parse_roundtrip(table, tags, fields, ts):
+    line = format_influx_line(table, tags, fields, ts_ns=ts)
+    rows = _parse_influx_line(line, "ns")
+    assert rows and all(r[-1] is None for r in rows), (line, rows)
+    assert {r[0] for r in rows} == {table}
+    got_tags = rows[0][1]
+    assert got_tags == {str(k): str(v) for k, v in tags.items()}
+    got_fields = {}
+    for _t, _tags, fkey, ftype, f64, i64, s, b, _ts, _err in rows:
+        got_fields[fkey] = {
+            "float64": f64, "int64": i64, "uint64": i64,
+            "string": s, "boolean": b,
+        }[ftype]
+    for k, v in fields.items():
+        g = got_fields[str(k)]
+        if isinstance(v, bool):
+            assert g is v
+        elif isinstance(v, float):
+            assert g == v or (math.isnan(v) and math.isnan(g))
+        elif isinstance(v, int):
+            assert g == v
+        else:
+            assert g == str(v)
+    if ts is not None:
+        # ns truncates to µs in the timestamp column (.value is ns)
+        assert rows[0][8].value == (ts // 1000) * 1000
