@@ -180,3 +180,47 @@ def test_corpus_frequency_score(spark):
     assert rows[2]["sum_tok_freq"] == 7 and rows[2]["freq_score"] == 7 / 16
     # common-token doc scores above the one with a rare token
     assert rows[0]["freq_score"] > rows[1]["freq_score"]
+
+
+def test_repetition_signals_random_against_python(spark):
+    """Batch property test: 60 pseudo-random docs, Spark signals vs a direct
+    Python recomputation of the spec (one Spark job for the whole batch)."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs = []
+    for i in range(60):
+        n = rng.randint(1, 30)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tp.repetition_signals(df).collect()}
+
+    for i, text in docs:
+        toks = text.split(" ")
+        bi = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        tri = [" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)]
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["distinct_ratio"] == round(len(set(toks)) / len(toks), 6)
+        want_top = round(max((bi.count(x) for x in set(bi)), default=0) / len(bi), 6) if bi else 0.0
+        assert r["top_bigram_frac"] == want_top, (text, r)
+        want_dup = round((len(tri) - len(set(tri))) / len(tri), 6) if tri else 0.0
+        assert r["dup_trigram_frac"] == want_dup
+
+
+def test_pack_concat_chunks_random_against_python(spark):
+    import random
+
+    rng = random.Random(7)
+    docs = [(i, " ".join("w" for _ in range(rng.randint(1, 50)))) for i in range(80)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           tp.pack_concat_chunks(df, chunk_tokens=32, bucket_span=9).collect()}
+    off = 0
+    for i, text in docs:  # doc_id order == list order
+        n = len(text.split(" "))
+        assert got[i]["n_tokens"] == n
+        assert got[i]["start_chunk"] == off // 32
+        assert got[i]["end_chunk"] == (off + n - 1) // 32
+        off += n
