@@ -360,6 +360,55 @@ FROM events GROUP BY event_type
 """
 
 
+# -- q97: Prometheus remote-write ingest round-trip ------------------------------------
+# Events become snappy-compressed protobuf WriteRequests (encoder dual) and
+# come back through sources/protocols.parse_prom_remote_write — the real
+# wire format, handled without external snappy/protobuf libs
+# (src/servers/src/prom_store.rs:44-80).
+
+def q97_prom_remote_write(spark: SparkSession, sf: str) -> DataFrame:
+    from greptimedb_spark.sources import protocols as proto
+
+    e = read(spark, sf, "events")
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                proto.encode_write_request([(
+                    {"__name__": "events_value", "event_type": t},
+                    [(float(v), int(ts))],
+                )])
+                for t, v, ts in zip(pdf["event_type"], pdf["value"], pdf["ts_ms"])
+            ]
+            yield pd.DataFrame({"payload": payloads})
+
+    payloads = e.select(
+        "event_type", "value", F.unix_millis("ts").alias("ts_ms")
+    ).mapInPandas(encode, "payload binary")
+    rows = proto.parse_prom_remote_write(payloads).filter(F.col("err").isNull())
+    return (
+        rows.groupBy("table", F.col("tags")["event_type"].alias("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col(proto.VALUE_COL).cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_value"),
+            F.unix_millis(F.max(proto.TIME_INDEX)).alias("max_ts_ms"),
+        )
+    )
+
+
+Q97_SQL = """
+SELECT 'events_value' AS "table",
+       event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+       MAX(epoch_ms(ts)) AS max_ts_ms
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q70_logquery": QuerySpec(q70_logquery, Q70_SQL, "log DSL: compound/prefix/regex/between"),
     "q71_pipeline": QuerySpec(q71_pipeline, Q71_SQL, "ETL: dissect/letter/json/digest/join"),
@@ -381,5 +430,8 @@ QUERIES = {
     ),
     "q95_otlp_logs_ingest": QuerySpec(
         q95_otlp_logs_ingest, Q95_SQL, "OTLP/JSON logs parse round-trip"
+    ),
+    "q97_prom_remote_write": QuerySpec(
+        q97_prom_remote_write, Q97_SQL, "prometheus remote-write parse round-trip"
     ),
 }

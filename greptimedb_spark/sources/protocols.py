@@ -598,3 +598,169 @@ def format_influx_line(table: str, tags: dict, fields: dict,
     if ts_ns is not None:
         line += f" {ts_ns}"
     return line
+
+
+# ---- Prometheus remote write (snappy-compressed protobuf WriteRequest) ----
+# Wire handling is self-contained: raw-snappy block decompression rides
+# pyarrow's bundled snappy codec (the block format's varint preamble gives
+# the decompressed size), and the WriteRequest message is decoded with a
+# ~60-line reader for the public protobuf wire format — field numbers from
+# the published prometheus/prompb/remote.proto + types.proto:
+#   WriteRequest{ repeated TimeSeries timeseries = 1 }
+#   TimeSeries  { repeated Label labels = 1; repeated Sample samples = 2 }
+#   Label       { string name = 1; string value = 2 }
+#   Sample      { double value = 1; int64 timestamp = 2 }  // ms epoch
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    n = shift = 0
+    while True:
+        b = buf[i]
+        n |= (b & 0x7F) << shift
+        i += 1
+        if not (b & 0x80):
+            return n, i
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+def snappy_decompress(buf: bytes) -> bytes:
+    """Raw snappy block decompression via pyarrow's bundled codec; the
+    block's own uncompressed-length preamble supplies the size pyarrow
+    requires."""
+    import pyarrow as pa
+
+    n, _ = _read_varint(buf, 0)
+    if n > 1 << 30:
+        raise ValueError(f"implausible decompressed size {n}")
+    return bytes(pa.Codec("snappy").decompress(buf, n))
+
+
+def _decode_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) over one protobuf message;
+    unknown fields are skipped per wire type."""
+    i, n = 0, len(buf)
+    while i < n:
+        tag, i = _read_varint(buf, i)
+        fnum, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, i = _read_varint(buf, i)
+        elif wt == 1:
+            v, i = buf[i:i + 8], i + 8
+        elif wt == 2:
+            ln, i = _read_varint(buf, i)
+            v, i = buf[i:i + ln], i + ln
+        elif wt == 5:
+            v, i = buf[i:i + 4], i + 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield fnum, wt, v
+
+
+def decode_write_request(payload: bytes) -> list[tuple[dict, list]]:
+    """Snappy-compressed WriteRequest -> [(labels dict, [(value, ts_ms)])]."""
+    import struct
+
+    body = snappy_decompress(payload)
+    series = []
+    for fnum, wt, v in _decode_fields(body):
+        if fnum != 1 or wt != 2:
+            continue
+        labels, samples = {}, []
+        for sf, swt, sv in _decode_fields(v):
+            if sf == 1 and swt == 2:          # Label
+                name = value = b""
+                for lf, _lwt, lv in _decode_fields(sv):
+                    if lf == 1:
+                        name = lv
+                    elif lf == 2:
+                        value = lv
+                labels[name.decode("utf-8")] = value.decode("utf-8")
+            elif sf == 2 and swt == 2:        # Sample
+                val, ts = 0.0, 0
+                for pf, pwt, pv in _decode_fields(sv):
+                    if pf == 1 and pwt == 1:
+                        val = struct.unpack("<d", pv)[0]
+                    elif pf == 2 and pwt == 0:
+                        # int64 varint; interpret two's complement
+                        ts = pv - (1 << 64) if pv >= (1 << 63) else pv
+                samples.append((val, ts))
+        series.append((labels, samples))
+    return series
+
+
+PROM_NAME_LABEL = "__name__"  # src/servers/src/prom_store.rs:44
+
+
+def parse_prom_remote_write(
+    payloads: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Parse Prometheus remote-write payloads (snappy + protobuf) into rows:
+    the ``__name__`` label names the target table, the remaining labels are
+    tags, each sample lands as (greptime_timestamp ms, greptime_value f64)
+    — the reference's /v1/prometheus/write conversion
+    (src/servers/src/prom_store.rs:44-80, prom_row_builder.rs:33-120).
+
+    Arrow-batched ``mapInPandas`` (binary wire decode is per-payload Python
+    work confined to the ingest edge, like the influx tokenizer); malformed
+    payloads yield one ``err`` row each instead of failing the batch."""
+    import pandas as pd  # noqa: F811 (mapInPandas worker import)
+
+    cols = ["table", "tags", TIME_INDEX, VALUE_COL, "err"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf[payload_col]:
+                try:
+                    for labels, samples in decode_write_request(bytes(payload)):
+                        name = labels.pop(PROM_NAME_LABEL, None)
+                        if name is None:
+                            raise ValueError("series without __name__ label")
+                        for val, ts_ms in samples:
+                            rows.append((name, labels,
+                                         pd.Timestamp(ts_ms, unit="ms"),
+                                         val, None))
+                except (ValueError, IndexError, KeyError, OSError) as e:
+                    # OSError: pyarrow raises ArrowIOError on corrupt snappy
+                    rows.append((None, None, None, None,
+                                 f"invalid remote write payload: {e}"))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return payloads.mapInPandas(
+        gen,
+        schema=(f"table string, tags map<string,string>, "
+                f"{TIME_INDEX} timestamp, {VALUE_COL} double, err string"),
+    )
+
+
+def encode_write_request(series: list[tuple[dict, list]]) -> bytes:
+    """Emitter dual of :func:`decode_write_request` (tests + exporting):
+    [(labels, [(value, ts_ms)])] -> snappy-compressed WriteRequest bytes."""
+    import struct
+
+    import pyarrow as pa
+
+    def varint(n: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out.append(b | (0x80 if n else 0))
+            if not n:
+                return bytes(out)
+
+    def ld(fnum: int, body: bytes) -> bytes:
+        return varint((fnum << 3) | 2) + varint(len(body)) + body
+
+    msg = bytearray()
+    for labels, samples in series:
+        ts_body = bytearray()
+        for k, v in labels.items():
+            ts_body += ld(1, ld(1, k.encode()) + ld(2, v.encode()))
+        for val, ts_ms in samples:
+            sample = (varint((1 << 3) | 1) + struct.pack("<d", val)
+                      + varint(2 << 3) + varint(ts_ms & 0xFFFFFFFFFFFFFFFF))
+            ts_body += ld(2, bytes(sample))
+        msg += ld(1, bytes(ts_body))
+    return bytes(pa.Codec("snappy").compress(bytes(msg)))

@@ -256,3 +256,42 @@ def test_influx_streaming_ingest(spark, tmp_path):
     errs = [r for r in rows if r["err"] is not None]
     assert len(ok) == 3 and len(errs) == 1
     assert {r["field_key"] for r in ok} == {"cpu", "memory"}
+
+
+def test_prom_remote_write(spark):
+    """Decode path pinned two ways: a hand-assembled wire-format byte vector
+    (independent of our encoder) and the encoder dual; then the Spark
+    mapInPandas surface over a binary payload column."""
+    import struct
+
+    import pyarrow as pa
+
+    # hand-built WriteRequest: one series, __name__=m, one sample (1.0, ts=5)
+    label = b"\x0a\x08__name__\x12\x01m"                     # Label message
+    ts_body = b"\x0a" + bytes([len(label)]) + label          # TimeSeries.labels
+    sample = b"\x09" + struct.pack("<d", 1.0) + b"\x10\x05"  # Sample message
+    ts_body += b"\x12" + bytes([len(sample)]) + sample       # TimeSeries.samples
+    wire = b"\x0a" + bytes([len(ts_body)]) + ts_body         # WriteRequest
+    payload = bytes(pa.Codec("snappy").compress(wire))
+    assert proto.decode_write_request(payload) == [({"__name__": "m"}, [(1.0, 5)])]
+
+    # encoder dual round-trip incl. negative value and multiple series
+    series = [({"__name__": "cpu", "host": "h1"},
+               [(1.5, 1663840496000), (2.5, 1663840497000)]),
+              ({"__name__": "mem", "dc": "lax"}, [(-3.25, 1000)])]
+    assert proto.decode_write_request(proto.encode_write_request(series)) == series
+
+    # Spark surface: binary column -> typed rows; garbage -> err row
+    df = spark.createDataFrame(
+        [Row(payload=bytearray(proto.encode_write_request(series))),
+         Row(payload=bytearray(b"not snappy at all"))],
+        "payload binary")
+    rows = proto.parse_prom_remote_write(df).collect()
+    ok = sorted((r for r in rows if r["err"] is None),
+                key=lambda r: (r["table"], r[proto.TIME_INDEX]))
+    assert [(r["table"], r["tags"], r[proto.VALUE_COL]) for r in ok] == [
+        ("cpu", {"host": "h1"}, 1.5), ("cpu", {"host": "h1"}, 2.5),
+        ("mem", {"dc": "lax"}, -3.25)]
+    assert ok[0][proto.TIME_INDEX].year == 2022
+    errs = [r["err"] for r in rows if r["err"] is not None]
+    assert len(errs) == 1 and "invalid remote write payload" in errs[0]
