@@ -409,6 +409,48 @@ FROM events GROUP BY event_type
 """
 
 
+# -- q98: OTLP/JSON traces ingest round-trip -------------------------------------------
+# Events become spans (start ts = event ts, duration from value), parsed by
+# sources/protocols.parse_otlp_traces_json into greptime_trace_v1 rows and
+# re-aggregated per service/kind (src/servers/src/otlp/trace.rs:23-66).
+
+def q98_otlp_traces_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    from greptimedb_spark.sources import protocols as proto
+
+    e = read(spark, sf, "events")
+    ns = F.unix_micros("ts") * 1000
+    dur = (F.col("value") * 1e6).cast("long")  # value ms -> ns, exact (<2^53)
+    payloads = e.select(F.format_string(
+        '{"resourceSpans":[{"resource":{"attributes":['
+        '{"key":"service.name","value":{"stringValue":"svc-%s"}}]},'
+        '"scopeSpans":[{"scope":{"name":"events"},"spans":['
+        '{"traceId":"t%d","spanId":"s%d","name":"op-%s",'
+        '"kind":"SPAN_KIND_SERVER","startTimeUnixNano":"%d",'
+        '"endTimeUnixNano":"%d","status":{"code":"STATUS_CODE_OK"}}]}]}]}',
+        "event_type", "event_id", "event_id", "event_type",
+        ns, ns + dur).alias("payload"))
+    rows = proto.parse_otlp_traces_json(payloads).filter(F.col("err").isNull())
+    return (
+        rows.groupBy("service_name", "span_kind", "span_status_code")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("duration_nano").alias("sum_duration_nano"),
+            F.unix_millis(F.max("timestamp")).alias("max_start_ms"),
+        )
+    )
+
+
+Q98_SQL = """
+SELECT 'svc-' || event_type AS service_name,
+       'SPAN_KIND_SERVER' AS span_kind,
+       'STATUS_CODE_OK' AS span_status_code,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_duration_nano,
+       MAX(epoch_ms(ts)) AS max_start_ms
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q70_logquery": QuerySpec(q70_logquery, Q70_SQL, "log DSL: compound/prefix/regex/between"),
     "q71_pipeline": QuerySpec(q71_pipeline, Q71_SQL, "ETL: dissect/letter/json/digest/join"),
@@ -433,5 +475,8 @@ QUERIES = {
     ),
     "q97_prom_remote_write": QuerySpec(
         q97_prom_remote_write, Q97_SQL, "prometheus remote-write parse round-trip"
+    ),
+    "q98_otlp_traces_ingest": QuerySpec(
+        q98_otlp_traces_ingest, Q98_SQL, "OTLP/JSON traces parse round-trip"
     ),
 }

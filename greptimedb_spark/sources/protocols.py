@@ -272,6 +272,14 @@ def parse_opentsdb_puts(lines: DataFrame, line_col: str = "line") -> DataFrame:
     )
 
 
+def _ns_to_ts(ns_long):
+    """Integer ns -> µs TimestampType WITHOUT a double round-trip: epoch ns
+    (~1.7e18) exceeds double's 2^53 exact-integer range, so `/ 1000` through
+    double rounds by up to ~0.5µs. Decimal division is exact."""
+    return F.timestamp_micros(
+        F.floor(ns_long.cast("decimal(38,9)") / 1000).cast("long"))
+
+
 # Loki push payload: {"streams": [{"stream": {label: value, ...},
 #                                  "values": [["<ts_ns>", "<line>"], ...]}]}
 _LOKI_SCHEMA = (
@@ -310,9 +318,7 @@ def parse_loki_push(payloads: DataFrame, payload_col: str = "payload") -> DataFr
         .select(F.col("s.stream").alias("labels"), F.explode("s.values").alias("v"))
         .select(
             "labels",
-            F.timestamp_micros(
-                (F.element_at("v", 1).try_cast("long") / 1000).cast("long")
-            ).alias(TIME_INDEX),
+            _ns_to_ts(F.element_at("v", 1).try_cast("long")).alias(TIME_INDEX),
             F.element_at("v", 2).alias("line"),
             F.when(F.element_at("v", 1).try_cast("long").isNull(),
                    F.concat(F.lit("invalid loki timestamp: "),
@@ -471,9 +477,7 @@ def parse_otlp_metrics_json(
     return pts.select(
         normalize_otlp_name(F.col("name")).alias("table"),
         F.map_from_entries(entries).alias("tags"),
-        F.timestamp_micros(
-            (F.col("dp.timeUnixNano").try_cast("long") / 1000).cast("long")
-        ).alias(TIME_INDEX),
+        _ns_to_ts(F.col("dp.timeUnixNano").try_cast("long")).alias(TIME_INDEX),
         value.alias(VALUE_COL),
         "metric_type",
         F.when(value.isNull(), F.lit("missing data point value"))
@@ -549,7 +553,7 @@ def parse_otlp_logs_json(
         F.col("r.observedTimeUnixNano").try_cast("long"),
     )
     return recs.select(
-        F.timestamp_micros((ts_ns / 1000).cast("long")).alias("timestamp"),
+        _ns_to_ts(ts_ns).alias("timestamp"),
         F.col("r.traceId").alias("trace_id"),
         F.col("r.spanId").alias("span_id"),
         F.col("r.severityText").alias("severity_text"),
@@ -764,3 +768,97 @@ def encode_write_request(series: list[tuple[dict, list]]) -> bytes:
             ts_body += ld(2, bytes(sample))
         msg += ld(1, bytes(ts_body))
     return bytes(pa.Codec("snappy").compress(bytes(msg)))
+
+
+OTLP_TRACE_TABLE = "opentelemetry_traces"  # common_catalog consts.rs:186
+
+_OTLP_SPAN = (
+    f"struct<traceId:string,spanId:string,parentSpanId:string,name:string,"
+    f"kind:string,startTimeUnixNano:string,endTimeUnixNano:string,"
+    f"attributes:{_OTLP_ATTR},status:struct<code:string,message:string>>"
+)
+_OTLP_TRACES_SCHEMA = (
+    f"resourceSpans array<struct<"
+    f"resource:struct<attributes:{_OTLP_ATTR}>,"
+    f"scopeSpans:array<struct<"
+    f"scope:struct<name:string,version:string>,"
+    f"spans:array<{_OTLP_SPAN}>>>>>"
+)
+
+
+def parse_otlp_traces_json(
+    payloads: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Parse OTLP/JSON trace export payloads into the reference's
+    greptime_trace_v1 span rows (src/servers/src/otlp/trace.rs:23-66,
+    trace/v1.rs:44-110): timestamp = span start (ns time index),
+    timestamp_end, duration_nano, trace/span/parent ids, span_name,
+    span_kind (OTLP's SPAN_KIND_ prefixed enum), span_status_code
+    (STATUS_CODE_*, UNSET default), service_name promoted from the
+    resource's ``service.name``, span/resource attributes as JSON, scope
+    name; default table ``opentelemetry_traces``. ``from_json`` + nested
+    explodes, shuffle-free."""
+    parsed = payloads.select(
+        F.col(payload_col).alias("_raw"),
+        F.from_json(F.col(payload_col), _OTLP_TRACES_SCHEMA).alias("p"),
+    )
+    bad = parsed.filter(
+        F.col("p").isNull() | F.col("p.resourceSpans").isNull()
+    ).select(
+        F.lit(None).cast("timestamp").alias("timestamp"),
+        *[F.lit(None).cast(t).alias(n) for n, t in (
+            ("timestamp_end", "timestamp"), ("duration_nano", "long"),
+            ("trace_id", "string"), ("span_id", "string"),
+            ("parent_span_id", "string"), ("span_name", "string"),
+            ("span_kind", "string"), ("span_status_code", "string"),
+            ("service_name", "string"), ("span_attributes", "string"),
+            ("resource_attributes", "string"), ("scope_name", "string"))],
+        F.concat(F.lit("invalid otlp traces payload: "),
+                 F.substring("_raw", 1, 120)).alias("err"),
+    )
+    spans = (
+        parsed.filter(F.col("p.resourceSpans").isNotNull())
+        .select(F.explode("p.resourceSpans").alias("rs"))
+        .select(F.col("rs.resource.attributes").alias("res_attrs"),
+                F.explode("rs.scopeSpans").alias("ss"))
+        .select("res_attrs", F.col("ss.scope.name").alias("scope_name"),
+                F.explode("ss.spans").alias("s"))
+    )
+
+    def _attrs_json(col):
+        entries = F.transform(
+            F.coalesce(col, F.expr(f"CAST(array() AS {_OTLP_ATTR})")),
+            lambda e: F.struct(e["key"].alias("key"),
+                               e["value"]["stringValue"].alias("value")),
+        )
+        return F.to_json(F.map_from_entries(entries))
+
+    def _attr(col, key):
+        return F.element_at(
+            F.map_from_entries(F.transform(
+                F.coalesce(col, F.expr(f"CAST(array() AS {_OTLP_ATTR})")),
+                lambda e: F.struct(e["key"].alias("key"),
+                                   e["value"]["stringValue"].alias("value")))),
+            key,
+        )
+
+    start_ns = F.col("s.startTimeUnixNano").try_cast("long")
+    end_ns = F.col("s.endTimeUnixNano").try_cast("long")
+    return spans.select(
+        _ns_to_ts(start_ns).alias("timestamp"),
+        _ns_to_ts(end_ns).alias("timestamp_end"),
+        (end_ns - start_ns).alias("duration_nano"),
+        F.col("s.traceId").alias("trace_id"),
+        F.col("s.spanId").alias("span_id"),
+        F.col("s.parentSpanId").alias("parent_span_id"),
+        F.col("s.name").alias("span_name"),
+        F.coalesce(F.col("s.kind"), F.lit("SPAN_KIND_UNSPECIFIED")).alias("span_kind"),
+        F.coalesce(F.col("s.status.code"), F.lit("STATUS_CODE_UNSET"))
+        .alias("span_status_code"),
+        _attr(F.col("res_attrs"), "service.name").alias("service_name"),
+        _attrs_json(F.col("s.attributes")).alias("span_attributes"),
+        _attrs_json(F.col("res_attrs")).alias("resource_attributes"),
+        "scope_name",
+        F.when(start_ns.isNull(), F.lit("missing span start timestamp"))
+        .alias("err"),
+    ).unionByName(bad)

@@ -295,3 +295,36 @@ def test_prom_remote_write(spark):
     assert ok[0][proto.TIME_INDEX].year == 2022
     errs = [r["err"] for r in rows if r["err"] is not None]
     assert len(errs) == 1 and "invalid remote write payload" in errs[0]
+
+
+def test_otlp_traces_json(spark):
+    good = (
+        '{"resourceSpans":[{"resource":{"attributes":['
+        '{"key":"service.name","value":{"stringValue":"checkout"}}]},'
+        '"scopeSpans":[{"scope":{"name":"lib"},"spans":['
+        '{"traceId":"0af7651916cd43dd8448eb211c80319c","spanId":"b7ad6b71",'
+        '"parentSpanId":"00f067aa","name":"GET /cart","kind":"SPAN_KIND_SERVER",'
+        '"startTimeUnixNano":"1663840496000000000",'
+        '"endTimeUnixNano":"1663840496250000000",'
+        '"attributes":[{"key":"http.method","value":{"stringValue":"GET"}}],'
+        '"status":{"code":"STATUS_CODE_OK"}},'
+        '{"spanId":"deadbeef","name":"orphan","startTimeUnixNano":"1663840497000000000"}'
+        ']}]}]}'
+    )
+    df = spark.createDataFrame([Row(payload=good), Row(payload="<xml/>")])
+    rows = proto.parse_otlp_traces_json(df).collect()
+    ok = sorted((r for r in rows if r["err"] is None), key=lambda r: r["span_name"])
+    assert [r["span_name"] for r in ok] == ["GET /cart", "orphan"]
+    g = ok[0]
+    assert g["duration_nano"] == 250_000_000
+    assert g["span_kind"] == "SPAN_KIND_SERVER"
+    assert g["span_status_code"] == "STATUS_CODE_OK"
+    assert g["service_name"] == "checkout"
+    assert g["span_attributes"] == '{"http.method":"GET"}'
+    assert g["timestamp"].year == 2022 and g["timestamp_end"].microsecond == 250000
+    # defaults: kind/status unset
+    o = ok[1]
+    assert o["span_kind"] == "SPAN_KIND_UNSPECIFIED"
+    assert o["span_status_code"] == "STATUS_CODE_UNSET"
+    errs = [r["err"] for r in rows if r["err"] is not None]
+    assert len(errs) == 1 and "invalid otlp traces payload" in errs[0]
