@@ -451,6 +451,79 @@ FROM events GROUP BY event_type
 """
 
 
+# -- q99/q100: trace read surface (Jaeger-API analog) -----------------------------------
+# Synthesized two-span traces per event (root service span + db child);
+# q99 = FindTraces semantics (any-span match returns the WHOLE trace),
+# q100 = the read-time service dependency graph
+# (src/servers/src/http/jaeger.rs:393-655).
+
+def _event_spans(spark: SparkSession, sf: str) -> DataFrame:
+    e = read(spark, sf, "events")
+    base = e.select(
+        F.concat(F.lit("t"), "event_id").alias("trace_id"),
+        F.col("event_id"), F.col("event_type"), F.col("ts"), F.col("value"),
+    )
+    root = base.select(
+        "trace_id", F.concat(F.lit("r"), "event_id").alias("span_id"),
+        F.lit(None).cast("string").alias("parent_span_id"),
+        F.concat(F.lit("svc-"), "event_type").alias("service_name"),
+        F.concat(F.lit("op-"), "event_type").alias("span_name"),
+        F.lit("SPAN_KIND_SERVER").alias("span_kind"),
+        (F.col("value") * 1000000).cast("long").alias("duration_nano"),
+        F.col("ts").alias("timestamp"),
+        F.lit("{}").alias("span_attributes"),
+    )
+    child = base.select(
+        "trace_id", F.concat(F.lit("c"), "event_id").alias("span_id"),
+        F.concat(F.lit("r"), "event_id").alias("parent_span_id"),
+        F.lit("db").alias("service_name"),
+        F.lit("query").alias("span_name"),
+        F.lit("SPAN_KIND_CLIENT").alias("span_kind"),
+        (F.col("value") * 500000).cast("long").alias("duration_nano"),
+        F.col("ts").alias("timestamp"),
+        F.lit("{}").alias("span_attributes"),
+    )
+    return root.unionByName(child)
+
+
+def q99_trace_find(spark: SparkSession, sf: str) -> DataFrame:
+    from greptimedb_spark import traces as TR
+
+    spans = _event_spans(spark, sf)
+    # traces whose DB leg took >= 2ms: whole traces come back (both spans)
+    return TR.find_traces(
+        spans, service="db", min_duration_ns=2_000_000
+    ).select("trace_id", "span_id", "service_name", "span_name", "duration_nano")
+
+
+Q99_SQL = """
+WITH m AS (SELECT event_id, event_type, value FROM events
+           WHERE CAST(FLOOR(value * 500000) AS BIGINT) >= 2000000)
+SELECT 't' || event_id AS trace_id, 'r' || event_id AS span_id,
+       'svc-' || event_type AS service_name, 'op-' || event_type AS span_name,
+       CAST(FLOOR(value * 1000000) AS BIGINT) AS duration_nano
+FROM m
+UNION ALL
+SELECT 't' || event_id, 'c' || event_id, 'db', 'query',
+       CAST(FLOOR(value * 500000) AS BIGINT)
+FROM m
+"""
+
+
+def q100_trace_deps(spark: SparkSession, sf: str) -> DataFrame:
+    from greptimedb_spark import traces as TR
+
+    return TR.service_dependencies(_event_spans(spark, sf))
+
+
+Q100_SQL = """
+SELECT 'svc-' || event_type AS parent_service,
+       'db' AS child_service,
+       COUNT(*) AS call_count
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q70_logquery": QuerySpec(q70_logquery, Q70_SQL, "log DSL: compound/prefix/regex/between"),
     "q71_pipeline": QuerySpec(q71_pipeline, Q71_SQL, "ETL: dissect/letter/json/digest/join"),
@@ -478,5 +551,11 @@ QUERIES = {
     ),
     "q98_otlp_traces_ingest": QuerySpec(
         q98_otlp_traces_ingest, Q98_SQL, "OTLP/JSON traces parse round-trip"
+    ),
+    "q99_trace_find": QuerySpec(
+        q99_trace_find, Q99_SQL, "Jaeger FindTraces (whole-trace semi-join)"
+    ),
+    "q100_trace_deps": QuerySpec(
+        q100_trace_deps, Q100_SQL, "trace service-dependency graph"
     ),
 }
