@@ -93,3 +93,45 @@ def test_streaming_dedup_in_batch_tiebreak(spark, tmp_path):
     got = [(r.doc_id, r.fp is not None) for r in
            spark.read.parquet(sink).collect()]
     assert got == [(7, True)]
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """q89's sessionization shape runs as a real Structured Streaming
+    aggregation: groupBy(session_window) + watermark, append mode. Two
+    micro-batches (maxFilesPerTrigger=1): the second batch's watermark
+    passes the first batch's session ends, so those sessions emit; the
+    result must equal the batch session computation restricted to emitted
+    sessions (closed strictly before the final watermark)."""
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [(1, 1_000), (1, 61_000), (2, 5_000)]          # sessions batch 1
+    rows2 = [(1, 10_000_000), (2, 10_000_500)]             # far later: advances watermark
+    import glob
+    import shutil
+
+    for name, rows in (("a.parquet", rows1), ("b.parquet", rows2)):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, "user_id long, ms long").select(
+            "user_id", F.timestamp_millis("ms").alias("ts")
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.move(glob.glob(stage + "/part-*.parquet")[0], str(src / name))
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    agg = (stream.withWatermark("ts", "10 seconds")
+           .groupBy(F.session_window("ts", "2 minutes"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"))
+           .select("user_id",
+                   F.unix_millis("session_window.start").alias("start_ms"),
+                   "n_events"))
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (agg.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt).outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user_id"], r["start_ms"], r["n_events"])
+           for r in spark.read.parquet(sink).collect()}
+    # batch-1 sessions (closed by the batch-2 watermark): user 1 merges
+    # 1s+61s into ONE 2-minute-gap session; user 2 has a singleton
+    assert got == {(1, 1_000, 2), (2, 5_000, 1)}
