@@ -96,8 +96,10 @@ def _parse_influx_line(line: str, precision: str):
     significant ONLY at the start of a field value (a literal '"' anywhere
     in a measurement, tag, or key is just a character) — a subtlety a
     quote-aware splitter gets wrong; found by the hypothesis round-trip
-    test (tests/test_protocols_property.py)."""
-    line = line.strip()
+    test (tests/test_protocols_property.py). Only ASCII whitespace is
+    trimmed: str.strip() would eat e.g. U+00A0 out of a measurement name
+    (also a hypothesis find)."""
+    line = line.strip(" \t\r\n")
     if not line or line.startswith("#"):
         return []
     try:
@@ -158,7 +160,7 @@ def _parse_influx_line(line: str, precision: str):
         if i < n:
             if line[i] != " ":
                 raise ValueError("invalid field separator")
-            ts_raw = line[i:].strip()
+            ts_raw = line[i:].strip(" \t\r\n")
             if ts_raw:
                 ns = int(ts_raw) * _PRECISION_NS[precision]
                 # timestamp column is us-resolution (Spark TimestampType);
