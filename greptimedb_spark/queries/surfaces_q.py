@@ -524,6 +524,89 @@ FROM events GROUP BY event_type
 """
 
 
+# -- q101: Splunk HEC ingest round-trip -------------------------------------------------
+# Events are rendered as /services/collector/event JSON payloads and parsed
+# back by sources/protocols.parse_splunk_hec (splunk.rs:384-446): `index`
+# routes the table, `fields` spread to tags, and the `time` field exercises
+# BOTH branches of the HEC epoch heuristic — even event_ids send epoch-ms
+# integers (>= 1e12 -> ms branch), odd send integer epoch-seconds.
+
+def q101_splunk_hec_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    from greptimedb_spark.sources import protocols as proto
+
+    e = read(spark, sf, "events")
+    ms = F.unix_millis("ts")
+    time_repr = F.when(F.col("event_id") % 2 == 0, ms.cast("string")) \
+        .otherwise((ms / 1000).cast("long").cast("string"))
+    payloads = e.select(F.format_string(
+        '{"event":"evt %d val %s","time":%s,"index":"events",'
+        '"host":"h1","fields":{"event_type":"%s"}}',
+        "event_id", F.col("value").cast("string"), time_repr,
+        "event_type").alias("payload"))
+    rows = proto.parse_splunk_hec(payloads).filter(F.col("err").isNull())
+    return (
+        rows.groupBy("table", F.col("tags")["event_type"].alias("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(
+                F.regexp_extract("event", r"val (\S+)$", 1).cast("decimal(18,2)")
+            ), 2).cast("double").alias("sum_value"),
+            F.sum(F.unix_millis(proto.TIME_INDEX)).alias("sum_ts_ms"),
+        )
+    )
+
+
+Q101_SQL = """
+SELECT 'events' AS "table",
+       event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN epoch_ms(ts)
+                ELSE (epoch_ms(ts) // 1000) * 1000 END) AS BIGINT) AS sum_ts_ms
+FROM events GROUP BY event_type
+"""
+
+
+# -- q103/q104: trace surface last mile (get_trace + get_services) ----------------------
+# Pins the remaining Jaeger-analog read APIs to oracles: q103 fetches ONE
+# whole trace by id (jaeger.rs handle_get_trace:449), q104 the service list
+# (handle_get_services:393). event_id 0 exists at every SF, so trace "t0"
+# is deterministic without a driver-side probe.
+
+def q103_trace_get(spark: SparkSession, sf: str) -> DataFrame:
+    from greptimedb_spark import traces as TR
+
+    spans = _event_spans(spark, sf)
+    return TR.get_trace(spans, "t0").select(
+        "trace_id", "span_id", "parent_span_id",
+        "service_name", "span_name", "span_kind", "duration_nano")
+
+
+Q103_SQL = """
+SELECT 't0' AS trace_id, 'r0' AS span_id, CAST(NULL AS VARCHAR) AS parent_span_id,
+       'svc-' || event_type AS service_name, 'op-' || event_type AS span_name,
+       'SPAN_KIND_SERVER' AS span_kind,
+       CAST(FLOOR(value * 1000000) AS BIGINT) AS duration_nano
+FROM events WHERE event_id = 0
+UNION ALL
+SELECT 't0', 'c0', 'r0', 'db', 'query', 'SPAN_KIND_CLIENT',
+       CAST(FLOOR(value * 500000) AS BIGINT)
+FROM events WHERE event_id = 0
+"""
+
+
+def q104_trace_services(spark: SparkSession, sf: str) -> DataFrame:
+    from greptimedb_spark import traces as TR
+
+    return TR.get_services(_event_spans(spark, sf))
+
+
+Q104_SQL = """
+SELECT DISTINCT 'svc-' || event_type AS service_name FROM events
+UNION SELECT 'db'
+"""
+
+
 QUERIES = {
     "q70_logquery": QuerySpec(q70_logquery, Q70_SQL, "log DSL: compound/prefix/regex/between"),
     "q71_pipeline": QuerySpec(q71_pipeline, Q71_SQL, "ETL: dissect/letter/json/digest/join"),
@@ -557,5 +640,14 @@ QUERIES = {
     ),
     "q100_trace_deps": QuerySpec(
         q100_trace_deps, Q100_SQL, "trace service-dependency graph"
+    ),
+    "q101_splunk_hec": QuerySpec(
+        q101_splunk_hec_ingest, Q101_SQL, "splunk HEC event parse round-trip"
+    ),
+    "q103_trace_get": QuerySpec(
+        q103_trace_get, Q103_SQL, "Jaeger get_trace single-trace fetch"
+    ),
+    "q104_trace_services": QuerySpec(
+        q104_trace_services, Q104_SQL, "Jaeger get_services distinct list"
     ),
 }

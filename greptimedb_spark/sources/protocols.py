@@ -53,12 +53,17 @@ _INFLUX_SCHEMA = (
 
 def _scan_escaped(line: str, i: int, stops: str) -> tuple[str, int]:
     """Consume chars from ``i`` until an unescaped char in ``stops`` (or end
-    of line); backslash escapes the next char. Returns (text, next index)."""
+    of line). A backslash escapes ONLY the section's escapable chars (which
+    equal the stop set: measurement escapes ',' and ' '; tag/field keys and
+    tag values escape ',', '=', ' '); before any other char the backslash is
+    kept literally, matching the Go/iox line-protocol parsers — so
+    ``path=C:\\temp`` keeps its backslash instead of collapsing to
+    ``C:temp``. Returns (text, next index)."""
     out = []
     n = len(line)
     while i < n:
         c = line[i]
-        if c == "\\" and i + 1 < n:
+        if c == "\\" and i + 1 < n and line[i + 1] in stops:
             out.append(line[i + 1])
             i += 2
             continue
@@ -77,9 +82,19 @@ def _parse_field_value(raw: str):
     if raw in ("f", "F", "false", "False", "FALSE"):
         return ("boolean", None, None, None, False)
     if raw.endswith("i"):
-        return ("int64", None, int(raw[:-1]), None, None)
+        v = int(raw[:-1])
+        if not (-(1 << 63) <= v < (1 << 63)):
+            raise ValueError(f"i64 field value out of range: {raw}")
+        return ("int64", None, v, None, None)
     if raw.endswith("u"):
-        return ("uint64", None, int(raw[:-1]), None, None)
+        v = int(raw[:-1])
+        # uint64 is spec-valid up to 2^64-1, but the output long column tops
+        # out at i64::MAX — larger (or negative) values become err rows
+        # instead of overflowing the Arrow batch and failing every line in it
+        if not (0 <= v < (1 << 63)):
+            raise ValueError(
+                f"u64 field value outside supported [0, i64::MAX]: {raw}")
+        return ("uint64", None, v, None, None)
     v = float(raw)  # raises ValueError on garbage -> caught by caller
     if math.isinf(v) or math.isnan(v):
         raise ValueError(f"non-finite field value: {raw}")
@@ -197,7 +212,12 @@ def parse_influx_lines(
             for line in pdf[line_col]:
                 if line is not None:
                     out.extend(_parse_influx_line(str(line), precision))
-            yield pd.DataFrame(out, columns=cols)
+            # dtype=object blocks pandas' None-mixed-int → float64 inference,
+            # which cannot hold values near i64::MAX exactly; the nullable
+            # Int64 column then carries them to Arrow losslessly
+            res = pd.DataFrame(out, columns=cols, dtype=object)
+            res["v_i64"] = res["v_i64"].astype("Int64")
+            yield res
 
     return lines.mapInPandas(gen, schema=_INFLUX_SCHEMA)
 
@@ -240,8 +260,11 @@ def parse_opentsdb_puts(lines: DataFrame, line_col: str = "line") -> DataFrame:
 
     ts_num = ts_raw.try_cast("long")
     # digits < 13 means seconds (reference comment: 13-digit epoch-ms starts
-    # in 2286 and 12-digit ms ended in 2001)
-    ts_ms = F.when(F.length(F.regexp_replace(ts_raw, "^-", "")) < 13, ts_num * 1000).otherwise(ts_num)
+    # in 2286 and 12-digit ms ended in 2001). The digit count comes from the
+    # PARSED absolute value like codec.rs:175-183 — not the raw token, whose
+    # leading zeros or '+' sign would misclassify (e.g. '0001663840496').
+    ts_ms = F.when(F.length(F.abs(ts_num).cast("string")) < 13,
+                   ts_num * 1000).otherwise(ts_num)
     val_num = val_raw.try_cast("double")
 
     tag_pairs = F.transform(tag_toks, lambda t: F.split(t, "="))
@@ -569,9 +592,14 @@ def parse_otlp_logs_json(
 
 
 def _esc(s: str, special: str) -> str:
+    # backslash itself is NOT escaped (it is not an escapable char in
+    # measurements/tags/keys — the parser keeps a backslash before a
+    # non-escapable char literally, so escaping it here would double it).
+    # Inherent format wart, same as InfluxDB's: content whose literal
+    # backslash is immediately followed by a separator cannot round-trip.
     out = []
     for ch in s:
-        if ch == "\\" or ch in special:
+        if ch in special:
             out.append("\\")
         out.append(ch)
     return "".join(out)
@@ -770,6 +798,239 @@ def encode_write_request(series: list[tuple[dict, list]]) -> bytes:
             ts_body += ld(2, bytes(sample))
         msg += ld(1, bytes(ts_body))
     return bytes(pa.Codec("snappy").compress(bytes(msg)))
+
+
+# ---- Splunk HTTP Event Collector (HEC) -----------------------------------
+# The reference's /v1/splunk endpoint family (src/servers/src/http/splunk.rs):
+# /services/collector/event takes batches of JSON event objects (concatenated
+# with ANY or NO separator, or as one top-level array); /services/collector/raw
+# takes a verbatim text body, one event unless an explicit ?linebreaker= splits
+# it. Event semantics (splunk.rs:215-275): `time` (epoch seconds, fractional
+# ok, >=1e12 read as ms) -> timestamp; `index` -> table (sanitized to a valid
+# name, splunk.rs:303-332); host/source/sourcetype + the flat `fields` object
+# -> tags; `event` + remaining keys -> data. Server-only machinery (HEC
+# response codes as HTTP replies, pipeline resolution, ack channels) has no
+# batch analog; the HEC code + text for an invalid event land in `err`
+# instead of rejecting the whole batch (the 100-TB-backfill posture used by
+# every codec in this module — NOTE the reference rejects the full request).
+
+SPLUNK_DEFAULT_TABLE = "splunk_logs"  # splunk.rs:58
+
+_SPLUNK_NAME_RE = None  # compiled lazily (regex import kept top-of-function)
+
+
+def _splunk_sanitize_index(raw: str) -> str | None:
+    """Coerce a Splunk ``index`` into a valid table name per the reference's
+    NAME_PATTERN (splunk.rs:303-332: body chars alnum/_/:/-/./@/#, first
+    char alpha/_/:/-; invalid chars -> '_', bad first char -> prefixed '_');
+    None for empty/whitespace input."""
+    import re
+
+    global _SPLUNK_NAME_RE
+    if _SPLUNK_NAME_RE is None:
+        # common_base regex_pattern.rs:18
+        _SPLUNK_NAME_RE = re.compile(r"^[a-zA-Z_:-][a-zA-Z0-9_:\-.@#]*$")
+    trimmed = raw.strip()
+    if not trimmed:
+        return None
+    if _SPLUNK_NAME_RE.match(trimmed):
+        return trimmed
+    out = []
+    for c in trimmed:
+        out.append(c if (c.isascii() and c.isalnum()) or c in "_:-.@#" else "_")
+    name = "".join(out)
+    first = name[0]
+    if not ((first.isascii() and first.isalpha()) or first in "_:-"):
+        name = "_" + name
+    return name if _SPLUNK_NAME_RE.match(name) else None
+
+
+def _parse_hec_time(value):
+    """HEC ``time`` -> pd.Timestamp (µs) or None: epoch seconds, fractional
+    kept; values >= 1e12 read as epoch ms (splunk.rs:161-181)."""
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, (int, float)):
+        n = float(value)
+    elif isinstance(value, str):
+        try:
+            n = float(value.strip())
+        except ValueError:
+            return None
+    else:
+        return None
+    if not math.isfinite(n):
+        return None
+    if n >= 1e12:
+        return pd.Timestamp(int(n), unit="ms")
+    secs = math.floor(n)
+    frac_ns = int((n - secs) * 1e9)  # truncating like the reference
+    return pd.Timestamp(secs * 1_000_000 + frac_ns // 1000, unit="us")
+
+
+def _iter_hec_events(body: str):
+    """Yield event values from a HEC body: JSON objects concatenated with
+    any/no separator; top-level arrays are flattened (splunk.rs:153-157 /
+    the shared transform_ndjson_array_factory). Raises ValueError on a
+    malformed value — the caller maps that to one err row for the payload."""
+    import json
+
+    dec = json.JSONDecoder()
+    i, n = 0, len(body)
+    while True:
+        while i < n and body[i] in " \t\r\n":
+            i += 1
+        if i >= n:
+            return
+        try:
+            value, i = dec.raw_decode(body, i)
+        except ValueError:
+            raise ValueError("invalid data format")
+        if isinstance(value, list):
+            yield from value
+        else:
+            yield value
+
+
+def _hec_stringify(v) -> str:
+    import json
+
+    return v if isinstance(v, str) else json.dumps(v, separators=(",", ":"))
+
+
+def _hec_event_row(obj, query_table):
+    """One HEC event object -> output tuple (table, tags, event, extra, ts,
+    err). Mirrors splunk.rs validate_event (codes 12/13/6) +
+    hec_event_to_map; `time` absent -> NULL timestamp (the reference falls
+    back to wall-clock ingest time, which a deterministic batch transform
+    must not bake in — callers coalesce with current_timestamp())."""
+    import json
+
+    if not isinstance(obj, dict):
+        return (None, None, None, None, None,
+                "hec code 6: skipping non-object event")
+    ev = obj.get("event")
+    if "event" not in obj:
+        return (None, None, None, None, None,
+                "hec code 12: Event field is required")
+    if ev is None or (isinstance(ev, str) and not ev.strip()):
+        return (None, None, None, None, None,
+                "hec code 13: Event field cannot be blank")
+    ts = None
+    if obj.get("time") is not None:
+        ts = _parse_hec_time(obj["time"])
+        if ts is None:
+            return (None, None, None, None, None,
+                    "hec code 6: invalid data format")
+    rest = {k: v for k, v in obj.items() if k not in ("event", "time")}
+    index = rest.pop("index", None)
+    table = (_splunk_sanitize_index(index) if isinstance(index, str) else None) \
+        or query_table or SPLUNK_DEFAULT_TABLE
+    tags = {}
+    fields = rest.pop("fields", None)
+    if isinstance(fields, dict):
+        for k, v in fields.items():
+            tags[k] = _hec_stringify(v)
+    for key in ("host", "source", "sourcetype"):
+        if key in rest:
+            tags[key] = _hec_stringify(rest.pop(key))
+    extra = json.dumps(rest, separators=(",", ":")) if rest else None
+    return (table, tags, _hec_stringify(ev), extra, ts, None)
+
+
+def parse_splunk_hec(
+    payloads: DataFrame, payload_col: str = "payload",
+    default_table: str | None = None,
+) -> DataFrame:
+    """Parse Splunk HEC ``/services/collector/event`` payloads into rows:
+    (table, tags, event, extra json, greptime_timestamp, err) — the
+    reference's splunk.rs:384-446 conversion. ``default_table`` mirrors the
+    ``?table=`` query param (index -> table -> 'splunk_logs').
+
+    Arrow-batched ``mapInPandas`` (HEC's separator-free concatenated-object
+    batching needs an incremental JSON decoder, like the influx tokenizer);
+    one pass at the ingest edge, no shuffle. A malformed payload yields one
+    err row; an invalid event yields an err row carrying the reference's
+    HEC code + text (the reference rejects the whole request instead)."""
+    cols = ["table", "tags", "event", "extra", TIME_INDEX, "err"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf[payload_col]:
+                try:
+                    events = list(_iter_hec_events(str(payload)))
+                except ValueError:
+                    rows.append((None, None, None, None, None,
+                                 "hec code 6: invalid data format"))
+                    continue
+                if not events:
+                    rows.append((None, None, None, None, None,
+                                 "hec code 5: No data"))
+                    continue
+                rows.extend(_hec_event_row(ev, default_table) for ev in events)
+            yield pd.DataFrame(rows, columns=cols, dtype=object)
+
+    return payloads.mapInPandas(
+        gen,
+        schema=(f"table string, tags map<string,string>, event string, "
+                f"extra string, {TIME_INDEX} timestamp, err string"),
+    )
+
+
+def parse_splunk_raw(
+    payloads: DataFrame, payload_col: str = "payload",
+    linebreaker: str | None = None,
+    host: str | None = None, source: str | None = None,
+    sourcetype: str | None = None, time: str | None = None,
+    index: str | None = None, table: str | None = None,
+) -> DataFrame:
+    """Parse Splunk HEC ``/services/collector/raw`` bodies into rows:
+    (table, tags, message, greptime_timestamp) — splunk.rs:455-529. Without
+    ``linebreaker`` the whole body is ONE verbatim event (multiline stack
+    traces stay intact); with it the body splits on that literal, dropping
+    whitespace-only segments. host/source/sourcetype/time/index/table are
+    request-level query params applying to every event; ``time`` is HEC
+    epoch seconds (ValueError if unparsable, like the reference's code-6
+    reject); absent time -> NULL timestamp (reference: ingest wall-clock).
+
+    Pure column algebra — split/filter/explode are JVM-side and
+    shuffle-free, so raw-event backfills parse at scan speed."""
+    resolved = (_splunk_sanitize_index(index) if index else None) \
+        or table or SPLUNK_DEFAULT_TABLE
+    ts = None
+    if time is not None:
+        ts = _parse_hec_time(time)
+        if ts is None:
+            raise ValueError(f"hec code 6: invalid data format: time={time}")
+    tags = {k: v for k, v in
+            (("host", host), ("source", source), ("sourcetype", sourcetype))
+            if v is not None}
+    body = F.col(payload_col)
+    if linebreaker:
+        import re as _re
+
+        # F.split takes a regex — quote the literal delimiter
+        events = F.filter(
+            F.split(body, _re.escape(linebreaker), -1),
+            lambda s: F.trim(s) != "",
+        )
+    else:
+        events = F.when(F.trim(body) != "", F.array(body)).otherwise(
+            F.expr("CAST(array() AS array<string>)"))
+    tag_col = (F.map_from_arrays(
+        F.array(*[F.lit(k) for k in tags]),
+        F.array(*[F.lit(v) for v in tags.values()]))
+        if tags else F.expr("CAST(map() AS map<string,string>)"))
+    # epoch-µs literal, independent of the session timezone
+    ts_col = (F.timestamp_micros(F.lit(ts.value // 1000)) if ts is not None
+              else F.lit(None).cast("timestamp"))
+    return payloads.select(F.explode(events).alias("message")).select(
+        F.lit(resolved).alias("table"),
+        tag_col.alias("tags"),
+        F.col("message"),
+        ts_col.alias(TIME_INDEX),
+    )
 
 
 OTLP_TRACE_TABLE = "opentelemetry_traces"  # common_catalog consts.rs:186

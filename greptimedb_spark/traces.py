@@ -68,8 +68,13 @@ def find_traces(
         cond = cond & (F.unix_millis("timestamp") >= start_ms)
     if end_ms is not None:
         cond = cond & (F.unix_millis("timestamp") <= end_ms)
-    for k, v in (tags or {}).items():
-        cond = cond & (F.get_json_object("span_attributes", f"$.{k}") == v)
+    if tags:
+        # span_attributes is a flat JSON object; OTel keys are routinely
+        # dotted (http.method), which JSONPath `$.k` would misread as a
+        # nested path — parse to a map and look keys up exactly instead.
+        attrs = F.from_json("span_attributes", "map<string,string>")
+        for k, v in tags.items():
+            cond = cond & (F.element_at(attrs, F.lit(k)) == v)
     matching = spans.filter(cond).select("trace_id").distinct()
     return spans.join(matching, "trace_id", "left_semi")
 

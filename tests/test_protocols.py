@@ -54,6 +54,41 @@ def test_influx_types_and_escapes(spark):
     assert len(d) == 1 and d[0]["v_i64"] == 12 and d[0][proto.TIME_INDEX] is None
 
 
+def test_influx_backslash_kept_before_nonescapable(spark):
+    # Go/iox grammar: backslash escapes ONLY the section's escapable set;
+    # before any other char it is a literal — `C:\temp` must NOT lose it.
+    rows = _parse(spark, [
+        'disk,path=C:\\temp used=1i',          # \t not escapable in tag value
+        'm\\easure,a\\b=c\\d f\\x=2i',         # ditto in measurement/keys
+        'm f=1i,s="back\\slash \\"q\\""',      # quoted: only \" and \\ escape
+    ])
+    assert all(r["err"] is None for r in rows)
+    d = [r for r in rows if r["table"] == "disk"][0]
+    assert d["tags"]["path"] == "C:\\temp"
+    e = [r for r in rows if r["table"] == "m\\easure"][0]
+    assert e["tags"] == {"a\\b": "c\\d"} and e["field_key"] == "f\\x"
+    s = [r for r in rows if r["field_key"] == "s"][0]
+    assert s["v_str"] == 'back\\slash "q"'
+
+
+def test_influx_int_range_quarantined(spark):
+    # spec-valid uint64 above i64::MAX must become an err row, not an Arrow
+    # overflow that fails the whole mapInPandas batch
+    rows = _parse(spark, [
+        "m big=18446744073709551615u 1000000000",
+        "m neg=-1u",
+        "m huge=99999999999999999999i",
+        "m ok=9223372036854775807u,f=1.5 1000000000",
+    ])
+    errs = [r["err"] for r in rows if r["err"] is not None]
+    assert len(errs) == 3
+    assert any("outside supported [0, i64::MAX]" in e for e in errs)
+    assert any("i64 field value out of range" in e for e in errs)
+    ok = [r for r in rows if r["err"] is None]
+    assert {r["field_key"] for r in ok} == {"ok", "f"}
+    assert [r["v_i64"] for r in ok if r["field_key"] == "ok"] == [2**63 - 1]
+
+
 def test_influx_precision_and_errors(spark):
     ok = _parse(spark, ["m f=1 1663840496"], precision="s")
     assert ok[0][proto.TIME_INDEX].year == 2022
@@ -99,6 +134,20 @@ def test_opentsdb_put(spark):
     assert "put: invalid value: NOPE" in errs
     assert "put: illegal argument: duplicate tag" in errs
     assert "put: illegal argument: not enough arguments (need least 4, got 3)" in errs
+
+
+def test_opentsdb_ts_digit_count_from_value(spark):
+    # seconds/ms classification uses the PARSED value's digit count
+    # (codec.rs:175-183): leading zeros or '+' must not flip it to ms
+    df = spark.createDataFrame([Row(line=l) for l in [
+        "put m 0001663840496 1 host=a",   # 13 raw chars but 10 digits → s
+        "put m +1663840496 2 host=a",     # sign prefix → still seconds
+        "put m 1663840496123 3 host=a",   # 13 digits → ms
+    ]])
+    rows = {r[proto.VALUE_COL]: r for r in proto.parse_opentsdb_puts(df).collect()}
+    assert all(r["err"] is None for r in rows.values())
+    assert rows[1.0][proto.TIME_INDEX] == rows[2.0][proto.TIME_INDEX]
+    assert rows[3.0][proto.TIME_INDEX].second == rows[1.0][proto.TIME_INDEX].second
 
 
 def test_influx_roundtrip_events(spark, sf_dir):
@@ -295,6 +344,94 @@ def test_prom_remote_write(spark):
     assert ok[0][proto.TIME_INDEX].year == 2022
     errs = [r["err"] for r in rows if r["err"] is not None]
     assert len(errs) == 1 and "invalid remote write payload" in errs[0]
+
+
+def test_splunk_hec_event(spark):
+    """HEC /services/collector/event parity with splunk.rs test vectors:
+    batch forms (no separator / newline / array), metadata extraction,
+    index routing + sanitization, time parsing, validation codes."""
+    # Vector-sink shape: NO separator, event is an object, fields present
+    vector = (
+        '{"event":{"message":"GET /api 200","status":"200"},'
+        '"fields":{"region":"us-east"},"time":1781713834.069,'
+        '"host":"web-01","index":"main","source":"vector-src"}'
+        '{"event":"plain text","time":1447828325000,"index":"web/prod"}'
+    )
+    bad_batch = '{"event":"a"}{bad}'
+    invalid_events = ('{"host":"h"}\n{"event":""}\n{"event":null}\n'
+                      '{"event":"x","time":"not-a-time"}\n'
+                      '{"event":"ok","sourcetype":"st"}')
+    df = spark.createDataFrame([Row(payload=p) for p in [
+        vector, bad_batch, invalid_events, "   "]])
+    rows = proto.parse_splunk_hec(df).collect()
+    ok = sorted((r for r in rows if r["err"] is None), key=lambda r: r["event"])
+    assert len(ok) == 3
+    v = [r for r in ok if r["event"].startswith("{")][0]
+    assert v["table"] == "main"
+    assert v["tags"] == {"region": "us-east", "host": "web-01",
+                         "source": "vector-src"}
+    assert v["event"] == '{"message":"GET /api 200","status":"200"}'
+    # fractional seconds keep sub-second precision
+    assert v[proto.TIME_INDEX].microsecond == 69000
+    p = [r for r in ok if r["event"] == "plain text"][0]
+    assert p["table"] == "web_prod"            # sanitized index
+    assert p[proto.TIME_INDEX].year == 2015    # >=1e12 read as epoch ms
+    o = [r for r in ok if r["event"] == "ok"][0]
+    assert o["table"] == "splunk_logs" and o[proto.TIME_INDEX] is None
+    assert o["tags"] == {"sourcetype": "st"}
+    errs = [r["err"] for r in rows if r["err"] is not None]
+    assert "hec code 6: invalid data format" in errs       # malformed batch
+    assert "hec code 12: Event field is required" in errs
+    assert errs.count("hec code 13: Event field cannot be blank") == 2
+    assert "hec code 5: No data" in errs                   # blank payload
+    # ?table= fallback + extra keys preserved as json
+    rows2 = proto.parse_splunk_hec(
+        spark.createDataFrame([Row(payload='{"event":"x","custom":42}')]),
+        default_table="from_query").collect()
+    assert rows2[0]["table"] == "from_query"
+    assert rows2[0]["extra"] == '{"custom":42}'
+
+
+def test_splunk_hec_raw(spark):
+    """/services/collector/raw: whole body is ONE event unless an explicit
+    linebreaker splits it; request-level metadata tags every event."""
+    stack = ("java.lang.NullPointerException: boom\n"
+             "\tat com.example.Foo.bar(Foo.java:42)")
+    df = spark.createDataFrame([Row(payload=stack)])
+    one = proto.parse_splunk_raw(
+        df, host="web-01", sourcetype="access_log", time="1447828325").collect()
+    assert len(one) == 1 and one[0]["message"] == stack
+    assert one[0]["table"] == "splunk_logs"
+    assert one[0]["tags"] == {"host": "web-01", "sourcetype": "access_log"}
+    assert one[0][proto.TIME_INDEX].year == 2015
+    # linebreaker splits, whitespace-only segments dropped, indent kept
+    df2 = spark.createDataFrame([Row(payload="line one\n   \n  indented frame")])
+    split = proto.parse_splunk_raw(df2, linebreaker="\n", index="my index/v2")
+    got = [r["message"] for r in split.collect()]
+    assert got == ["line one", "  indented frame"]
+    assert split.first()["table"] == "my_index_v2"
+    # multi-char literal delimiter (not a regex)
+    df3 = spark.createDataFrame([Row(payload="a::b::c")])
+    assert [r["message"] for r in
+            proto.parse_splunk_raw(df3, linebreaker="::").collect()] == \
+        ["a", "b", "c"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        proto.parse_splunk_raw(df, time="not-a-time")
+
+
+def test_splunk_sanitize_index():
+    s = proto._splunk_sanitize_index
+    assert s("main") == "main"
+    assert s("web-prod.2024") == "web-prod.2024"
+    assert s("cpu:metrics") == "cpu:metrics"
+    assert s("my index/v2") == "my_index_v2"
+    assert s("123logs") == "_123logs"
+    assert s("") is None and s("   ") is None
+    # invariant: non-empty input -> always a valid table name
+    for raw in ["@#@#", "...", "日本語 logs", "a/b\\c", "123"]:
+        out = s(raw)
+        assert out is None or proto._SPLUNK_NAME_RE.match(out), (raw, out)
 
 
 def test_otlp_traces_json(spark):

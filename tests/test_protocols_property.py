@@ -17,12 +17,16 @@ from greptimedb_spark.sources.protocols import (
 )
 
 # printable, no newline (one line per record by definition); allow every
-# escape-relevant char: space, comma, '=', backslash, double quote
+# escape-relevant char: space, comma, '=', backslash, double quote.
+# A TRAILING backslash is excluded: backslash is not an escapable char in
+# measurements/tags/keys (the parser keeps `\x` literal for non-escapable
+# x, per the Go/iox grammars), so a literal backslash right before the
+# separator cannot round-trip — an inherent wart of the format itself.
 _text = st.text(
     alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
     min_size=1,
     max_size=12,
-)
+).filter(lambda s: not s.endswith("\\"))
 # keys/measurement cannot START with '#' (comment) per our parser's skip rule
 _key = _text.filter(lambda s: s.strip() and not s.startswith("#"))
 

@@ -55,6 +55,25 @@ def test_find_traces_whole_trace(spark):
     assert TR.get_trace(spans, "B").count() == 2
 
 
+def test_find_traces_dotted_tag_keys(spark):
+    # OTel attribute keys are routinely dotted (http.method); the lookup
+    # must treat them as flat map keys, not JSONPath nesting
+    import pyspark.sql.functions as F
+
+    spans = _spans(spark).withColumn(
+        "span_attributes",
+        F.when(F.col("span_id") == "1",
+               F.lit('{"http.method":"GET","http.status_code":"200"}'))
+        .otherwise(F.col("span_attributes")))
+    got = TR.find_traces(spans, tags={"http.method": "GET"}).collect()
+    assert sorted(r["span_id"] for r in got) == ["1", "2", "3"]
+    assert TR.find_traces(spans, tags={"http.method": "POST"}).count() == 0
+    # two dotted predicates AND together
+    got = TR.find_traces(
+        spans, tags={"http.method": "GET", "http.status_code": "200"})
+    assert got.count() == 3
+
+
 def test_service_dependencies(spark):
     deps = {(r["parent_service"], r["child_service"]): r["call_count"]
             for r in TR.service_dependencies(_spans(spark)).collect()}
