@@ -697,10 +697,11 @@ def ivfpq_topk(
 def semdedup(
     corpus: DataFrame,
     eps: float = 0.5,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell_size: int = 512,
 ) -> DataFrame:
     """Semantic deduplication à la SemDeDup (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with the deterministic IVF coarse
@@ -711,10 +712,17 @@ def semdedup(
 
     Scale shape: the quadratic compare is confined to one cluster at a time
     — exactly the paper's trick for web-scale corpora. The join key is the
-    cell id, so candidate pairs are O(Σ |cell|²) instead of O(n²), and the
-    cell sizes are controlled by ``n_centroids``. No driver-side
-    materialization; the centroid relation rides a broadcast inside
-    ``_train_ivf``.
+    cell id, so candidate pairs are O(Σ |cell|²) instead of O(n²). That
+    budget is only bounded if ``n_centroids`` SCALES WITH THE CORPUS: at
+    fixed k, mean cell size is n/k and the pair count grows as n²/k — a
+    corpus 100× bigger needs ~100× the centroids to keep per-cell work
+    constant. Sizing rule: ``n_centroids ≈ n / target_cell_size``, giving
+    ~n·target_cell_size/2 candidate pairs total (assuming balanced cells;
+    skewed cells concentrate in one task, so shrink target_cell_size if a
+    straggler appears). Pass ``n_centroids=None`` to derive it from a
+    corpus count at that rule (one scalar aggregate probe up front — the
+    explicit parameter skips it). No driver-side materialization beyond
+    that; the centroid relation rides a broadcast inside ``_train_ivf``.
 
     Determinism: same pinned spec as ivf_topk/gen_q57 (hash-sampled init,
     ``iters`` Lloyd rounds, cosine ties to the lower centroid id); the
@@ -726,6 +734,10 @@ def semdedup(
         F.col(vec_col).alias("cv"),
         vec_norm(F.col(vec_col)).alias("cvn"),
     )
+    if n_centroids is None:
+        # sizing rule from the docstring: one scalar count, then k ≈ n/cell
+        n = c.count()
+        n_centroids = max(1, -(-n // max(1, target_cell_size)))
     _, cells = _train_ivf(c, n_centroids, iters)
     a, b = cells.alias("a"), cells.alias("b")
     sim = vec_dot_product(F.col("a.cv"), F.col("b.cv")) / (

@@ -979,13 +979,24 @@ class PromQLEngine:
                 # overwriting an existing identity label can collapse two
                 # series onto one labelset — promql rejects that output
                 # (label.sql "vector cannot contain metrics with the same
-                # labelset"). Only possible when dst pre-exists, so the
-                # probe aggregate is gated to that case.
-                dup = (out.groupBy(*labels, "__t").count()
-                       .filter(F.col("count") > 1).limit(1).count())
-                if dup:
-                    raise ValueError(
-                        "vector cannot contain metrics with the same labelset")
+                # labelset"). Only possible when dst pre-exists. The check
+                # is LAZY: a window count over the new labelset guards the
+                # value column with raise_error, so it rides the query's own
+                # execution (and its pruning/pushdown) instead of launching
+                # an eager probe job at expression-build time — at scale an
+                # eager probe would scan the full vector even when the
+                # result is never materialized.
+                from pyspark.sql.window import Window
+
+                w = Window.partitionBy("__t", *labels)
+                out = out.withColumn(
+                    "value",
+                    F.when(
+                        F.count(F.lit(1)).over(w) > 1,
+                        F.raise_error(F.lit(
+                            "vector cannot contain metrics with the same labelset")),
+                    ).otherwise(F.col("value")),
+                )
             return VectorResult(out, labels)
         if fn == "label_join":
             v = self._eval(node.args[0], ctx)

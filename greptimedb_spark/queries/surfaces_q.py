@@ -567,6 +567,59 @@ FROM events GROUP BY event_type
 """
 
 
+# -- q102: REAL image decode round-trip (pure-stdlib PPM/BMP pixel path) ----------------
+# Each document becomes a tiny constant-color image — even doc_ids as 24-bit
+# BI_RGB BMPs, odd as binary PPMs — encoded in one mapInPandas stage and
+# decoded by multimodal.decode_images' REAL pixel path (netpbm / BMP byte
+# specs, no codec libs). Channel means are exact integers by construction,
+# so the aggregate is bit-deterministic and the DuckDB oracle recomputes it
+# analytically from doc_id/n_chars.
+
+def q102_image_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from greptimedb_spark import multimodal as MM
+
+    d = read(spark, sf, "documents").select("doc_id", "n_chars")
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                w, h = did % 8 + 1, did % 6 + 1
+                rgb = bytes([nc % 256, did % 256, (nc + did) % 256]) * (w * h)
+                payloads.append(MM.encode_bmp(w, h, rgb) if did % 2 == 0
+                                else MM.encode_ppm(w, h, rgb))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    media = d.mapInPandas(encode, "doc_id long, media binary")
+    dec = MM.decode_images(media)
+    return (
+        dec.groupBy("format", (F.col("doc_id") % 3).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("width") * F.col("height")).alias("sum_px"),
+            F.sum(F.col("mean_r").cast("long")).alias("sum_r"),
+            F.sum(F.col("mean_g").cast("long")).alias("sum_g"),
+            F.sum(F.col("mean_b").cast("long")).alias("sum_b"),
+        )
+    )
+
+
+Q102_SQL = """
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+       CAST(doc_id % 3 AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM((doc_id % 8 + 1) * (doc_id % 6 + 1)) AS BIGINT) AS sum_px,
+       CAST(SUM(n_chars % 256) AS BIGINT) AS sum_r,
+       CAST(SUM(doc_id % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((n_chars + doc_id) % 256) AS BIGINT) AS sum_b
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 # -- q103/q104: trace surface last mile (get_trace + get_services) ----------------------
 # Pins the remaining Jaeger-analog read APIs to oracles: q103 fetches ONE
 # whole trace by id (jaeger.rs handle_get_trace:449), q104 the service list
@@ -643,6 +696,9 @@ QUERIES = {
     ),
     "q101_splunk_hec": QuerySpec(
         q101_splunk_hec_ingest, Q101_SQL, "splunk HEC event parse round-trip"
+    ),
+    "q102_image_decode": QuerySpec(
+        q102_image_decode, Q102_SQL, "real PPM/BMP decode round-trip"
     ),
     "q103_trace_get": QuerySpec(
         q103_trace_get, Q103_SQL, "Jaeger get_trace single-trace fetch"

@@ -244,6 +244,66 @@ def test_multimodal_features(spark, sf_dir):
         assert r.sha == hashlib.md5(text.encode()).hexdigest()
 
 
+def test_decode_image_pure_python():
+    """Real PPM/BMP decode against hand-built byte fixtures (no Spark)."""
+    # 2x2 RGB: red, green / blue, white
+    rgb = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    p6 = MM.encode_ppm(2, 2, rgb)
+    img = MM.decode_image(p6)
+    assert (img["format"], img["width"], img["height"]) == ("ppm", 2, 2)
+    assert img["pixels"] == rgb
+    # header comments + arbitrary whitespace are spec-legal
+    commented = b"P6 # comment\n# another\n 2\t2\n255\n" + rgb
+    assert MM.decode_image(commented)["pixels"] == rgb
+    # P3 ASCII variant
+    p3 = b"P3\n2 2\n255\n" + " ".join(str(b) for b in rgb).encode()
+    img3 = MM.decode_image(p3)
+    assert img3["format"] == "ppm" and img3["pixels"] == rgb
+    # BMP: width 3 forces row padding (9 -> 12 bytes); bottom-up + BGR
+    rgb3 = bytes(range(27))  # 3x3 distinct values
+    bmp = MM.encode_bmp(3, 3, rgb3)
+    imgb = MM.decode_image(bmp)
+    assert (imgb["format"], imgb["width"], imgb["height"]) == ("bmp", 3, 3)
+    assert imgb["pixels"] == rgb3
+    # top-down BMP (negative height) decodes to the same normalized buffer
+    import struct
+    neg = bytearray(bmp)
+    struct.pack_into("<i", neg, 22, -3)
+    body = b"".join(
+        b"".join(rgb3[(r * 3 + c) * 3:(r * 3 + c) * 3 + 3][::-1]
+                 for c in range(3)) + b"\0" * 3
+        for r in range(3))  # rows in top-down order
+    assert MM.decode_image(bytes(neg[:54]) + body)["pixels"] == rgb3
+    # non-image payloads -> None (stub fallback path)
+    assert MM.decode_image(b"just text") is None
+    assert MM.decode_image(b"") is None
+    import pytest
+    with pytest.raises(ValueError):
+        MM.decode_image(b"P6\n2 2\n255\n\x00\x01")  # truncated pixels
+
+
+def test_decode_images_spark(spark):
+    """decode_images end-to-end: real pixels for PPM/BMP payloads, stub
+    fallback (NULL means) for unrecognized bytes."""
+    from pyspark.sql import Row
+
+    rgb = bytes([10, 20, 30] * 4)  # 2x2 constant color
+    rows = [
+        Row(doc_id=1, media=bytearray(MM.encode_ppm(2, 2, rgb))),
+        Row(doc_id=2, media=bytearray(MM.encode_bmp(2, 2, rgb))),
+        Row(doc_id=3, media=bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r.doc_id: r for r in MM.decode_images(df).collect()}
+    assert got[1].format == "ppm" and got[2].format == "bmp"
+    for did in (1, 2):
+        r = got[did]
+        assert (r.width, r.height, r.n_channels) == (2, 2, 3)
+        assert (r.mean_r, r.mean_g, r.mean_b) == (10.0, 20.0, 30.0)
+    assert got[3].format == "unknown" and got[3].mean_r is None
+    assert got[3].width == (len(b"not an image") % 64) + 1
+
+
 def test_multimodal_frame_sampling(spark, sf_dir):
     from greptimedb_spark.queries import read
 

@@ -285,6 +285,26 @@ def test_label_replace(engine):
     assert rows[0].host == "i1"
 
 
+def test_label_replace_duplicate_labelset_is_lazy(engine):
+    import pytest
+
+    # collapsing the identity label onto one value must be rejected — but
+    # LAZILY: building the expression launches no job; the guard fires on
+    # materialization with the reference's error text
+    df = engine.evaluate(
+        'label_replace(http_requests_total, "instance", "same", "instance", "(.*)")',
+        300_000, 300_000, 60_000,
+    )  # no error yet: plan construction is pure
+    with pytest.raises(Exception, match="same labelset"):
+        df.collect()
+    # non-colliding overwrite of an existing label still materializes
+    ok = engine.evaluate(
+        'label_replace(http_requests_total, "instance", "x-$1", "instance", "(.*)")',
+        300_000, 300_000, 60_000,
+    ).collect()
+    assert ok and all(r.instance.startswith("x-") for r in ok)
+
+
 def test_histogram_quantile(engine):
     # buckets: 0.1→1, 0.5→3, 1→4, +Inf→5; q=0.5 → rank 2.5 in bucket (0.1,0.5]:
     # 0.1 + (0.5-0.1)*(2.5-1)/(3-1) = 0.4

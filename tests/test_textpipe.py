@@ -123,6 +123,10 @@ def test_semdedup_bounds(spark, sf_dir):
     k_040 = {r["vec_id"] for r in sim.semdedup(e, eps=0.40, n_centroids=8).collect()}
     k_030 = {r["vec_id"] for r in sim.semdedup(e, eps=0.30, n_centroids=8).collect()}
     assert k_030 <= k_040
+    # n_centroids=None derives k from the sizing rule (n/target_cell_size)
+    derived = sim.semdedup(e, eps=1.01, n_centroids=None, target_cell_size=30)
+    assert derived.count() == n
+    assert derived.select("cell").distinct().count() <= -(-n // 30)
 
 
 def test_scrub_pii(spark):
