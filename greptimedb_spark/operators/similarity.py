@@ -84,6 +84,46 @@ def brute_force_topk(
     return _topk_per_query(scored, query_id_col, id_col, k)
 
 
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    match_cols: tuple = ("label",),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Metadata-FILTERED exact top-k: each query carries values for
+    ``match_cols`` and only corpus rows equal on all of them are scored —
+    the relational form of vector search with a WHERE clause (the reference
+    composes vector distance with SQL predicates the same way; here the
+    filter IS the join key). Scale shape: an equi-join on the metadata
+    columns prunes the candidate set BEFORE the per-pair distance math —
+    Spark picks broadcast vs shuffle-on-key by size, and a selective filter
+    turns the O(|corpus|×|queries|) cross product into the sum of slice
+    sizes. Returns (query_id, match_cols..., vec_id, sim, rank)."""
+    cols = list(match_cols)
+    q = queries.select(
+        F.col(query_id_col), F.col(query_vec_col),
+        vec_norm(F.col(query_vec_col)).alias("__qn"), *cols
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), vec_norm(F.col(vec_col)).alias("__cn"),
+        *cols
+    )
+    scored = c.join(q, cols).select(
+        F.col(query_id_col), *cols,
+        F.col(id_col),
+        F.round(
+            vec_dot_product(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("__cn") * F.col("__qn")),
+            6,
+        ).alias("sim"),
+    )
+    return _topk_per_query(scored, query_id_col, id_col, k)
+
+
 def _plane_coeffs(dim: int, n_planes: int, seed: int) -> list:
     """Deterministic pseudo-random plane matrix in [-1, 1], computed ONCE on
     the driver (blake2b of (seed, plane, coord)) and shipped as literals —

@@ -139,6 +139,29 @@ def test_brute_force_topk_selfmatch(spark, sf_dir):
         assert r.query_id == r.vec_id and r.rank == 1 and abs(r.sim - 1.0) < 1e-5
 
 
+def test_filtered_topk_equals_bruteforce_per_slice(spark, sf_dir):
+    """Metadata-filtered ANN == brute force run on each label slice: the
+    equi-join prune must not change scoring, only the candidate set."""
+    from greptimedb_spark.queries import read
+
+    e = read(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"), "label")
+    got = sorted(
+        (r.query_id, r.label, r.vec_id, r.rank, r.sim)
+        for r in sim.filtered_topk(e, queries, k=3, match_cols=("label",)).collect())
+    want = []
+    for lab in [r.label for r in e.select("label").distinct().collect()]:
+        sliced = e.filter(F.col("label") == lab)
+        qs = queries.filter(F.col("label") == lab).drop("label")
+        for r in sim.brute_force_topk(sliced, qs, k=3).collect():
+            want.append((r.query_id, lab, r.vec_id, r.rank, r.sim))
+    assert got == sorted(want)
+    # every hit shares the query's label by construction
+    assert all(g[1] is not None for g in got)
+
+
 def test_sparkhash_matches_spark_xxhash64(spark):
     """tools/sparkhash (the independent hash primitive behind the committed
     q52/q53/q57 oracle fixtures) must agree with Spark's xxhash64 on strings,

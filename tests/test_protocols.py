@@ -307,6 +307,32 @@ def test_influx_streaming_ingest(spark, tmp_path):
     assert {r["field_key"] for r in ok} == {"cpu", "memory"}
 
 
+def test_splunk_hec_streaming_ingest(spark, tmp_path):
+    """parse_splunk_hec composes with Structured Streaming (mapInPandas on
+    a readStream), mirroring the reference's continuous HEC ingest."""
+    src = tmp_path / "hec"
+    src.mkdir()
+    (src / "b0.txt").write_text(
+        '{"event":"a","time":1663840496,"index":"main"}'
+        '{"event":"b","time":1663840497,"host":"h1"}\n'
+        '{"oops":1}\n'
+    )
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.format("text").load(str(src))
+    parsed = proto.parse_splunk_hec(stream, payload_col="value")
+    q = (parsed.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt).outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.read.parquet(sink).collect()
+    ok = sorted((r for r in rows if r["err"] is None), key=lambda r: r["event"])
+    assert [r["event"] for r in ok] == ["a", "b"]
+    assert ok[0]["table"] == "main" and ok[1]["tags"] == {"host": "h1"}
+    errs = [r["err"] for r in rows if r["err"] is not None]
+    assert errs == ["hec code 12: Event field is required"]
+
+
 def test_prom_remote_write(spark):
     """Decode path pinned two ways: a hand-assembled wire-format byte vector
     (independent of our encoder) and the encoder dual; then the Spark
