@@ -342,3 +342,57 @@ def corpus_frequency_score(
             .alias("freq_score"),
         )
     )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: per training document, the fraction of its
+    distinct token ``n``-grams that also occur anywhere in an evaluation/
+    benchmark corpus — the standard n-gram-overlap contamination check run
+    before LLM training (GPT-3 used 13-gram overlap; n is a parameter).
+    Output: (id, n_distinct_ngrams, n_contaminated, contamination_frac,
+    flagged).
+
+    Scale shape: the benchmark side reduces to DISTINCT n-grams — tiny
+    relative to a 100 TB corpus, so Spark broadcasts it and the whole check
+    is scan + map-side explode + broadcast-hash semi-probe + one groupBy on
+    the doc id. If the benchmark outgrows broadcast, the same plan degrades
+    gracefully to a shuffle join keyed on the gram. Grams are joined as
+    strings for engine-agnostic oracles; at petabyte scale hash them first
+    (xxhash64) to shrink the exchanged key — same plan, narrower rows.
+    """
+    toks = _norm_tokens(text_col)
+    bench_toks = _norm_tokens(bench_text_col or text_col)
+    bench_grams = (
+        benchmark.select(F.explode(_token_ngrams(bench_toks, n)).alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_grams = df.select(
+        F.col(id_col),
+        F.array_distinct(_token_ngrams(toks, n)).alias("gs"),
+    ).select(
+        id_col,
+        F.size("gs").alias("n_distinct_ngrams"),
+        F.explode_outer("gs").alias("g"),  # keep docs shorter than n tokens
+    )
+    frac = F.col("n_contaminated") / F.col("n_distinct_ngrams")
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "g", "left")
+        .groupBy(id_col, "n_distinct_ngrams")
+        .agg(F.count("__hit").alias("n_contaminated"))
+        .select(
+            F.col(id_col),
+            "n_distinct_ngrams",
+            "n_contaminated",
+            F.round(F.when(F.col("n_distinct_ngrams") == 0, F.lit(0.0))
+                    .otherwise(frac), 6).alias("contamination_frac"),
+            (F.col("n_contaminated") > 0).alias("flagged"),
+        )
+    )

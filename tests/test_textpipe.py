@@ -129,6 +129,29 @@ def test_semdedup_bounds(spark, sf_dir):
     assert derived.select("cell").distinct().count() <= -(-n // 30)
 
 
+def test_ngram_contamination(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=1, text="a quick brown fox jumps over a fence today"),
+        Row(doc_id=2, text="completely different words entirely here now"),
+        Row(doc_id=3, text="too short"),          # < n tokens -> 0 grams
+    ])
+    bench = docs.filter("doc_id = 0")
+    got = {r.doc_id: r for r in
+           tp.ngram_contamination(docs, bench, n=3).collect()}
+    # benchmark member self-contaminates fully
+    assert got[0].contamination_frac == 1.0 and got[0].flagged
+    # doc 1 shares "quick brown fox", "brown fox jumps", "fox jumps over"
+    assert got[1].n_contaminated == 3 and got[1].flagged
+    assert got[1].n_distinct_ngrams == 7
+    assert got[2].n_contaminated == 0 and not got[2].flagged
+    # short doc survives with zero grams and frac 0
+    assert (got[3].n_distinct_ngrams, got[3].contamination_frac,
+            got[3].flagged) == (0, 0.0, False)
+
+
 def test_scrub_pii(spark):
     d = spark.createDataFrame([
         Row(doc_id=0, text="mail a.b+c@ex-ample.org and b@x.io, ip 192.168.0.1 call +4915112345678"),
