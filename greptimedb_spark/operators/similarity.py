@@ -796,3 +796,46 @@ def semdedup(
     return cells.join(dups, "cid", "left_anti").select(
         F.col("cid").alias(id_col), F.col("centroid_id").alias("cell")
     )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    per_cell: int = 8,
+    n_centroids: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "cbs",
+) -> DataFrame:
+    """Cluster-BALANCED (diversity) sampling for data curation: cluster the
+    embeddings with the deterministic IVF coarse trainer, then keep at most
+    ``per_cell`` rows per cluster — capping any one semantic region's
+    contribution to a training mix (the cluster-balanced half of
+    SemDeDup-style curation pipelines; web corpora are wildly imbalanced
+    across topics). Returns (``id_col``, cell, rank).
+
+    Within-cell selection is by ``xxhash64(seed + ':' + id)`` then id —
+    deterministic, engine-reproducible (tools/sparkhash mirrors Spark's
+    xxhash64, so the committed oracle fixture is computed independently),
+    and uniform within the cell rather than id-biased.
+
+    Scale shape: the per-cell window is one shuffle keyed on centroid_id;
+    cell sizes follow the same n_centroids ∝ n / target_cell_size rule as
+    :func:`semdedup`, and a skewed giant cell costs one straggler task of
+    sort-limit work, not a cross-join."""
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        vec_norm(F.col(vec_col)).alias("cvn"),
+    )
+    _, cells = _train_ivf(c, n_centroids, iters)
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.xxhash64(F.concat(F.lit(seed + ":"), F.col("cid").cast("string"))),
+        F.col("cid"),
+    )
+    return (
+        cells.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_cell)
+        .select(F.col("cid").alias(id_col),
+                F.col("centroid_id").alias("cell"), "rank")
+    )

@@ -129,6 +129,26 @@ def test_semdedup_bounds(spark, sf_dir):
     assert derived.select("cell").distinct().count() <= -(-n // 30)
 
 
+def test_cluster_balanced_sample(spark, sf_dir):
+    from greptimedb_spark.queries import read
+
+    e = read(spark, sf_dir, "embeddings")
+    out = sim.cluster_balanced_sample(e, per_cell=5, n_centroids=8).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    # quota enforced per cell, ranks dense from 1
+    for rows in by_cell.values():
+        assert len(rows) <= 5
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+    # per_cell larger than any cell keeps the whole corpus
+    assert sim.cluster_balanced_sample(
+        e, per_cell=10**6, n_centroids=8).count() == e.count()
+    # deterministic: same spec, same selection
+    again = sim.cluster_balanced_sample(e, per_cell=5, n_centroids=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_ngram_contamination(spark):
     from pyspark.sql import Row
 

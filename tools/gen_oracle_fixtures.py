@@ -275,7 +275,11 @@ def gen_q75(doc_ids, texts, num_hashes=64, bands=16, k=3):
 
 # -- q57: IVF-flat ---------------------------------------------------------------
 
-def gen_q57(vec_ids, raw_vecs, k=5, n_centroids=16, n_probe=8, iters=1):
+def ivf_cells(vec_ids, raw_vecs, n_centroids=16, iters=1):
+    """Independent reimplementation of the pinned IVF coarse-training spec
+    (shared by the q57/q79/q107 oracles): hash-sampled init, ``iters`` Lloyd
+    rounds, cosine ties to the LOWER centroid id. Returns (cents dict,
+    cells list aligned with vec_ids)."""
     n = len(vec_ids)
     # deterministic init: n_centroids ids with the smallest xxhash64(str(id)),
     # then centroid_id = rank of id ascending
@@ -310,7 +314,12 @@ def gen_q57(vec_ids, raw_vecs, k=5, n_centroids=16, n_probe=8, iters=1):
             for p, x in enumerate(raw_vecs[i]):
                 sums[c][p] += float(x)
         cents = {c: [s / cnts[c] for s in sums[c]] for c in sums}
-    cells = assign(cents)
+    return cents, assign(cents)
+
+
+def gen_q57(vec_ids, raw_vecs, k=5, n_centroids=16, n_probe=8, iters=1):
+    n = len(vec_ids)
+    cents, cells = ivf_cells(vec_ids, raw_vecs, n_centroids, iters)
 
     qmask = vec_ids % 100 == 0
     per_query: dict[int, list] = {}
@@ -453,6 +462,30 @@ def gen_q74(vec_ids, raw_vecs, k=5, n_centroids=16, n_probe=8, m_sub=8,
     })
 
 
+def gen_q107(vec_ids, raw_vecs, per_cell=8, n_centroids=16, iters=1,
+             seed="cbs"):
+    """Cluster-balanced sampling oracle: same pinned IVF spec as q57/q79,
+    then per-cell selection by (xxhash64(seed:id), id) capped at per_cell —
+    independent of the Spark operator's Window implementation."""
+    cents, cells = ivf_cells(vec_ids, raw_vecs, n_centroids, iters)
+    by_cell: dict[int, list] = {}
+    for i, c in enumerate(cells):
+        by_cell.setdefault(c, []).append(int(vec_ids[i]))
+    out_id, out_cell, out_rank = [], [], []
+    for c in sorted(by_cell):
+        ordered = sorted(by_cell[c],
+                         key=lambda v: (spark_xxhash64(f"{seed}:{v}"), v))
+        for r, v in enumerate(ordered[:per_cell], start=1):
+            out_id.append(v)
+            out_cell.append(c)
+            out_rank.append(r)
+    return pa.table({
+        "vec_id": pa.array(out_id, pa.int64()),
+        "cell": pa.array(out_cell, pa.int32()),
+        "rank": pa.array(out_rank, pa.int32()),
+    })
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     docs = _read("documents")
@@ -495,6 +528,10 @@ def main() -> None:
     t79 = gen_q79(vec_ids, raw_vecs)
     pq.write_table(t79, os.path.join(OUT_DIR, "oracle_q79_sf001.parquet"))
     print(f"q79: {t79.num_rows} rows")
+
+    t107 = gen_q107(vec_ids, raw_vecs)
+    pq.write_table(t107, os.path.join(OUT_DIR, "oracle_q107_sf001.parquet"))
+    print(f"q107: {t107.num_rows} rows")
 
     t84 = gen_q84()
     pq.write_table(t84, os.path.join(OUT_DIR, "oracle_q84_sf001.parquet"))
