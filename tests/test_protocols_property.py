@@ -71,3 +71,77 @@ def test_influx_format_parse_roundtrip(table, tags, fields, ts):
     if ts is not None:
         # ns truncates to µs in the timestamp column (.value is ns)
         assert rows[0][8].value == (ts // 1000) * 1000
+
+
+# ---- Splunk HEC batch parser (pure python: no Spark session needed) ----
+
+import json
+
+from greptimedb_spark.sources.protocols import (  # noqa: E402
+    _hec_event_row,
+    _iter_hec_events,
+    _parse_hec_time,
+)
+
+_hec_scalar = st.one_of(
+    st.none(), st.booleans(), st.integers(min_value=-10**9, max_value=10**9),
+    st.text(max_size=8),
+)
+_hec_event = st.fixed_dictionaries(
+    {"event": st.text(min_size=1, max_size=12).filter(lambda s: s.strip())},
+    optional={
+        "host": st.text(max_size=8),
+        "source": st.text(max_size=8),
+        "fields": st.dictionaries(st.text(min_size=1, max_size=6),
+                                  _hec_scalar, max_size=3),
+        "time": st.integers(min_value=0, max_value=2_000_000_000),
+        "custom": _hec_scalar,
+    },
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    events=st.lists(_hec_event, min_size=1, max_size=5),
+    seps=st.lists(st.sampled_from(["", " ", "\n", "\t", "\r\n", "  \n "]),
+                  min_size=5, max_size=5),
+    as_array=st.booleans(),
+)
+def test_hec_batch_forms_roundtrip(events, seps, as_array):
+    """Any batch form HEC clients emit — concatenated objects with ANY or NO
+    separator, or one top-level array — parses to the same event list."""
+    if as_array:
+        body = json.dumps(events)
+    else:
+        body = "".join(
+            sep + json.dumps(ev) for ev, sep in zip(events, seps))
+    got = list(_iter_hec_events(body))
+    assert got == events
+    # and every event maps without error (event present + valid time)
+    for ev in got:
+        row = _hec_event_row(ev, None)
+        assert row[-1] is None, row
+        if "time" in ev:
+            assert row[4] == _parse_hec_time(ev["time"])
+        if "custom" in ev:
+            assert json.loads(row[3])["custom"] == ev["custom"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(n=st.one_of(
+    st.integers(min_value=0, max_value=999_999_999_999),       # seconds arm
+    st.integers(min_value=10**12, max_value=4 * 10**12),        # ms arm
+    st.floats(min_value=0, max_value=2e9, allow_nan=False),
+))
+def test_hec_time_monotone_and_branching(n):
+    ts = _parse_hec_time(n)
+    assert ts is not None
+    # unit-aware accessor: .value is ns and overflows for far-future
+    # seconds-arm inputs that the µs timestamp itself represents fine
+    us = int(ts.as_unit("us").asm8.view("i8"))
+    if isinstance(n, int) and n >= 1e12:
+        assert us // 10**3 == n           # read as epoch ms
+    else:
+        assert us // 10**6 == int(n)      # epoch seconds, frac kept
+    # string form parses identically
+    assert _parse_hec_time(str(n)) == ts

@@ -559,6 +559,17 @@ def _explain_inner_oracle(g, stmt: str):
             r"TIMESTAMP\s*\(\s*([0369])\s*\)",
             lambda mm: _TS_PRECISION_MAP[mm.group(1)], inner,
             flags=re.IGNORECASE)
+        # backtick quoting -> SQL standard double quotes
+        duck_sql = re.sub(r"`([^`]*)`", r'"\1"', duck_sql)
+        if not re.search(r"\bOVER\b", duck_sql, re.IGNORECASE):
+            # DataFusion's first_value/last_value ORDERED AGGREGATES are
+            # spelled first/last in DuckDB; only safe outside window
+            # clauses (window first_value has frame semantics `first`
+            # does not share)
+            duck_sql = re.sub(r"\bfirst_value\s*\(", "first(", duck_sql,
+                              flags=re.IGNORECASE)
+            duck_sql = re.sub(r"\blast_value\s*\(", "last(", duck_sql,
+                              flags=re.IGNORECASE)
         duck_rows = con.execute(duck_sql).fetchall()
     except Exception:
         return None  # dialect gap on either side -> no oracle, plain skip
