@@ -1,0 +1,89 @@
+"""HTTP response codecs (http_api.py): GreptimedbV1 + Prometheus JSON
+shapes against the reference's struct definitions and test goldens
+(src/servers/src/http.rs:284-392, tests-integration/tests/http.rs:494)."""
+
+import json
+
+from pyspark.sql import Row
+
+from greptimedb_spark import http_api as API
+
+
+def test_sql_response_records_shape(spark):
+    df = spark.createDataFrame(
+        [Row(host='host, "name', cpu=66.6, memory=1024.0, ts=0)],
+        "host string, cpu double, memory double, ts long",
+    ).selectExpr("host", "cpu", "memory", "timestamp_millis(ts) AS ts")
+    resp = API.sql_response(df, execution_time_ms=7)
+    # envelope keys exactly as the reference serializes them
+    assert set(resp) == {"output", "execution_time_ms"}
+    rec = resp["output"][0]["records"]
+    assert rec["schema"]["column_schemas"] == [
+        {"name": "host", "data_type": "String"},
+        {"name": "cpu", "data_type": "Float64"},
+        {"name": "memory", "data_type": "Float64"},
+        {"name": "ts", "data_type": "TimestampMicrosecond"},
+    ]
+    # timestamps are raw epoch ints in the column's own unit (µs here; the
+    # reference's ms columns show epoch-ms ints in its http.rs goldens)
+    assert rec["rows"] == [['host, "name', 66.6, 1024.0, 0]]
+    assert rec["total_rows"] == 1
+    assert json.dumps(resp)  # strictly JSON-serializable
+    # DDL/DML forms
+    assert API.sql_response(2)["output"] == [{"affectedrows": 2}]
+    assert API.sql_response(None)["output"] == []
+
+
+def test_sql_response_cell_rendering(spark):
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(bytearray(b"\x01\x02"), Decimal("12.34"), float("nan"), None)],
+        "b binary, d decimal(10,2), f double, s string",
+    )
+    rec = API.sql_response(df)["output"][0]["records"]
+    assert rec["schema"]["column_schemas"][1]["data_type"] == "Decimal128(10, 2)"
+    b, d, f, s = rec["rows"][0]
+    assert b == "AQI="          # base64
+    assert d == "12.34"         # decimals lossless as strings
+    assert f is None and s is None  # non-finite floats -> null (serde_json)
+
+
+def test_prometheus_response_matrix_and_vector(spark):
+    df = spark.createDataFrame(
+        [(0, "api", "i1", 5.0), (60_000, "api", "i1", 7.5),
+         (0, "api", "i2", 0.1), (60_000, "api", "i2", float("inf"))],
+        "t long, job string, instance string, value double",
+    ).selectExpr("timestamp_millis(t) AS ts", "job", "instance", "value")
+    m = API.prometheus_response(df, "matrix")
+    assert m["status"] == "success"
+    assert m["data"]["resultType"] == "matrix"
+    r = m["data"]["result"]
+    assert [s["metric"] for s in r] == [
+        {"job": "api", "instance": "i1"}, {"job": "api", "instance": "i2"}]
+    # integral floats print like Go's 'f' verb: "5", not "5.0"; Inf -> +Inf
+    assert r[0]["values"] == [[0.0, "5"], [60.0, "7.5"]]
+    assert r[1]["values"][1] == [60.0, "+Inf"]
+    v = API.prometheus_response(df, "vector")
+    assert v["data"]["resultType"] == "vector"
+    # vector keeps the LAST sample per labelset
+    assert v["data"]["result"][0]["value"] == [60.0, "7.5"]
+    assert json.dumps(m) and json.dumps(v)
+
+
+def test_prometheus_response_from_engine(spark):
+    """End-to-end: PromQLEngine.evaluate() output renders directly."""
+    from greptimedb_spark.promql import MetricTable, PromQLEngine
+
+    rows = [(t * 15_000, "api", float(t * 10)) for t in range(5)]
+    df = spark.createDataFrame(rows, "t long, job string, v double").selectExpr(
+        "timestamp_millis(t) AS greptime_timestamp", "job",
+        "v AS greptime_value")
+    eng = PromQLEngine(spark, {"m": MetricTable(
+        df, value_col="greptime_value", time_index="greptime_timestamp",
+        tags=["job"])})
+    out = eng.evaluate("m{job='api'}", 0, 60_000, 30_000)
+    resp = API.prometheus_response(out, "matrix")
+    (series,) = resp["data"]["result"]
+    assert series["metric"] == {"job": "api"}
+    assert [v for _, v in series["values"]] == ["0", "20", "40"]
