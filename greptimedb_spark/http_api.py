@@ -154,3 +154,133 @@ def prometheus_response(df: DataFrame, result_type: str = "matrix") -> dict:
             raise ValueError(f"unsupported resultType: {result_type}")
     return {"status": "success",
             "data": {"resultType": result_type, "result": result}}
+
+
+def _json_cell_str(v) -> str:
+    """serde_json Value::to_string() semantics (table format): strings keep
+    their JSON quotes, null renders as 'null'."""
+    import json
+
+    return json.dumps(_cell(v), separators=(",", ":"))
+
+
+def table_response(result, execution_time_ms: int = 0) -> str:
+    """ASCII `table` response format (http/result/table_result.rs:75-126):
+    box-drawing header/rows/footer, column widths from max(name, cells);
+    affected-rows statements render as 'N\\n'."""
+    if result is None:
+        return ""
+    if isinstance(result, int):
+        return f"{result}\n"
+    names = [f.name for f in result.schema.fields]
+    rows = [[_json_cell_str(v) for v in row] for row in result.collect()]
+    width = [len(n) for n in names]
+    for row in rows:
+        for i, s in enumerate(row):
+            width[i] = max(width[i], len(s))
+    out = ["┌" + "┬".join(
+        "─" + n.ljust(width[i], "─") + "─" for i, n in enumerate(names)) + "┐"]
+    for row in rows:
+        out.append("│" + "│".join(
+            " " + s.ljust(width[i]) + " " for i, s in enumerate(row)) + "│")
+    out.append("└" + "┴".join("─" * (w + 2) for w in width) + "┘")
+    return "\n".join(out) + "\n"
+
+
+def csv_response(result, with_names: bool = False,
+                 with_types: bool = False) -> str:
+    """RFC-4180 `csv` response format (csv_result.rs:28-150): CRLF rows,
+    optional leading names/types rows; NULL -> empty field; affected-rows
+    statements render as 'N\\n'."""
+    import csv
+    import io
+
+    if result is None:
+        return ""
+    if isinstance(result, int):
+        return f"{result}\n"
+
+    buf = io.StringIO()
+    w = csv.writer(buf, lineterminator="\r\n")
+    if with_names:
+        w.writerow([f.name for f in result.schema.fields])
+    if with_types:
+        w.writerow([greptime_type_name(f.dataType)
+                    for f in result.schema.fields])
+
+    def cell(v):
+        v = _cell(v)
+        if v is None:
+            return ""
+        if isinstance(v, (list, dict)):
+            import json
+
+            return json.dumps(v, separators=(",", ":"))
+        return v
+
+    for row in result.collect():
+        w.writerow([cell(v) for v in row])
+    return buf.getvalue()
+
+
+_EPOCH_DIVISOR_US = {"ns": None, "u": 1, "µ": 1, "us": 1,
+                     "ms": 1_000, "s": 1_000_000}
+
+
+def influxdb_v1_response(result, epoch: str | None = None,
+                         execution_time_ms: int = 0) -> dict:
+    """InfluxDB v1 `/query`-style envelope (influxdb_result_v1.rs:42-196):
+    {"results": [{"statement_id": 0, "series": [{"name": "", "columns",
+    "values"}]}]}. ``epoch`` renders timestamp columns as epoch ints at
+    that precision ([ns, u, µ, ms, s], like the reference's SqlQuery
+    param); default is ISO-8601 strings."""
+    if epoch is not None and epoch not in _EPOCH_DIVISOR_US:
+        raise ValueError(f"unsupported epoch precision: {epoch}")
+
+    def cell(v):
+        if isinstance(v, datetime) and epoch is not None:
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=timezone.utc)
+            us = int(v.timestamp() * 1_000_000)
+            div = _EPOCH_DIVISOR_US[epoch]
+            return us * 1000 if div is None else us // div
+        if isinstance(v, datetime):
+            return v.isoformat()
+        return _cell(v)
+
+    series = []
+    if isinstance(result, DataFrame):
+        series.append({
+            "name": "",
+            "columns": [f.name for f in result.schema.fields],
+            "values": [[cell(v) for v in row] for row in result.collect()],
+        })
+    return {
+        "results": [{"statement_id": 0, "series": series}],
+        "execution_time_ms": int(execution_time_ms),
+    }
+
+
+def arrow_response(result) -> bytes:
+    """`arrow` response format: the result as one Arrow IPC stream —
+    byte-compatible with any Arrow reader, like the reference's
+    arrow_result.rs (which writes the RecordBatches through
+    arrow-ipc's StreamWriter)."""
+    import io
+
+    import pyarrow as pa
+
+    tbl = result.toArrow()
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    return sink.getvalue()
+
+
+def null_response(result) -> str:
+    """`null` response format: execute for effect, emit nothing (the
+    reference's null_result.rs still runs the query — callers use it for
+    benchmarking transfer-free execution)."""
+    if isinstance(result, DataFrame):
+        result.foreach(lambda _row: None)  # materialize without transfer
+    return ""

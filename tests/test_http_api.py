@@ -87,3 +87,52 @@ def test_prometheus_response_from_engine(spark):
     (series,) = resp["data"]["result"]
     assert series["metric"] == {"job": "api"}
     assert [v for _, v in series["values"]] == ["0", "20", "40"]
+
+
+def test_table_csv_formats(spark):
+    df = spark.createDataFrame([Row(host="h1", n=5), Row(host=None, n=7)],
+                               "host string, n long")
+    t = API.table_response(df)
+    lines = t.splitlines()
+    assert lines[0].startswith("┌─host") and lines[-1].startswith("└")
+    # serde Value::to_string semantics: strings quoted, NULL -> null
+    assert '"h1"' in lines[1] and "null" in lines[2]
+    assert API.table_response(3) == "3\n"
+
+    c = API.csv_response(df, with_names=True, with_types=True)
+    rows = c.split("\r\n")
+    assert rows[0] == "host,n" and rows[1] == "String,Int64"
+    assert rows[2] == "h1,5" and rows[3] == ",7"  # NULL -> empty field
+    assert API.csv_response(3) == "3\n"
+
+
+def test_influxdb_v1_format(spark):
+    df = spark.createDataFrame([(0, 66.6)], "t long, cpu double").selectExpr(
+        "timestamp_millis(t) AS ts", "cpu")
+    r = API.influxdb_v1_response(df, epoch="ms")
+    (res,) = r["results"]
+    assert res["statement_id"] == 0
+    (s,) = res["series"]
+    assert s["name"] == "" and s["columns"] == ["ts", "cpu"]
+    assert s["values"] == [[0, 66.6]]
+    # default: ISO strings; 's' precision: epoch seconds
+    iso = API.influxdb_v1_response(df)["results"][0]["series"][0]["values"][0][0]
+    assert iso.startswith("1970-01-01T00:00:00")
+    secs = API.influxdb_v1_response(df, epoch="s")
+    assert secs["results"][0]["series"][0]["values"][0][0] == 0
+    import pytest
+    with pytest.raises(ValueError):
+        API.influxdb_v1_response(df, epoch="h")
+    assert json.dumps(r)
+
+
+def test_arrow_and_null_formats(spark):
+    import pyarrow as pa
+
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")],
+                               "a long, b string")
+    buf = API.arrow_response(df)
+    tbl = pa.ipc.open_stream(buf).read_all()
+    assert tbl.column_names == ["a", "b"]
+    assert tbl.column("a").to_pylist() == [1, 2]
+    assert API.null_response(df) == ""
