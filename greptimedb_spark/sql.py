@@ -6084,6 +6084,26 @@ class GreptimeSQL:
         args = [a.strip() for a in _split_top_level(using)] if using else []
         return self.sql(self._bind_placeholders(prepared[name], args))
 
+    def sql_http(self, text: str, format: str = "greptimedb_v1", **kw):
+        """Run one statement and render it in an HTTP ResponseFormat — the
+        `/v1/sql?format=` dispatch (reference http.rs ResponseFormat):
+        greptimedb_v1 | influxdb_v1 | csv | table | arrow | null. Extra
+        kwargs pass through to the codec (with_names/with_types, epoch,
+        execution_time_ms)."""
+        from greptimedb_spark import http_api as _api
+
+        codec = {
+            "greptimedb_v1": _api.sql_response,
+            "influxdb_v1": _api.influxdb_v1_response,
+            "csv": _api.csv_response,
+            "table": _api.table_response,
+            "arrow": _api.arrow_response,
+            "null": _api.null_response,
+        }.get(format)
+        if codec is None:
+            raise ValueError(f"unsupported response format: {format}")
+        return codec(self.sql(text), **kw)
+
     def sql(self, text: str, time_index: str = "ts") -> DataFrame:
         text = _strip_block_comments(text)
         text = _strip_line_comments(text)

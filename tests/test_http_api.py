@@ -136,3 +136,28 @@ def test_arrow_and_null_formats(spark):
     assert tbl.column_names == ["a", "b"]
     assert tbl.column("a").to_pylist() == [1, 2]
     assert API.null_response(df) == ""
+
+
+def test_sql_http_dispatch(spark, tmp_path):
+    """GreptimeSQL.sql_http = the /v1/sql?format= dispatch end-to-end."""
+    import pytest
+
+    from greptimedb_spark.catalog import Catalog
+    from greptimedb_spark.sql import GreptimeSQL
+
+    g = GreptimeSQL(spark, catalog=Catalog(spark, str(tmp_path / "cat")))
+    g.sql("CREATE TABLE fmt_t (ts timestamp(3) time index, host STRING "
+          "PRIMARY KEY, val BIGINT)")
+    g.sql("INSERT INTO fmt_t VALUES (0, 'h1', 5)")
+    v1 = g.sql_http("SELECT host, val FROM fmt_t", "greptimedb_v1")
+    assert v1["output"][0]["records"]["rows"] == [["h1", 5]]
+    csv_out = g.sql_http("SELECT host, val FROM fmt_t", "csv", with_names=True)
+    assert csv_out.split("\r\n")[:2] == ["host,val", "h1,5"]
+    assert "┌" in g.sql_http("SELECT val FROM fmt_t", "table")
+    import pyarrow as pa
+    tbl = pa.ipc.open_stream(
+        g.sql_http("SELECT host FROM fmt_t", "arrow")).read_all()
+    assert tbl.column("host").to_pylist() == ["h1"]
+    assert g.sql_http("SELECT 1 AS one", "null") == ""
+    with pytest.raises(ValueError):
+        g.sql_http("SELECT 1", "xml")
