@@ -6689,6 +6689,33 @@ class GreptimeSQL:
                         self._flush_flow(fname)
                 except Exception:
                     pass
+        tm = re.match(r"^\s*TQL\s+(EXPLAIN|ANALYZE)\s+(VERBOSE\s+)?",
+                      text, re.IGNORECASE)
+        if tm:
+            # TQL EXPLAIN/ANALYZE (reference tql.rs): plan the SAME query the
+            # EVAL path would run and return THIS engine's plan as the
+            # (plan_type, plan) table DataFusion-style goldens use. Plan text
+            # is engine-specific by nature (the sqlness battery pattern-skips
+            # these goldens on both engines); the surface exists so the
+            # statement executes instead of erroring. ANALYZE runs the query
+            # first, so its physical plan reflects an executed (AQE-final)
+            # plan, mirroring the reference's plan-with-metrics semantics.
+            verbose = bool(tm.group(2))
+            analyze = tm.group(1).upper() == "ANALYZE"
+            rest = text[tm.end():].strip().rstrip(";")
+            if not rest.startswith("("):
+                rest = "(0, 0, '1s') " + rest  # reference default range
+            df = self.sql("TQL EVAL " + rest)
+            if analyze:
+                df.foreach(lambda _r: None)
+            qe = df._jdf.queryExecution()
+            rows = []
+            if verbose:
+                rows.append(("analyzed_plan", qe.analyzed().toString()))
+            rows.append(("logical_plan", qe.optimizedPlan().toString()))
+            rows.append(("physical_plan", qe.executedPlan().toString()))
+            return self.spark.createDataFrame(
+                rows, "plan_type string, plan string")
         tql_groups = None
         m = re.match(r"^\s*TQL\s+EVAL\s*\(", text, re.IGNORECASE)
         if m:

@@ -56,6 +56,29 @@ def test_sql_tql_eval(spark):
         assert abs(r.value - 10 / 15) < 1e-9
 
 
+def test_sql_tql_explain_analyze(spark):
+    """TQL EXPLAIN/ANALYZE return this engine's plan as the (plan_type,
+    plan) table instead of erroring (reference tql.rs explain surface;
+    plan TEXT is engine-specific by design)."""
+    from greptimedb_spark.promql import MetricTable
+
+    rows = [(i * 15_000, "api", float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "t long, job string, value double").selectExpr(
+        "timestamp_millis(t) AS ts", "job", "value")
+    g = GreptimeSQL(spark, {"reqs": MetricTable(df, tags=["job"])})
+    out = g.sql("TQL EXPLAIN (0, 60, '15s') reqs").collect()
+    assert [r.plan_type for r in out] == ["logical_plan", "physical_plan"]
+    assert "AdaptiveSparkPlan" in out[1].plan
+    v = g.sql("TQL EXPLAIN VERBOSE (0, 60, '15s') rate(reqs[30s])").collect()
+    assert [r.plan_type for r in v] == [
+        "analyzed_plan", "logical_plan", "physical_plan"]
+    # ANALYZE executes first: the physical plan is the AQE-final one
+    a = g.sql("TQL ANALYZE (0, 60, '15s') reqs").collect()
+    assert "isFinalPlan=true" in a[-1].plan
+    # range omitted -> reference default (0, 0, '1s')
+    assert g.sql("TQL EXPLAIN reqs").count() == 2
+
+
 # -- sketches ------------------------------------------------------------------------
 
 def test_hll_state_merge(spark, tables):
