@@ -6716,6 +6716,26 @@ class GreptimeSQL:
             rows.append(("physical_plan", qe.executedPlan().toString()))
             return self.spark.createDataFrame(
                 rows, "plan_type string, plan string")
+        xm = re.match(
+            r"^\s*EXPLAIN\s+(ANALYZE\s+)?(VERBOSE\s+)?(?=SELECT|WITH|VALUES)",
+            text, re.IGNORECASE)
+        if xm and (xm.group(1) or xm.group(2)):
+            # Spark's parser lacks EXPLAIN ANALYZE / EXPLAIN VERBOSE — plan
+            # the inner query through the full dialect pipeline and return
+            # the reference's (plan_type, plan) table shape. ANALYZE
+            # executes first (AQE-final physical plan), like the
+            # DataFusion plan-with-metrics semantics.
+            df = self.sql(text[xm.end():])
+            if xm.group(1):
+                df.foreach(lambda _r: None)
+            qe = df._jdf.queryExecution()
+            rows = []
+            if xm.group(2):
+                rows.append(("analyzed_plan", qe.analyzed().toString()))
+            rows.append(("logical_plan", qe.optimizedPlan().toString()))
+            rows.append(("physical_plan", qe.executedPlan().toString()))
+            return self.spark.createDataFrame(
+                rows, "plan_type string, plan string")
         tql_groups = None
         m = re.match(r"^\s*TQL\s+EVAL\s*\(", text, re.IGNORECASE)
         if m:

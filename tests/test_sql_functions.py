@@ -79,6 +79,22 @@ def test_sql_tql_explain_analyze(spark):
     assert g.sql("TQL EXPLAIN reqs").count() == 2
 
 
+def test_sql_explain_analyze_verbose(spark):
+    """EXPLAIN ANALYZE / EXPLAIN VERBOSE (absent from Spark's parser)
+    return the (plan_type, plan) table; bare EXPLAIN stays native."""
+    spark.createDataFrame([(1,)], "v long").createOrReplaceTempView("xp_t")
+    g = GreptimeSQL(spark)
+    a = g.sql("EXPLAIN ANALYZE SELECT v FROM xp_t WHERE v > 0").collect()
+    assert [r.plan_type for r in a] == ["logical_plan", "physical_plan"]
+    # exchange-free plans carry no AdaptiveSparkPlan node; the physical
+    # plan text itself is the contract
+    assert "Filter" in a[-1].plan
+    v = g.sql("EXPLAIN VERBOSE SELECT v FROM xp_t").collect()
+    assert [r.plan_type for r in v] == [
+        "analyzed_plan", "logical_plan", "physical_plan"]
+    assert g.sql("EXPLAIN SELECT v FROM xp_t").columns == ["plan"]  # native
+
+
 # -- sketches ------------------------------------------------------------------------
 
 def test_hll_state_merge(spark, tables):
