@@ -75,8 +75,8 @@ _TQL_RE = re.compile(
     r"(?:,\s*([^)]+)\s*)?\)\s*,?\s*(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
-# TQL EVAL with the (start, end, step) omitted → defaults (0, 0, '1s')
-# (reference parser allows it; promql/label.result exercises it)
+# TQL EVAL with the (start, end, step) omitted → defaults (0, 0, '5m')
+# (tql_parser.rs:251; promql/label.result exercises the no-args form)
 _TQL_NOARGS_RE = re.compile(
     r"^\s*TQL\s+EVAL\s+(?!\()(.*)$", re.IGNORECASE | re.DOTALL
 )
@@ -6086,23 +6086,32 @@ class GreptimeSQL:
 
     def sql_http(self, text: str, format: str = "greptimedb_v1", **kw):
         """Run one statement and render it in an HTTP ResponseFormat — the
-        `/v1/sql?format=` dispatch (reference http.rs ResponseFormat):
-        greptimedb_v1 | influxdb_v1 | csv | table | arrow | null. Extra
-        kwargs pass through to the codec (with_names/with_types, epoch,
-        execution_time_ms)."""
+        `/v1/sql?format=` dispatch (reference http.rs:396-406, the COMPLETE
+        ResponseFormat enum): greptimedb_v1 | influxdb_v1 | csv | json |
+        table | arrow | null. Extra kwargs pass through to the codec
+        (with_names/with_types, epoch, execution_time_ms). A statement that
+        FAILS renders as the reference's ErrorResponse envelope
+        {code, error, execution_time_ms} regardless of requested format
+        (http/result/error_result.rs — every format's error path returns
+        that JSON body); an unsupported format name is a dispatch-level
+        error and still raises."""
         from greptimedb_spark import http_api as _api
 
         codec = {
             "greptimedb_v1": _api.sql_response,
             "influxdb_v1": _api.influxdb_v1_response,
             "csv": _api.csv_response,
+            "json": _api.json_response,
             "table": _api.table_response,
             "arrow": _api.arrow_response,
             "null": _api.null_response,
         }.get(format)
         if codec is None:
             raise ValueError(f"unsupported response format: {format}")
-        return codec(self.sql(text), **kw)
+        try:
+            return codec(self.sql(text), **kw)
+        except Exception as exc:
+            return _api.error_response(exc)
 
     def sql(self, text: str, time_index: str = "ts") -> DataFrame:
         text = _strip_block_comments(text)
@@ -6704,7 +6713,8 @@ class GreptimeSQL:
             analyze = tm.group(1).upper() == "ANALYZE"
             rest = text[tm.end():].strip().rstrip(";")
             if not rest.startswith("("):
-                rest = "(0, 0, '1s') " + rest  # reference default range
+                # reference default range (tql_parser.rs:251: ("0","0","5m"))
+                rest = "(0, 0, '5m') " + rest
             df = self.sql("TQL EVAL " + rest)
             if analyze:
                 df.foreach(lambda _r: None)
@@ -6753,7 +6763,8 @@ class GreptimeSQL:
         else:
             m2 = _TQL_NOARGS_RE.match(text.strip().rstrip(";"))
             if m2:
-                tql_groups = ("0", "0", "'1s'", None, m2.group(1))
+                # tql_parser.rs:251: no-args TQL defaults to ("0","0","5m")
+                tql_groups = ("0", "0", "'5m'", None, m2.group(1))
         if tql_groups is not None:
             from greptimedb_spark.promql import MetricTable, PromQLEngine
 

@@ -138,6 +138,93 @@ def test_arrow_and_null_formats(spark):
     assert API.null_response(df) == ""
 
 
+def test_json_response_format(spark):
+    """`json` format (json_result.rs:84-113): rows as name->value objects,
+    execution_time_ms inside the body, affected_rows variant."""
+    df = spark.createDataFrame(
+        [Row(host="h1", ts=0), Row(host="h2", ts=1000)],
+        "host string, ts long",
+    ).selectExpr("host", "timestamp_millis(ts) AS ts")
+    r = API.json_response(df, execution_time_ms=3)
+    assert set(r) == {"data", "execution_time_ms"}
+    assert r["data"] == [{"host": "h1", "ts": 0},
+                         {"host": "h2", "ts": 1_000_000}]
+    assert r["execution_time_ms"] == 3
+    assert json.dumps(r)
+    # affected-rows / empty variants
+    a = API.json_response(4)
+    assert a == {"data": [], "affected_rows": 4, "execution_time_ms": 0}
+    assert API.json_response(None) == {"data": [], "execution_time_ms": 0}
+
+
+def test_error_response_envelope():
+    """ErrorResponse (error_result.rs:26-31): {code, error,
+    execution_time_ms}; codes from status_code.rs; HTTP statuses from
+    error.rs:933-977."""
+    from pyspark.errors import AnalysisException, ParseException
+
+    e = API.error_response(ValueError("bad epoch"), execution_time_ms=2)
+    assert e == {"code": 1004, "error": "bad epoch", "execution_time_ms": 2}
+    assert API.error_http_status(1004) == 400
+    assert API.error_http_status(3001) == 500
+    # classification buckets
+    assert API.classify_error(
+        Exception("[TABLE_OR_VIEW_NOT_FOUND] The table `t` cannot be found"
+                  )) == 4001
+    assert API.classify_error(Exception("boom")) == 3001
+    assert API.error_response("msg", code=2000)["code"] == 2000
+
+
+def test_sql_http_error_paths(spark, tmp_path):
+    """sql_http renders engine failures as the reference's error envelope:
+    a parse error -> InvalidSyntax(2000), an unknown table ->
+    TableNotFound(4001), both HTTP 400 like error.rs maps them."""
+    from greptimedb_spark.catalog import Catalog
+    from greptimedb_spark.sql import GreptimeSQL
+
+    g = GreptimeSQL(spark, catalog=Catalog(spark, str(tmp_path / "cat")))
+    parse = g.sql_http("SELEC 1")
+    assert parse["code"] == 2000 and API.error_http_status(parse["code"]) == 400
+    assert "execution_time_ms" in parse and parse["error"]
+    missing = g.sql_http("SELECT * FROM no_such_table_xyz", "json")
+    assert missing["code"] == 4001
+    assert API.error_http_status(missing["code"]) == 400
+    # unsupported format stays a dispatch-level exception (reference 400s
+    # before reaching the handler)
+    import pytest
+    with pytest.raises(ValueError):
+        g.sql_http("SELECT 1", "xml")
+
+
+def test_epoch_cells_are_timezone_independent(spark):
+    """ADVICE r8: collected TIMESTAMP values are naive in the DRIVER's
+    local tz — emitted epochs must not shift when that tz isn't UTC."""
+    import os
+    import time
+
+    df = spark.createDataFrame([(1_700_000_000_123,)], "t long").selectExpr(
+        "timestamp_millis(t) AS ts")
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        rec = API.sql_response(df)["output"][0]["records"]
+        assert rec["rows"][0][0] == 1_700_000_000_123_000  # epoch-µs, exact
+        j = API.json_response(df)["data"][0]["ts"]
+        assert j == 1_700_000_000_123_000
+        s = API.influxdb_v1_response(df, epoch="ms")
+        assert s["results"][0]["series"][0]["values"][0][0] == 1_700_000_000_123
+        iso = API.influxdb_v1_response(df)["results"][0]["series"][0][
+            "values"][0][0]
+        assert iso.startswith("2023-11-14T22:13:20")  # UTC rendering
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        time.tzset()
+
+
 def test_sql_http_dispatch(spark, tmp_path):
     """GreptimeSQL.sql_http = the /v1/sql?format= dispatch end-to-end."""
     import pytest
@@ -153,6 +240,8 @@ def test_sql_http_dispatch(spark, tmp_path):
     assert v1["output"][0]["records"]["rows"] == [["h1", 5]]
     csv_out = g.sql_http("SELECT host, val FROM fmt_t", "csv", with_names=True)
     assert csv_out.split("\r\n")[:2] == ["host,val", "h1,5"]
+    jr = g.sql_http("SELECT host, val FROM fmt_t", "json")
+    assert jr["data"] == [{"host": "h1", "val": 5}]
     assert "┌" in g.sql_http("SELECT val FROM fmt_t", "table")
     import pyarrow as pa
     tbl = pa.ipc.open_stream(
