@@ -111,6 +111,12 @@ def decode_image(payload: bytes) -> dict | None:
                 "n_channels": 3, "pixels": px[:need]}
     if payload[:2] == b"BM" and len(payload) >= 54:
         off = struct.unpack_from("<I", payload, 10)[0]
+        dib = struct.unpack_from("<I", payload, 14)[0]
+        if dib < 40:
+            # BITMAPCOREHEADER (12-byte DIB): width/height/bpp live at
+            # different offsets — reading 18/28/30 would decode garbage.
+            # Fall back to the stub rather than misparse.
+            return None
         w, h = struct.unpack_from("<ii", payload, 18)
         bpp = struct.unpack_from("<H", payload, 28)[0]
         comp = struct.unpack_from("<I", payload, 30)[0]

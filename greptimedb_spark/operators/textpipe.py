@@ -362,10 +362,12 @@ def ngram_contamination(
     Scale shape: the benchmark side reduces to DISTINCT n-grams — tiny
     relative to a 100 TB corpus, so Spark broadcasts it and the whole check
     is scan + map-side explode + broadcast-hash semi-probe + one groupBy on
-    the doc id. If the benchmark outgrows broadcast, the same plan degrades
-    gracefully to a shuffle join keyed on the gram. Grams are joined as
-    strings for engine-agnostic oracles; at petabyte scale hash them first
-    (xxhash64) to shrink the exchanged key — same plan, narrower rows.
+    the doc id. The broadcast is NOT forced: the size decision is left to
+    autoBroadcastJoinThreshold/AQE, so a benchmark corpus that outgrows the
+    driver genuinely degrades to a shuffle join keyed on the gram instead
+    of OOMing on a forced hint. Grams are joined as strings for
+    engine-agnostic oracles; at petabyte scale hash them first (xxhash64)
+    to shrink the exchanged key — same plan, narrower rows.
     """
     toks = _norm_tokens(text_col)
     bench_toks = _norm_tokens(bench_text_col or text_col)
@@ -384,7 +386,7 @@ def ngram_contamination(
     )
     frac = F.col("n_contaminated") / F.col("n_distinct_ngrams")
     return (
-        doc_grams.join(F.broadcast(bench_grams), "g", "left")
+        doc_grams.join(bench_grams, "g", "left")
         .groupBy(id_col, "n_distinct_ngrams")
         .agg(F.count("__hit").alias("n_contaminated"))
         .select(

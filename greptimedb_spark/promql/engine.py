@@ -986,16 +986,31 @@ class PromQLEngine:
                 # an eager probe job at expression-build time — at scale an
                 # eager probe would scan the full vector even when the
                 # result is never materialized.
+                #
+                # DOCUMENTED DIVERGENCE from the reference: because the
+                # guard rides the `value` column, Catalyst can legally
+                # elide it — column pruning when a consumer never reads
+                # value, or a label predicate pushed below the window that
+                # removes one of the duplicates — while the reference
+                # raises unconditionally at eval time. Every path inside
+                # this engine reads `value`, so the guard holds for engine
+                # consumers; for bit-for-bit reference conformance set
+                # `spark.greptimedb.promql.eagerLabelsetCheck=true`, which
+                # runs the probe eagerly here (one extra scan).
                 from pyspark.sql.window import Window
 
                 w = Window.partitionBy("__t", *labels)
+                dup = F.count(F.lit(1)).over(w) > 1
+                err = "vector cannot contain metrics with the same labelset"
+                eager = "true" == v.df.sparkSession.conf.get(
+                    "spark.greptimedb.promql.eagerLabelsetCheck", "false")
+                if eager and not out.withColumn("__dup", dup) \
+                        .where("__dup").isEmpty():
+                    raise ValueError(err)
                 out = out.withColumn(
                     "value",
-                    F.when(
-                        F.count(F.lit(1)).over(w) > 1,
-                        F.raise_error(F.lit(
-                            "vector cannot contain metrics with the same labelset")),
-                    ).otherwise(F.col("value")),
+                    F.when(dup, F.raise_error(F.lit(err)))
+                    .otherwise(F.col("value")),
                 )
             return VectorResult(out, labels)
         if fn == "label_join":

@@ -277,6 +277,11 @@ def test_decode_image_pure_python():
     # non-image payloads -> None (stub fallback path)
     assert MM.decode_image(b"just text") is None
     assert MM.decode_image(b"") is None
+    # BITMAPCOREHEADER (12-byte DIB): bpp/compression live at different
+    # offsets — must fall back to the stub, not decode garbage
+    core = struct.pack("<2sIHHI", b"BM", 14 + 12 + 12, 0, 0, 26) + \
+        struct.pack("<IHHHH", 12, 2, 2, 1, 24) + b"\0" * 28
+    assert MM.decode_image(core) is None
     import pytest
     with pytest.raises(ValueError):
         MM.decode_image(b"P6\n2 2\n255\n\x00\x01")  # truncated pixels

@@ -305,6 +305,25 @@ def test_label_replace_duplicate_labelset_is_lazy(engine):
     assert ok and all(r.instance.startswith("x-") for r in ok)
 
 
+def test_label_replace_duplicate_labelset_eager_optin(engine):
+    import pytest
+
+    # conformance mode: the reference raises at EVAL time unconditionally;
+    # spark.greptimedb.promql.eagerLabelsetCheck=true reproduces that
+    # (guarding against Catalyst pruning the lazy value-column check)
+    spark = engine.tables["http_requests_total"].df.sparkSession
+    spark.conf.set("spark.greptimedb.promql.eagerLabelsetCheck", "true")
+    try:
+        with pytest.raises(ValueError, match="same labelset"):
+            engine.evaluate(
+                'label_replace(http_requests_total, "instance", "same", '
+                '"instance", "(.*)")',
+                300_000, 300_000, 60_000,
+            )  # raises WITHOUT collect()
+    finally:
+        spark.conf.unset("spark.greptimedb.promql.eagerLabelsetCheck")
+
+
 def test_histogram_quantile(engine):
     # buckets: 0.1→1, 0.5→3, 1→4, +Inf→5; q=0.5 → rank 2.5 in bucket (0.1,0.5]:
     # 0.1 + (0.5-0.1)*(2.5-1)/(3-1) = 0.4
