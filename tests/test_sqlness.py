@@ -582,6 +582,68 @@ def _explain_inner_oracle(g, stmt: str):
     return canon(engine_rows) == canon(duck_rows)
 
 
+def _plan_dump_inner(stmt: str) -> str | None:
+    """The runnable inner statement of a plan-dump statement: strips
+    EXPLAIN [ANALYZE] [VERBOSE] from SQL, and rewrites TQL ANALYZE/EXPLAIN
+    to the TQL EVAL the reference plans (tql.rs executes the same query
+    either way). None when stmt is not a plan dump."""
+    m = re.match(r"^\s*EXPLAIN\s+(?:ANALYZE\s+)?(?:VERBOSE\s+)?"
+                 r"(?=(?:SELECT|WITH)\b)", stmt, re.IGNORECASE)
+    if m:
+        return stmt[m.end():]
+    m = re.match(r"^\s*TQL\s+(?:ANALYZE|EXPLAIN)\s+(?:VERBOSE\s+)?(\(.*)$",
+                 stmt, re.IGNORECASE | re.DOTALL)
+    if m:
+        return "TQL EVAL " + m.group(1)
+    return None
+
+
+def _norm_stmt_key(s: str) -> str:
+    return re.sub(r"\s+", " ", s).strip().rstrip(";").lower()
+
+
+_MUTATOR_RE = re.compile(
+    r"^\s*(INSERT|DELETE|UPDATE|CREATE|DROP|ALTER|TRUNCATE|ADMIN|COPY|SET"
+    r"|USE)\b", re.IGNORECASE)
+
+
+def _build_twin_index(stmts) -> dict:
+    """Map normalized statement text -> [(index, expected, replaces)] for
+    every statement carrying a REAL data golden (not error/opaque/plan
+    dump). A plan-dump statement whose inner query re-appears verbatim with
+    a reference golden elsewhere in the case can then be row-verified
+    against that golden — the reference itself is the oracle (stronger than
+    the DuckDB re-run, and it covers TQL, which DuckDB cannot parse)."""
+    twins: dict = {}
+    for i, (s, exp, reps) in enumerate(stmts):
+        if exp is None or exp == "error":
+            continue
+        if isinstance(exp, tuple) and exp and exp[0] == "opaque":
+            continue
+        if _plan_dump_inner(s) is not None:
+            continue
+        if any(re.search(p, s, re.IGNORECASE) for p in _SKIP_PATTERNS):
+            continue
+        twins.setdefault(_norm_stmt_key(s), []).append((i, exp, reps))
+    return twins
+
+
+def _twin_golden(stmts, twins, i: int, inner: str):
+    """The nearest same-text twin of `inner` with no state-mutating
+    statement between the plan dump (index i) and the twin — i.e. both
+    statements observe identical table state, so the twin's golden is a
+    valid expected output for the inner query run now."""
+    cands = twins.get(_norm_stmt_key(inner)) or []
+    best = None
+    for j, exp, reps in cands:
+        lo, hi = (i, j) if i < j else (j, i)
+        if any(_MUTATOR_RE.match(stmts[k][0]) for k in range(lo + 1, hi)):
+            continue
+        if best is None or abs(j - i) < abs(best[0] - i):
+            best = (j, exp, reps)
+    return best
+
+
 def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
     """known_diffs: statement substrings whose golden mismatch is expected and
     documented (e.g. t-digest approximation artifacts the exact engine can't
@@ -598,7 +660,9 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
         if audit:
             print(f"SKIP[{reason}] {case}: "
                   f"{stmt.replace(chr(10), ' ')[:100]}", flush=True)
-    for stmt, expected, replaces in _parse_result_file(_case_path(case)):
+    stmts = list(_parse_result_file(_case_path(case)))
+    twin_index = _build_twin_index(stmts)
+    for stmt_i, (stmt, expected, replaces) in enumerate(stmts):
         sleeps = [r[1] for r in replaces if r[0] == "__SLEEP__"]
         restart = any(r[0] == "__RESTART__" for r in replaces)
         mysql_proto = any(r[0] == "__MYSQL__" for r in replaces)
@@ -743,6 +807,23 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=()):
                 errs.append((stmt.replace("\n", " ")[:80],
                              "explain-oracle-mismatch"))
                 continue
+            inner = _plan_dump_inner(stmt)
+            if inner is not None:
+                # no DuckDB oracle (TQL, or a dialect gap): if the SAME
+                # inner query appears elsewhere in the case with a real
+                # reference golden and identical table state, run the inner
+                # query and verify against THAT golden — the reference is
+                # the oracle. Rebind and fall through to the normal
+                # golden-comparison path below.
+                twin = _twin_golden(stmts, twin_index, stmt_i, inner)
+                if twin is not None:
+                    _j, expected, replaces = twin
+                    stmt = inner
+                    sort_result = any(
+                        r[0] == "__SORT_RESULT__" for r in replaces)
+                    replaces = [r for r in replaces if r[0] not in
+                                ("__SLEEP__", "__RESTART__", "__MYSQL__",
+                                 "__POSTGRES__", "__SORT_RESULT__")]
         if any(re.search(p, stmt, re.IGNORECASE) for p in _SKIP_PATTERNS) or expected == "error":
             _audit("errgold" if expected == "error" else "pattern", stmt)
             skipped += 1

@@ -74,6 +74,85 @@ def test_find_traces_dotted_tag_keys(spark):
     assert got.count() == 3
 
 
+def test_jaeger_wire_envelopes(spark):
+    """Jaeger API JSON structs (jaeger_api.py) vs hand-built
+    reference-shaped fixtures (jaeger.rs:65-228 struct definitions +
+    traces_from_records conversion)."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from greptimedb_spark import jaeger_api as J
+
+    spans = _spans(spark).withColumn(
+        "span_status_code",
+        F.when(F.col("span_id") == "2", F.lit("STATUS_CODE_ERROR"))
+        .otherwise(F.lit("STATUS_CODE_UNSET"))
+    ).withColumn(
+        "resource_attributes",
+        F.concat(F.lit('{"service.name":"'), "service_name",
+                 F.lit('","host.name":"h1"}')))
+
+    sv = J.services_response(TR.get_services(spans))
+    assert sv == {"data": ["auth", "db", "front"], "total": 3, "limit": 0,
+                  "offset": 0, "errors": []}
+
+    ops = J.operations_response(TR.get_operations(spans, "front"))
+    assert ops["data"] == [{"name": "GET /", "spanKind": "server"},
+                           {"name": "GET /x", "spanKind": "server"}]
+    legacy = J.operations_response(TR.get_operations(spans, "front"),
+                                   names_only=True)
+    assert legacy["data"] == ["GET /", "GET /x"]
+
+    # get_trace -> full Trace struct, checked field-for-field
+    tr = J.traces_response(TR.get_trace(spans, "B"))
+    assert tr["total"] == 1 and tr["errors"] == []
+    (trace,) = tr["data"]
+    assert trace["traceID"] == "B"
+    root, child = trace["spans"]
+    assert root == {
+        "traceID": "B", "spanID": "4", "operationName": "GET /x",
+        "references": [],
+        "startTime": 1_000_000,  # epoch-µs of timestamp_millis(1000)
+        "duration": 0,           # 100ns // 1000
+        "tags": [
+            {"key": "env", "type": "string", "value": "dev"},
+            {"key": "span.kind", "type": "string", "value": "server"},
+        ],
+        "logs": [], "processID": "p1",
+    }
+    # child: CHILD_OF reference synthesized from parent_span_id; second
+    # service in the trace allocates p2
+    assert child["references"] == [
+        {"traceID": "B", "spanID": "4", "refType": "CHILD_OF"}]
+    assert child["processID"] == "p2"
+    assert trace["processes"] == {
+        "p1": {"serviceName": "front", "tags": [
+            {"key": "host.name", "type": "string", "value": "h1"}]},
+        "p2": {"serviceName": "db", "tags": [
+            {"key": "host.name", "type": "string", "value": "h1"}]},
+    }
+
+    # find_traces -> traces ordered by trace_id; error status adds the
+    # otel.status_code + error:true tags (jaeger.rs:920-938)
+    ft = J.traces_response(TR.find_traces(spans, service="auth"))
+    (ta,) = ft["data"]
+    err_span = next(s for s in ta["spans"] if s["spanID"] == "2")
+    assert {"key": "otel.status_code", "type": "string",
+            "value": "ERROR"} in err_span["tags"]
+    assert {"key": "error", "type": "boolean", "value": True} \
+        in err_span["tags"]
+    # tags are sorted by key (span.tags.sort_by in the reference)
+    for s in ta["spans"]:
+        assert [t["key"] for t in s["tags"]] == \
+            sorted(t["key"] for t in s["tags"])
+
+    nf = J.trace_not_found_response()
+    assert nf == {"data": None, "total": 0, "limit": 0, "offset": 0,
+                  "errors": [{"code": 404, "msg": "trace not found"}]}
+    assert json.dumps(tr) and json.dumps(ft)
+
+
 def test_service_dependencies(spark):
     deps = {(r["parent_service"], r["child_service"]): r["call_count"]
             for r in TR.service_dependencies(_spans(spark)).collect()}
