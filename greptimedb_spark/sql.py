@@ -6084,6 +6084,45 @@ class GreptimeSQL:
         args = [a.strip() for a in _split_top_level(using)] if using else []
         return self.sql(self._bind_placeholders(prepared[name], args))
 
+    @staticmethod
+    def _canon_cursor_name(name: str) -> str:
+        """canonicalize_object_name semantics: unquoted identifiers fold to
+        lowercase, quoted keep their case (cursor_parser.rs:54)."""
+        if name.startswith('"') and name.endswith('"'):
+            return name[1:-1]
+        return name.lower()
+
+    def _declare_cursor(self, name: str, query: str):
+        """DECLARE <name> CURSOR FOR <select> (statement/cursor.rs:30-65):
+        rejects duplicates and non-SELECT bodies, executes the query, and
+        parks a toLocalIterator() — the Spark analog of the reference's
+        RecordBatchStreamCursor (rows stream to the driver partition-by-
+        partition as FETCHes consume them, never all at once)."""
+        name = self._canon_cursor_name(name)
+        cursors = self._cursors = getattr(self, "_cursors", {})
+        if name in cursors:
+            raise ValueError(f"Cursor {name} is exists")
+        if not re.match(r"(?is)\s*(SELECT|WITH)\b", query):
+            raise ValueError("Expect select query in cursor statement")
+        df = self.sql(query)
+        cursors[name] = (df.schema, df.toLocalIterator())
+        return self._empty_ok()
+
+    def _fetch_cursor(self, name: str, n: int):
+        """FETCH <n> FROM <name> (statement/cursor.rs:68-88): the next n
+        rows as a result set; fewer (or zero) rows once the stream is
+        exhausted — fetch-past-end yields an empty set with the cursor's
+        schema, exactly like RecordBatchStreamCursor::take."""
+        import itertools
+
+        name = self._canon_cursor_name(name)
+        cur = getattr(self, "_cursors", {}).get(name)
+        if cur is None:
+            raise ValueError(f"Cursor {name} is not found")
+        schema, it = cur
+        return self.spark.createDataFrame(
+            list(itertools.islice(it, n)), schema)
+
     def sql_http(self, text: str, format: str = "greptimedb_v1", **kw):
         """Run one statement and render it in an HTTP ResponseFormat — the
         `/v1/sql?format=` dispatch (reference http.rs:396-406, the COMPLETE
@@ -6137,6 +6176,34 @@ class GreptimeSQL:
                       text)
         if dm:
             getattr(self, "_prepared", {}).pop(dm.group(1), None)
+            return self._empty_ok()
+        # Postgres cursor statements (reference statement.rs:155-159,
+        # parser cursor_parser.rs, executor operator/statement/cursor.rs):
+        # DECLARE runs the query and parks a streaming iterator; FETCH n
+        # takes the next n rows; CLOSE drops the cursor (idempotent).
+        dcm = re.match(
+            r"(?is)\s*DECLARE\s+([\w.\"]+)\s+CURSOR\s+FOR\s+(.+?);?\s*$",
+            text)
+        if dcm:
+            return self._declare_cursor(dcm.group(1), dcm.group(2))
+        fcm = re.match(
+            r"(?is)\s*FETCH\s+(\d+)\s+(?:(?:FROM|IN)\s+)?([\w.\"]+)\s*;?\s*$",
+            text)
+        if fcm:
+            return self._fetch_cursor(fcm.group(2), int(fcm.group(1)))
+        ccm = re.match(r"(?is)\s*CLOSE\s+([\w.\"]+)\s*;?\s*$", text)
+        if ccm:
+            getattr(self, "_cursors", {}).pop(
+                self._canon_cursor_name(ccm.group(1)), None)
+            return self._empty_ok()
+        km = re.match(r"(?is)\s*KILL\s+(?:QUERY\s+)?'?([\w-]+)'?\s*;?\s*$",
+                      text)
+        if km:
+            # KILL <process_id> / KILL QUERY <connection_id>
+            # (statement.rs:161, statements/kill.rs): parse-and-acknowledge
+            # parity — this engine has no remote process registry (the
+            # reference's process manager is distributed-frontend
+            # machinery); the statement parses and acks with no result set.
             return self._empty_ok()
         if "?" in re.sub(r"'[^']*'|\"[^\"]*\"", "", text):
             # a bare placeholder outside PREPARE has no bound value

@@ -122,3 +122,42 @@ def test_bare_pg_class_stays_table_only(g):
     names = {r[0] for r in rows}
     assert "metrics" in names
     assert not any(n.endswith("_pkey") for n in names)
+
+
+def test_cursor_lifecycle(g):
+    """DECLARE/FETCH/CLOSE (reference statement.rs:155-159, executor
+    operator/statement/cursor.rs): fetch in chunks, fetch-past-end yields
+    an empty set with the cursor's schema, CLOSE is idempotent."""
+    g.sql("CREATE TABLE cur_t (ts TIMESTAMP TIME INDEX, n BIGINT)")
+    g.sql("INSERT INTO cur_t VALUES (0,0),(1,1),(2,2),(3,3),(4,4)")
+    g.sql("DECLARE c1 CURSOR FOR SELECT n FROM cur_t ORDER BY n")
+    first = g.sql("FETCH 2 FROM c1")
+    assert [r.n for r in first.collect()] == [0, 1]
+    # IN is an accepted synonym of FROM (cursor_parser.rs:73)
+    assert [r.n for r in g.sql("FETCH 2 IN c1").collect()] == [2, 3]
+    # exhaust: fewer rows than requested at the tail
+    assert [r.n for r in g.sql("FETCH 10 FROM c1").collect()] == [4]
+    # fetch-past-end: empty result, schema intact
+    past = g.sql("FETCH 5 FROM c1")
+    assert past.count() == 0 and past.columns == ["n"]
+    g.sql("CLOSE c1")
+    g.sql("CLOSE c1")  # remove_cursor is idempotent (cursor.rs:92-99)
+    with pytest.raises(ValueError, match="not found"):
+        g.sql("FETCH 1 FROM c1")
+
+
+def test_cursor_errors_and_kill(g):
+    g.sql("DECLARE c2 CURSOR FOR SELECT 1 AS one")
+    # duplicate name rejected (CursorExistsSnafu, cursor.rs:37-42)
+    with pytest.raises(ValueError, match="exists"):
+        g.sql("DECLARE c2 CURSOR FOR SELECT 2 AS two")
+    # unquoted cursor names canonicalize to lowercase, so C2 == c2
+    assert [r.one for r in g.sql("FETCH 1 FROM C2").collect()] == [1]
+    g.sql("CLOSE c2")
+    # non-SELECT body rejected up front (cursor_parser.rs:44-49)
+    with pytest.raises(ValueError, match="Expect select query"):
+        g.sql("DECLARE c3 CURSOR FOR SHOW TABLES")
+    # KILL parses and acks without a result set (statement.rs:161)
+    for stmt in ("KILL '12345-abc'", "KILL QUERY 7"):
+        out = g.sql(stmt)
+        assert out is None or out.count() == 0
