@@ -344,6 +344,100 @@ def corpus_frequency_score(
     )
 
 
+def top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide TOP-K most frequent token ``n``-grams with document
+    frequencies — the pass that builds boilerplate/contamination blocklists
+    (the most repeated n-grams in a crawl are navigation chrome, license
+    headers, and benchmark leakage). Output: (g, doc_freq, total_count),
+    ranked by doc_freq then total_count, with the gram itself as the final
+    tiebreak so the top-k set is a TOTAL order (cross-engine deterministic).
+
+    Scale shape: map-side explode + one groupBy on the gram (partial
+    aggregation combines within each scan task before the shuffle;
+    count(DISTINCT doc) plans as Spark's two-phase expand, still one
+    logical shuffle) + TakeOrderedAndProject for the top-k — no global
+    sort ever materializes. Gram-key skew is absorbed by the partial
+    aggregates: a gram appearing in every document contributes ONE partial
+    row per task, not one row per occurrence."""
+    toks = _norm_tokens(text_col)
+    grams = df.select(F.col(id_col),
+                      F.explode(_token_ngrams(toks, n)).alias("g"))
+    return (
+        grams.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("doc_freq"),
+             F.count(F.lit(1)).alias("total_count"))
+        .orderBy(F.desc("doc_freq"), F.desc("total_count"), F.asc("g"))
+        .limit(k)
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.7,
+    max_symbol_frac: float = 0.1,
+) -> DataFrame:
+    """Rule-based document QUALITY FILTER — the C4/Gopher-style heuristic
+    gate a pretraining pipeline runs before dedup/tokenization (C4: Raffel
+    et al. 2020 §2.2; Gopher: Rae et al. 2021 A.1.1). Per document:
+
+    - word count within [min_words, max_words]      -> ``too_few_words`` /
+      ``too_many_words``
+    - mean word length within [min, max]            -> ``word_length``
+    - fraction of words containing a letter >= min  -> ``low_alpha_ratio``
+    - non-alphanumeric/space character fraction <= max
+                                                    -> ``high_symbol_ratio``
+
+    Output: (id, n_words, mean_word_len, alpha_word_frac, symbol_frac,
+    reasons, keep) — ``reasons`` is the comma-joined sorted list of failed
+    rules ('' = clean), ``keep`` its emptiness. Thresholds are parameters:
+    corpus-appropriate values beat one-size-fits-all (the cited defaults
+    assume web text).
+
+    Scale shape: pure column algebra over the scan — no explode, no
+    shuffle, no UDF; at 100 TB this is a map-only pass that composes with
+    predicate pushdown (filtering on ``keep`` prunes at the scan)."""
+    toks = _norm_tokens(text_col)
+    norm = F.array_join(toks, " ")
+    n_words = F.size(toks)
+    mean_len = (F.length(norm) - (n_words - 1)) / n_words
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n_words
+    symbol_frac = (F.length(F.regexp_replace(norm, "[a-z0-9 ]", ""))
+                   / F.length(norm))
+    reasons = F.concat_ws(
+        ",",
+        F.array_sort(F.filter(F.array(
+            F.when(n_words < min_words, F.lit("too_few_words")),
+            F.when(n_words > max_words, F.lit("too_many_words")),
+            F.when((mean_len < min_mean_word_len)
+                   | (mean_len > max_mean_word_len), F.lit("word_length")),
+            F.when(alpha_frac < min_alpha_word_frac,
+                   F.lit("low_alpha_ratio")),
+            F.when(symbol_frac > max_symbol_frac,
+                   F.lit("high_symbol_ratio")),
+        ), lambda x: x.isNotNull())))
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        F.round(symbol_frac, 4).alias("symbol_frac"),
+        reasons.alias("reasons"),
+        (reasons == "").alias("keep"),
+    )
+
+
 def ngram_contamination(
     df: DataFrame,
     benchmark: DataFrame,

@@ -149,6 +149,49 @@ def test_cluster_balanced_sample(spark, sf_dir):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_quality_filter(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),  # clean
+         (2, "too short"),                                # too_few_words
+         (3, "a b c d e f g h i j"),                      # word_length (mean 1)
+         (4, "#### $$$$ %%%% ^^^^ &&&& !!!! @@@@ **** (((( ))))"),
+         (5, "x" * 200 + " one two three four five six seven eight nine")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tp.quality_filter(
+        df, min_words=10, max_words=50, min_mean_word_len=2,
+        max_mean_word_len=12).collect()}
+    assert out[1]["keep"] and out[1]["reasons"] == ""
+    assert out[1]["n_words"] == 10
+    assert out[2]["reasons"] == "too_few_words" and not out[2]["keep"]
+    assert "word_length" in out[3]["reasons"]
+    # all-symbol doc (10 four-char tokens: word rules pass) fails alpha
+    # ratio AND symbol ratio; reasons come back sorted
+    assert out[4]["reasons"] == "high_symbol_ratio,low_alpha_ratio"
+    assert "word_length" in out[5]["reasons"]  # 200-char token blows the mean
+    # map-only claim: no exchange in the plan
+    plan = tp.quality_filter(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_top_ngrams(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta gamma"),
+         (2, "alpha beta gamma delta"),
+         (3, "zeta eta theta")],
+        "doc_id long, text string")
+    rows = tp.top_ngrams(df, n=3, k=3).collect()
+    # 'alpha beta gamma' is in 2 docs (3 occurrences) -> rank 1; ties rank
+    # by gram ascending so the set is deterministic
+    assert rows[0]["g"] == "alpha beta gamma"
+    assert rows[0]["doc_freq"] == 2 and rows[0]["total_count"] == 3
+    assert [r["g"] for r in rows[1:]] == \
+        sorted(r["g"] for r in rows[1:])[:2] or len(rows) == 3
+    # doc shorter than n contributes nothing but doesn't error
+    assert tp.top_ngrams(spark.createDataFrame(
+        [(9, "one two")], "doc_id long, text string"), n=3, k=5).count() == 0
+
+
 def test_ngram_contamination(spark):
     from pyspark.sql import Row
 
