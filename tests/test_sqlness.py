@@ -1113,7 +1113,7 @@ _CONFORMANCE_CASES = [
     ("tql/join", 6),
     ("tql/literal_only", 3),
     ("tql/range", 11),
-    ("tql/tql-cte", 16),
+    ("tql/tql-cte", 37),
     # reference promql/ corpus (the flagship PromQL conformance surface,
     # reference src/query/src/promql/planner.rs); counts = verified statements
     ("promql/absent", 9),
@@ -1143,12 +1143,11 @@ _CONFORMANCE_CASES = [
     ("promql/timestamp_fn", 13),
     ("promql/topk_bottomk", 12),
     ("promql/histogram_multi_partition", 1),
-    # 11 skips = TQL ANALYZE plan dumps (engine-specific text; no
-    # independent PromQL oracle exists to check their inner semantics —
-    # DuckDB speaks SQL, not PromQL). Each ANALYZE'd expression class is
-    # row-verified by the file's own paired TQL EVAL goldens (the 9
-    # checked), so the skipped statements carry no unverified semantics
-    ("promql/tsid_binary_join_regression", 9),
+    # round 9: 7 of the 11 TQL ANALYZE plan dumps row-verify against their
+    # paired TQL EVAL goldens via the twin-golden oracle; the 4 left
+    # (ignoring(host), >, > bool, group_left variants) have no same-text
+    # EVAL twin in the file and stay honest skips
+    ("promql/tsid_binary_join_regression", 16),
     ("promql/tsid_histogram_quantile_regression", 4),
     # DDL surface: ALTER / DELETE / TRUNCATE / DESC / SHOW / VIEW / INSERT
     # (reference src/sql/src/statements/statement.rs; schema evolution is
@@ -1492,7 +1491,9 @@ _CONFORMANCE_CASES = [
 #   DDL/INSERT with no verifiable output
 # - tql/tql-cte IS in the battery (round 4: WITH t AS (TQL EVAL …) rewrite;
 #   all 16 non-EXPLAIN statements verify, incl. the positional
-#   (ts, value, tags…) alias mapping the reference pins)
+#   (ts, value, tags…) alias mapping the reference pins; round 9: the 18
+#   EXPLAIN twins row-verify against their in-case goldens via the
+#   twin-golden oracle — 2 skips left, both twin-less plan dumps)
 # promql/string_identifier IS in the battery and runs verbatim — all 4 TQL
 # statements (quoted "service.name" matchers/grouping, bare quoted metric,
 # hex-escaped values) verify → 31/31 non-substrait promql files
