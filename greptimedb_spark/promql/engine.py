@@ -189,6 +189,19 @@ class PromQLEngine:
             return self._call(node, ctx)
         if isinstance(node, BinaryOp):
             return self._binary(node, ctx)
+        if isinstance(node, Subquery):
+            # TOP-LEVEL subquery: Prometheus proper rejects a range query
+            # whose result is a range vector, but the reference executes it
+            # — tql.rs plans a final PromRangeManipulate over the inner
+            # expression (promql/encode_substrait.sql golden). Materialize
+            # the range vector in its natural row form: the inner
+            # expression's samples on the subquery's absolute-aligned
+            # sub-step grid, spanning the union of every eval step's
+            # window (start-range, end].
+            base, tags, _rng = self._range_samples(node, ctx)
+            return VectorResult(
+                base.select(F.col("__x").alias("__t"), *tags, "value"),
+                list(tags))
         raise ValueError(f"unsupported node {node}")
 
     # -- selectors ----------------------------------------------------------
