@@ -607,6 +607,69 @@ _MUTATOR_RE = re.compile(
     r"|USE)\b", re.IGNORECASE)
 
 
+# Hand-pinned DuckDB oracles for the FOUR plan-dump inner queries that have
+# neither a DuckDB dialect (TQL) nor a same-text twin golden in their case
+# (promql/tsid_binary_join_regression: the ignoring/comparison/group_left
+# ANALYZE variants). Each SQL reproduces the PromQL semantics for THAT
+# case's data: the eval grid is (0s, 5s] step 5s and every sample sits
+# exactly on a step, so the 5m-lookback instant selection reduces to a ts
+# equi-join; vector matching is the documented column algebra (ignoring ->
+# join on the remaining label, comparison -> filter keeping lhs values,
+# bool -> 0/1, group_left -> many-to-one then divide on full lhs labels).
+_PINNED_TQL_ORACLES_RAW = {
+    "TQL EVAL (0, 5, '5s') tsid_binary_join_left / ignoring(host) "
+    "tsid_binary_join_right":
+        "SELECT l.ts, l.host, l.job, l.greptime_value / r.greptime_value "
+        "AS value FROM tsid_binary_join_left l JOIN tsid_binary_join_right "
+        "r ON l.job = r.job AND l.ts = r.ts",
+    "TQL EVAL (0, 5, '5s') tsid_binary_join_left > tsid_binary_join_right":
+        "SELECT l.ts, l.host, l.job, l.greptime_value AS value "
+        "FROM tsid_binary_join_left l JOIN tsid_binary_join_right r "
+        "ON l.host = r.host AND l.job = r.job AND l.ts = r.ts "
+        "WHERE l.greptime_value > r.greptime_value",
+    "TQL EVAL (0, 5, '5s') tsid_binary_join_left > bool "
+    "tsid_binary_join_right":
+        "SELECT l.ts, l.host, l.job, CASE WHEN l.greptime_value > "
+        "r.greptime_value THEN 1.0 ELSE 0.0 END AS value "
+        "FROM tsid_binary_join_left l JOIN tsid_binary_join_right r "
+        "ON l.host = r.host AND l.job = r.job AND l.ts = r.ts",
+    "TQL EVAL (0, 5, '5s') (tsid_binary_join_left / ignoring(host) "
+    "group_left tsid_binary_join_right) / tsid_binary_join_left":
+        "SELECT l.ts, l.host, l.job, (l.greptime_value / r.greptime_value) "
+        "/ l.greptime_value AS value FROM tsid_binary_join_left l "
+        "JOIN tsid_binary_join_right r ON l.job = r.job AND l.ts = r.ts",
+}
+
+
+def _pinned_tql_oracles() -> dict:
+    return {_norm_stmt_key(k): v for k, v in _PINNED_TQL_ORACLES_RAW.items()}
+
+
+def _pinned_oracle_check(g, inner: str, duck_sql: str):
+    """Run the inner TQL statement through the engine and the pinned SQL
+    through DuckDB over the same catalog tables; True/False like
+    _explain_inner_oracle (None on infrastructure failure -> plain skip)."""
+    tables = set(re.findall(r"\b(?:FROM|JOIN)\s+([A-Za-z_][A-Za-z0-9_]*)",
+                            duck_sql, re.IGNORECASE))
+    try:
+        import duckdb
+
+        engine_rows = _collect(g.sql(inner))
+        con = duckdb.connect()
+        for t in tables:
+            con.register(t, g.sql(f"SELECT * FROM {t}").toPandas())
+        duck_rows = con.execute(duck_sql).fetchall()
+    except Exception:
+        return None
+
+    def canon(rows):
+        sort_key = lambda r: tuple((c is None, str(c)) for c in r)
+        return sorted((tuple(_canon_oracle_cell(c) for c in r)
+                       for r in rows), key=sort_key)
+
+    return canon(engine_rows) == canon(duck_rows)
+
+
 def _build_twin_index(stmts) -> dict:
     """Map normalized statement text -> [(index, expected, replaces)] for
     every statement carrying a REAL data golden (not error/opaque/plan
@@ -834,6 +897,18 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=(),
                     replaces = [r for r in replaces if r[0] not in
                                 ("__SLEEP__", "__RESTART__", "__MYSQL__",
                                  "__POSTGRES__", "__SORT_RESULT__")]
+                else:
+                    pinned = _pinned_tql_oracles().get(_norm_stmt_key(inner))
+                    if pinned is not None:
+                        ok = _pinned_oracle_check(g, inner, pinned)
+                        if ok is True:
+                            checked += 1
+                            continue
+                        if ok is False:
+                            errored += 1
+                            errs.append((stmt.replace("\n", " ")[:80],
+                                         "pinned-oracle-mismatch"))
+                            continue
         if any(re.search(p, stmt, re.IGNORECASE) for p in _SKIP_PATTERNS) or expected == "error":
             _audit("errgold" if expected == "error" else "pattern", stmt)
             skipped += 1
@@ -1166,11 +1241,11 @@ _CONFORMANCE_CASES = [
     # encode_substrait's two TQL statements (top-level subquery) both
     # verify: the EXPLAIN via its EVAL twin, the EVAL via its own golden
     ("promql/encode_substrait", 2),
-    # round 9: 7 of the 11 TQL ANALYZE plan dumps row-verify against their
-    # paired TQL EVAL goldens via the twin-golden oracle; the 4 left
-    # (ignoring(host), >, > bool, group_left variants) have no same-text
-    # EVAL twin in the file and stay honest skips
-    ("promql/tsid_binary_join_regression", 16),
+    # round 9: ALL 11 TQL ANALYZE plan dumps row-verify — 7 against their
+    # paired TQL EVAL goldens (twin-golden oracle), the 4 twin-less
+    # variants (ignoring(host), >, > bool, group_left) against hand-pinned
+    # DuckDB SQL (_PINNED_TQL_ORACLES_RAW). 0 skips left in this file
+    ("promql/tsid_binary_join_regression", 20),
     ("promql/tsid_histogram_quantile_regression", 4),
     # DDL surface: ALTER / DELETE / TRUNCATE / DESC / SHOW / VIEW / INSERT
     # (reference src/sql/src/statements/statement.rs; schema evolution is
