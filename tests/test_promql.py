@@ -276,6 +276,48 @@ def test_absent(engine):
     assert len(vals) == 0
 
 
+def test_prometheus_metadata_api(engine):
+    """labels / label_values / series endpoints (promql/metadata.py) vs
+    the reference's prometheus.rs handler semantics."""
+    from greptimedb_spark.promql import metadata as M
+
+    t = engine.tables
+    # /api/v1/labels: all tags + __name__, sorted
+    all_labels = M.label_names(t)
+    assert all_labels[0] == "__name__" and "job" in all_labels \
+        and "instance" in all_labels
+    # with match[]: only the matched table's tags
+    only = M.label_names(t, ['http_requests_total{job="api"}'])
+    assert "job" in only and "instance" in only
+    # label_values(__name__) = metric names
+    names = M.label_values(t, "__name__")
+    assert "http_requests_total" in names and names == sorted(names)
+    # label_values(tag): distinct live values, matcher- and window-filtered
+    vals = M.label_values(t, "instance",
+                          matches=["http_requests_total"])
+    assert vals == ["i1", "i2"]
+    narrowed = M.label_values(
+        t, "instance", matches=['http_requests_total{instance="i1"}'])
+    assert narrowed == ["i1"]
+    # window excluding all samples -> no values
+    assert M.label_values(t, "instance", matches=["http_requests_total"],
+                          start_ms=10**15) == []
+    # /api/v1/series: labelsets incl __name__, deduped + sorted
+    s = M.series(t, ["http_requests_total"])
+    assert {"__name__": "http_requests_total", "job": "api",
+            "instance": "i1"} in s
+    assert len(s) == len({tuple(sorted(d.items())) for d in s})
+    # regex matcher narrows; selector on a missing label matches nothing
+    assert len(M.series(t, ['http_requests_total{instance=~"i1|i9"}'])) == 1
+    assert M.series(t, ['http_requests_total{nope="x"}']) == []
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="match"):
+        M.series(t, [])
+    # envelope
+    assert M.prometheus_metadata_response(["a"]) == {
+        "status": "success", "data": ["a"]}
+
+
 def test_label_replace(engine):
     df = engine.evaluate(
         'label_replace(http_requests_total{instance="i1"}, "host", "$1", "instance", "(.*)")',
