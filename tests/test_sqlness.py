@@ -640,6 +640,39 @@ _PINNED_TQL_ORACLES_RAW = {
         "JOIN tsid_binary_join_right r ON l.job = r.job AND l.ts = r.ts",
 }
 
+# tql-explain-analyze/explain: bare instant selectors with explicit
+# lookback semantics — each SQL builds the eval-step grid and picks the
+# latest sample per series within (t - lookback, t], i.e. the full
+# InstantManipulate contract, independent of sample/step alignment.
+_INSTANT_SEL_SQL = (
+    "WITH steps AS (SELECT unnest(generate_series(0, {end_ms}, {step_ms})) "
+    "AS tm), cand AS (SELECT s.tm, x.k, x.i, row_number() OVER "
+    "(PARTITION BY s.tm, x.k ORDER BY x.j DESC) AS rn FROM steps s "
+    "JOIN {table} x ON epoch_ms(x.j) <= s.tm "
+    "AND epoch_ms(x.j) > s.tm - {lookback_ms}) "
+    "SELECT make_timestamp(tm * 1000) AS ts, k, i AS {val} "
+    "FROM cand WHERE rn = 1"
+)
+_PINNED_TQL_ORACLES_RAW.update({
+    "TQL EVAL (0, 10, '5s') test": _INSTANT_SEL_SQL.format(
+        end_ms=10000, step_ms=5000, lookback_ms=300000, table="test",
+        val="value"),
+    "TQL EVAL (0, 10, '1s', '2s') test": _INSTANT_SEL_SQL.format(
+        end_ms=10000, step_ms=1000, lookback_ms=2000, table="test",
+        val="value"),
+    "TQL EVAL ('1970-01-01T00:00:00'::timestamp, "
+    "'1970-01-01T00:00:00'::timestamp + '10 seconds'::interval, '5s') test":
+        _INSTANT_SEL_SQL.format(
+            end_ms=10000, step_ms=5000, lookback_ms=300000, table="test",
+            val="value"),
+    "TQL EVAL (0, 10, '5s') test AS series": _INSTANT_SEL_SQL.format(
+        end_ms=10000, step_ms=5000, lookback_ms=300000, table="test",
+        val="series"),
+    "TQL EVAL (0, 10, '5s') test_nano": _INSTANT_SEL_SQL.format(
+        end_ms=10000, step_ms=5000, lookback_ms=300000, table="test_nano",
+        val="value"),
+})
+
 
 def _pinned_tql_oracles() -> dict:
     return {_norm_stmt_key(k): v for k, v in _PINNED_TQL_ORACLES_RAW.items()}
@@ -657,7 +690,10 @@ def _pinned_oracle_check(g, inner: str, duck_sql: str):
         engine_rows = _collect(g.sql(inner))
         con = duckdb.connect()
         for t in tables:
-            con.register(t, g.sql(f"SELECT * FROM {t}").toPandas())
+            try:
+                con.register(t, g.sql(f"SELECT * FROM {t}").toPandas())
+            except Exception:
+                pass  # a CTE name, not an engine table
         duck_rows = con.execute(duck_sql).fetchall()
     except Exception:
         return None
@@ -752,6 +788,48 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=(),
             _audit("known-diff", stmt)
             skipped += 1
             continue
+        if expected is not None and expected != "error":
+            # plan-dump goldens (normal AND opaque alike): check the inner
+            # query's SEMANTICS against DuckDB / a pinned oracle / the
+            # nearest same-text twin golden instead of skipping outright
+            # (the plan text itself stays unchecked)
+            oracle = _explain_inner_oracle(g, stmt)
+            if oracle is True:
+                checked += 1
+                continue
+            if oracle is False:
+                # a live row mismatch against the independent engine is a
+                # real signal — surface it in the ledger ratchet, don't
+                # demote to a silent skip
+                errored += 1
+                errs.append((stmt.replace("\n", " ")[:80],
+                             "explain-oracle-mismatch"))
+                continue
+            inner = _plan_dump_inner(stmt)
+            if inner is not None:
+                twin = _twin_golden(stmts, twin_index, stmt_i, inner)
+                if twin is not None:
+                    # rebind to the twin's golden and fall through to the
+                    # normal comparison path below
+                    _j, expected, replaces = twin
+                    stmt = inner
+                    sort_result = any(
+                        r[0] == "__SORT_RESULT__" for r in replaces)
+                    replaces = [r for r in replaces if r[0] not in
+                                ("__SLEEP__", "__RESTART__", "__MYSQL__",
+                                 "__POSTGRES__", "__SORT_RESULT__")]
+                else:
+                    pinned = _pinned_tql_oracles().get(_norm_stmt_key(inner))
+                    if pinned is not None:
+                        ok = _pinned_oracle_check(g, inner, pinned)
+                        if ok is True:
+                            checked += 1
+                            continue
+                        if ok is False:
+                            errored += 1
+                            errs.append((stmt.replace("\n", " ")[:80],
+                                         "pinned-oracle-mismatch"))
+                            continue
         if isinstance(expected, tuple) and expected and expected[0] == "opaque":
             # REPLACE-destroyed golden: compare opaque strings
             if any(re.search(p, stmt, re.IGNORECASE) for p in _SKIP_PATTERNS):
@@ -865,50 +943,6 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=(),
                     errs.append((stmt.replace("\n", " ")[:80],
                                  f"errparity:{type(e).__name__}"))
             continue
-        if expected is not None and expected != "error":
-            # plan-dump goldens: check the inner query's SEMANTICS against
-            # DuckDB instead of skipping outright (plan text stays skipped)
-            oracle = _explain_inner_oracle(g, stmt)
-            if oracle is True:
-                checked += 1
-                continue
-            if oracle is False:
-                # a live row mismatch against the independent engine is a
-                # real signal — surface it in the ledger ratchet, don't
-                # demote to a silent skip
-                errored += 1
-                errs.append((stmt.replace("\n", " ")[:80],
-                             "explain-oracle-mismatch"))
-                continue
-            inner = _plan_dump_inner(stmt)
-            if inner is not None:
-                # no DuckDB oracle (TQL, or a dialect gap): if the SAME
-                # inner query appears elsewhere in the case with a real
-                # reference golden and identical table state, run the inner
-                # query and verify against THAT golden — the reference is
-                # the oracle. Rebind and fall through to the normal
-                # golden-comparison path below.
-                twin = _twin_golden(stmts, twin_index, stmt_i, inner)
-                if twin is not None:
-                    _j, expected, replaces = twin
-                    stmt = inner
-                    sort_result = any(
-                        r[0] == "__SORT_RESULT__" for r in replaces)
-                    replaces = [r for r in replaces if r[0] not in
-                                ("__SLEEP__", "__RESTART__", "__MYSQL__",
-                                 "__POSTGRES__", "__SORT_RESULT__")]
-                else:
-                    pinned = _pinned_tql_oracles().get(_norm_stmt_key(inner))
-                    if pinned is not None:
-                        ok = _pinned_oracle_check(g, inner, pinned)
-                        if ok is True:
-                            checked += 1
-                            continue
-                        if ok is False:
-                            errored += 1
-                            errs.append((stmt.replace("\n", " ")[:80],
-                                         "pinned-oracle-mismatch"))
-                            continue
         if any(re.search(p, stmt, re.IGNORECASE) for p in _SKIP_PATTERNS) or expected == "error":
             _audit("errgold" if expected == "error" else "pattern", stmt)
             skipped += 1
@@ -1235,7 +1269,8 @@ _CONFORMANCE_CASES = [
     # goldens, inner-query oracles) now counts honestly instead of the
     # files being absent from the ledger entirely
     # (scan_big_varchar runs via its own prefix-limited test below)
-    ("tql-explain-analyze/explain", 0),
+    # all 7 TQL EXPLAIN dumps verify via pinned lookback-SQL oracles
+    ("tql-explain-analyze/explain", 7),
     ("tql/general_table", 0),
     ("tql/partition", 0),
     # encode_substrait's two TQL statements (top-level subquery) both
