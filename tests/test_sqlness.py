@@ -673,6 +673,52 @@ _PINNED_TQL_ORACLES_RAW.update({
         val="value"),
 })
 
+# promql/regex: ANALYZE VERBOSE dumps of regex matchers at a single
+# instant (0, 0, '1s'); both samples sit at ts=0 so the 5m lookback keeps
+# exactly them. `.*`/`.+` match every (non-empty) host; their negations
+# match nothing.
+_REGEX_ALL_SQL = (
+    "SELECT ts, host, CAST(val AS DOUBLE) AS value FROM test "
+    "WHERE epoch_ms(ts) <= 0 AND epoch_ms(ts) > -300000")
+_REGEX_NONE_SQL = _REGEX_ALL_SQL + " AND 1 = 0"
+_PINNED_TQL_ORACLES_RAW.update({
+    "TQL EVAL (0, 0, '1s') test{host=~\".*\"}": _REGEX_ALL_SQL,
+    "TQL EVAL (0, 0, '1s') test{host=~\".+\"}": _REGEX_ALL_SQL,
+    "TQL EVAL (0, 0, '1s') test{host!~\".*\"}": _REGEX_NONE_SQL,
+    "TQL EVAL (0, 0, '1s') test{host!~\".+\"}": _REGEX_NONE_SQL,
+})
+
+# promql/precisions: EXPLAIN dumps over µs/ns time indexes — instant
+# selector (5m lookback, latest per series) and avg_over_time (window
+# (t-5s, t], exclusive left — pinned by the case's own EVAL goldens:
+# avg at t=5s is 3.0, i.e. only the ts=5s sample).
+_PREC_INSTANT_SQL = (
+    "WITH steps AS (SELECT unnest(generate_series(0, 10000, 5000)) AS tm), "
+    "cand AS (SELECT s.tm, x.host, x.val, row_number() OVER (PARTITION BY "
+    "s.tm, x.host ORDER BY x.ts DESC) AS rn FROM steps s JOIN {table} x "
+    "ON epoch_ms(x.ts) <= s.tm AND epoch_ms(x.ts) > s.tm - 300000 "
+    "WHERE x.host = 'host1') "
+    "SELECT make_timestamp(tm * 1000) AS ts, host, val AS value "
+    "FROM cand WHERE rn = 1"
+)
+_PREC_AVG_SQL = (
+    "WITH steps AS (SELECT unnest(generate_series(0, 10000, 5000)) AS tm) "
+    "SELECT make_timestamp(s.tm * 1000) AS ts, x.host, AVG(x.val) AS value "
+    "FROM steps s JOIN {table} x ON epoch_ms(x.ts) <= s.tm "
+    "AND epoch_ms(x.ts) > s.tm - 5000 WHERE x.host = 'host1' "
+    "GROUP BY s.tm, x.host"
+)
+_PINNED_TQL_ORACLES_RAW.update({
+    "TQL EVAL (0, 10, '5s') host_micro{host=\"host1\"}":
+        _PREC_INSTANT_SQL.format(table="host_micro"),
+    "TQL EVAL (0, 10, '5s') host_nano{host=\"host1\"}":
+        _PREC_INSTANT_SQL.format(table="host_nano"),
+    "TQL EVAL (0, 10, '5s') avg_over_time(host_micro{host=\"host1\"}[5s])":
+        _PREC_AVG_SQL.format(table="host_micro"),
+    "TQL EVAL (0, 10, '5s') avg_over_time(host_nano{host=\"host1\"}[5s])":
+        _PREC_AVG_SQL.format(table="host_nano"),
+})
+
 
 def _pinned_tql_oracles() -> dict:
     return {_norm_stmt_key(k): v for k, v in _PINNED_TQL_ORACLES_RAW.items()}
@@ -1248,10 +1294,10 @@ _CONFORMANCE_CASES = [
     ("promql/offset", 9),
     ("promql/offset_direction", 3),
     ("promql/or_operation", 5),
-    ("promql/precisions", 6),
+    ("promql/precisions", 10),  # r9: 4 EXPLAIN dumps verify via pinned oracles
     ("promql/quantile", 4),
     ("promql/range_sparse_empty_trailing", 1),
-    ("promql/regex", 4),
+    ("promql/regex", 8),  # r9: 4 ANALYZE VERBOSE dumps verify via pinned oracles
     ("promql/scalar", 45),
     ("promql/set_operation", 40),
     ("promql/simple_histogram", 23),
