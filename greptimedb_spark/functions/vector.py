@@ -206,12 +206,34 @@ def register(spark) -> None:
                      for x, y, z in zip(a, b, c)], dtype=object)
         return f
 
+    def _pair(a, b):
+        # the reference rejects mismatched dimensions
+        # ("vectors length not match", vector.result:177); numpy would
+        # silently BROADCAST a length-1 operand instead — guard it
+        va, vb = _vec(a), _vec(b)
+        if len(va) != len(vb):
+            raise ValueError(
+                f"vectors length not match: {len(va)} vs {len(vb)}")
+        return va, vb
+
     def _ew(op):
-        return lambda a, b: [float(v) for v in op(_vec(a), _vec(b))]
+        return lambda a, b: [float(v) for v in op(*_pair(a, b))]
 
     reg = spark.udf.register
     reg("gt_vec_pack", _arr_udf(
         lambda x: np.asarray(_vec(x), dtype="<f4").tobytes(), 1, "binary"))
+
+    def _pack_dim(x, n):
+        # ingest-time dimension validation for VECTOR(n) columns — the
+        # reference rejects wrong-dim literals at insert
+        # (types/vector/vector.result "INSERT INTO t VALUES (4, '[1.0]')")
+        v = np.asarray(_vec(x), dtype="<f4")
+        if len(v) != int(n):
+            raise ValueError(
+                f"vector dimension mismatch: expected {int(n)}, got {len(v)}")
+        return v.tobytes()
+
+    reg("gt_vec_pack_dim", _arr_udf(_pack_dim, 2, "binary"))
     reg("parse_vec", _arr_udf(lambda s: [float(v) for v in _vec(s)], 1))
     reg("vec_to_string", _arr_udf(lambda v: _render(_vec(v)), 1, "string"))
     reg("vec_add", _arr_udf(_ew(lambda x, y: x + y), 2))
@@ -239,12 +261,16 @@ def register(spark) -> None:
     reg("vec_elem_product", _arr_udf(
         lambda v: _short(_vec(v).prod()), 1, "double"))
     reg("vec_dot_product", _arr_udf(
-        lambda a, b: _short(np.dot(_vec(a), _vec(b))), 2, "double"))
-    reg("vec_l2sq_distance", _arr_udf(
-        lambda a, b: _short(((_vec(a) - _vec(b)) ** 2).sum()), 2, "double"))
+        lambda a, b: _short(np.dot(*_pair(a, b))), 2, "double"))
+
+    def _l2sq(a, b):
+        va, vb = _pair(a, b)
+        return _short(((va - vb) ** 2).sum())
+
+    reg("vec_l2sq_distance", _arr_udf(_l2sq, 2, "double"))
 
     def _cos(a, b):
-        va, vb = _vec(a), _vec(b)
+        va, vb = _pair(a, b)
         denom = np.float32(np.sqrt((va ** 2).sum())) * np.float32(
             np.sqrt((vb ** 2).sum()))
         if denom == 0:

@@ -1757,8 +1757,15 @@ class GreptimeSQL:
                     exprs.append(f"{e} AS `{c}`")
                 elif len(entry) > 2 and str(entry[2]).lower().startswith("vector"):
                     # vector literals ('[1.0, 2.0]') or parse_vec() arrays
-                    # pack into the binary f32 representation
-                    exprs.append(f"gt_vec_pack({v}) AS `{c}`")
+                    # pack into the binary f32 representation; a declared
+                    # VECTOR(n) validates the dimension at ingest like the
+                    # reference (types/vector/vector.sql errgold)
+                    vm = re.match(r"vector\((\d+)\)", str(entry[2]).lower())
+                    if vm:
+                        exprs.append(
+                            f"gt_vec_pack_dim({v}, {vm.group(1)}) AS `{c}`")
+                    else:
+                        exprs.append(f"gt_vec_pack({v}) AS `{c}`")
                 elif t.startswith("array") and dict(raw.dtypes)[v] == "string":
                     # array literals into array-typed columns
                     exprs.append(f"from_json({v}, '{t}') AS `{c}`")

@@ -719,6 +719,26 @@ _PINNED_TQL_ORACLES_RAW.update({
         _PREC_AVG_SQL.format(table="host_nano"),
 })
 
+# select/tql_filter: ANALYZE dumps of matcher pushdown over t1(a tag,
+# b time index, c value); grid (1s, 3s] step 1s, default lookback carries
+# each series forward from its single sample.
+_TQLF_SQL = (
+    "WITH steps AS (SELECT unnest(generate_series(1000, 3000, 1000)) AS tm),"
+    " cand AS (SELECT s.tm, x.a, x.c, row_number() OVER (PARTITION BY s.tm, "
+    "x.a ORDER BY x.b DESC) AS rn FROM steps s JOIN t1 x ON "
+    "epoch_ms(x.b) <= s.tm AND epoch_ms(x.b) > s.tm - 300000{where}) "
+    "SELECT make_timestamp(tm * 1000) AS ts, a, c AS value "
+    "FROM cand WHERE rn = 1"
+)
+_PINNED_TQL_ORACLES_RAW.update({
+    "TQL EVAL (1, 3, '1s') t1{ a = \"a\" }":
+        _TQLF_SQL.format(where=" WHERE x.a = 'a'"),
+    "TQL EVAL (1, 3, '1s') t1{ a =~ \".*\" }":
+        _TQLF_SQL.format(where=""),
+    "TQL EVAL (1, 3, '1s') t1{ a =~ \"a.*\" }":
+        _TQLF_SQL.format(where=" WHERE regexp_matches(x.a, '^(?:a.*)$')"),
+})
+
 
 def _pinned_tql_oracles() -> dict:
     return {_norm_stmt_key(k): v for k, v in _PINNED_TQL_ORACLES_RAW.items()}
