@@ -74,7 +74,10 @@ def operations_response(df: DataFrame, names_only: bool = False) -> dict:
     (jaeger.rs:112-117); ``names_only`` gives the legacy
     /api/services/{svc}/operations shape (JaegerData::OperationsNames —
     plain strings)."""
-    rows = sorted({(r["operation"], r["span_kind"]) for r in df.collect()})
+    # span_kind is Option<String> in the reference — None-safe sort key
+    # so an operation seen with both NULL and non-NULL kinds still sorts.
+    rows = sorted({(r["operation"], r["span_kind"]) for r in df.collect()},
+                  key=lambda t: (t[0], t[1] or ""))
     if names_only:
         return _api_response(sorted({op for op, _ in rows}))
     data = []

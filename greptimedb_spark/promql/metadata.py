@@ -111,24 +111,28 @@ def label_values(tables: dict, label: str,
                  start_ms: int | None = None,
                  end_ms: int | None = None) -> list[str]:
     """`/api/v1/label/<name>/values`: __name__ -> sorted metric names;
-    a tag -> sorted distinct live values inside the window across the
-    matched tables (all tables carrying the tag when no match[])."""
+    a tag -> sorted distinct live values inside the window, evaluated
+    per selector and UNIONED across selectors (the reference's
+    label_values_query runs each match[] as its own PromQuery and
+    merges results — prometheus.rs:1583 — so
+    match[]=up{job="a"}&match[]=up{job="b"} returns both jobs'
+    values). Tag labels without match[] are InvalidArguments in the
+    reference; mirrored here as ValueError."""
     if label == METRIC_NAME:
         names = set(tables)
         if matches:
             names &= {_metric_of(_selector(q)) for q in matches}
         return sorted(n for n in names if n)
-    sels = [(q, _selector(q)) for q in (matches or [])]
+    if not matches:
+        raise ValueError("match[] parameter is required")
     out: set[str] = set()
-    for metric, mt in tables.items():
-        if label not in mt.tags:
-            continue
-        if sels and metric not in {_metric_of(s) for _, s in sels}:
+    for q in matches:
+        sel = _selector(q)
+        mt = tables.get(_metric_of(sel))
+        if mt is None or label not in mt.tags:
             continue
         df = _window(mt.df, mt.time_index, start_ms, end_ms)
-        for _, s in sels:
-            if _metric_of(s) == metric:
-                df = df.filter(_matcher_cond(s, mt.tags))
+        df = df.filter(_matcher_cond(sel, mt.tags))
         rows = df.select(label).where(
             F.col(label).isNotNull()).distinct().collect()
         out.update(r[0] for r in rows)

@@ -6108,7 +6108,8 @@ class GreptimeSQL:
         name = self._canon_cursor_name(name)
         cursors = self._cursors = getattr(self, "_cursors", {})
         if name in cursors:
-            raise ValueError(f"Cursor {name} is exists")
+            # wire text per operator/src/error.rs:828
+            raise ValueError(f"A cursor named {name} already exists")
         if not re.match(r"(?is)\s*(SELECT|WITH)\b", query):
             raise ValueError("Expect select query in cursor statement")
         df = self.sql(query)

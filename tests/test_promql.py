@@ -299,6 +299,15 @@ def test_prometheus_metadata_api(engine):
     narrowed = M.label_values(
         t, "instance", matches=['http_requests_total{instance="i1"}'])
     assert narrowed == ["i1"]
+    # multiple match[] selectors UNION (reference runs each as its own
+    # PromQuery and merges — prometheus.rs label_values_query)
+    assert M.label_values(
+        t, "instance",
+        matches=['http_requests_total{instance="i1"}',
+                 'http_requests_total{instance="i2"}']) == ["i1", "i2"]
+    # tag label without match[] is InvalidArguments in the reference
+    with pytest.raises(ValueError, match="match"):
+        M.label_values(t, "instance")
     # window excluding all samples -> no values
     assert M.label_values(t, "instance", matches=["http_requests_total"],
                           start_ms=10**15) == []

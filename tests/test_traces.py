@@ -104,6 +104,16 @@ def test_jaeger_wire_envelopes(spark):
                                    names_only=True)
     assert legacy["data"] == ["GET /", "GET /x"]
 
+    # an operation seen with both NULL and non-NULL span_kind must not
+    # TypeError in the sort (span_kind is Option<String> in the reference)
+    mixed = J.operations_response(
+        TR.get_operations(
+            spans.withColumn(
+                "span_kind",
+                F.when(F.col("span_id") == "1", F.lit(None))
+                .otherwise(F.col("span_kind"))), "front"))
+    assert {e["name"] for e in mixed["data"]} == {"GET /", "GET /x"}
+
     # get_trace -> full Trace struct, checked field-for-field
     tr = J.traces_response(TR.get_trace(spans, "B"))
     assert tr["total"] == 1 and tr["errors"] == []
