@@ -660,6 +660,88 @@ UNION SELECT 'db'
 """
 
 
+# -- q112: Prometheus remote-read round-trip --------------------------------------------
+# The full remote-storage protocol loop (src/servers/src/http/prom_store.rs:745
+# remote_read; src/servers/src/prom_store.rs:79-159 query_to_plan; frontend
+# prom_store.rs:533 read): events are remote-WRITTEN as snappy/protobuf
+# WriteRequests, landed as a metric table, then remote-READ back through a
+# snappy ReadRequest whose matchers exercise EQ(__name__), unanchored RE and
+# NEQ plus the [start, end] window — and the decoded snappy ReadResponse is
+# re-aggregated for the oracle. Both wire directions are the real formats,
+# no external protobuf/snappy libs.
+
+def q112_prom_remote_read(spark: SparkSession, sf: str) -> DataFrame:
+    from greptimedb_spark.promql.engine import MetricTable
+    from greptimedb_spark.sources import prom_remote_read as R
+    from greptimedb_spark.sources import protocols as proto
+
+    e = read(spark, sf, "events")
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                proto.encode_write_request([(
+                    {"__name__": "events_value", "event_type": t,
+                     "parity": "even" if int(u) % 2 == 0 else "odd"},
+                    [(float(v), int(ts))],
+                )])
+                for t, u, v, ts in zip(pdf["event_type"], pdf["user_id"],
+                                       pdf["value"], pdf["ts_ms"])
+            ]
+            yield pd.DataFrame({"payload": payloads})
+
+    payloads = e.select(
+        "event_type", "user_id", "value", F.unix_millis("ts").alias("ts_ms")
+    ).mapInPandas(encode, "payload binary")
+    rows = proto.parse_prom_remote_write(payloads).filter(F.col("err").isNull())
+    table = rows.select(
+        F.col("tags")["event_type"].alias("event_type"),
+        F.col("tags")["parity"].alias("parity"),
+        F.unix_millis(proto.TIME_INDEX).alias(proto.TIME_INDEX),
+        F.col(proto.VALUE_COL),
+    )
+    tables = {"events_value": MetricTable(
+        df=table, time_index=proto.TIME_INDEX, value_col=proto.VALUE_COL,
+        tags=["event_type", "parity"])}
+
+    start, end = 1704412800000, 1705708800000  # 2024-01-05 .. 01-20 UTC
+    req = R.encode_read_request([{
+        "start_timestamp_ms": start, "end_timestamp_ms": end,
+        "matchers": [(R.MATCHER_EQ, "__name__", "events_value"),
+                     (R.MATCHER_RE, "event_type", "click|sign"),
+                     (R.MATCHER_NEQ, "parity", "odd")],
+    }], accepted_response_types=[R.SAMPLES_RESPONSE_TYPE])
+    (result,) = R.decode_read_response(R.remote_read(tables, req))
+    flat = [(dict(t["labels"])["event_type"], v, ts_ms)
+            for t in result for v, ts_ms in t["samples"]]
+    got = spark.createDataFrame(
+        flat, "event_type string, val double, ts_ms long")
+    return (
+        got.groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum(F.col("val").cast("decimal(18,2)")), 2)
+             .cast("double").alias("sum_value"),
+             F.min("ts_ms").alias("min_ts_ms"),
+             F.max("ts_ms").alias("max_ts_ms"))
+    )
+
+
+Q112_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+       MIN(epoch_ms(ts)) AS min_ts_ms,
+       MAX(epoch_ms(ts)) AS max_ts_ms
+FROM events
+WHERE epoch_ms(ts) BETWEEN 1704412800000 AND 1705708800000
+  AND regexp_matches(event_type, 'click|sign')
+  AND (CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END) <> 'odd'
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q70_logquery": QuerySpec(q70_logquery, Q70_SQL, "log DSL: compound/prefix/regex/between"),
     "q71_pipeline": QuerySpec(q71_pipeline, Q71_SQL, "ETL: dissect/letter/json/digest/join"),
@@ -705,5 +787,9 @@ QUERIES = {
     ),
     "q104_trace_services": QuerySpec(
         q104_trace_services, Q104_SQL, "Jaeger get_services distinct list"
+    ),
+    "q112_prom_remote_read": QuerySpec(
+        q112_prom_remote_read, Q112_SQL,
+        "prometheus remote-read write-then-read wire round-trip"
     ),
 }
