@@ -128,10 +128,32 @@ def main() -> None:
     # tripwire triggers one more pass. Best median per query wins across
     # passes, and EVERY attempt (measured or deferred) lands in the
     # artifact's `attempts` list so a contaminated run is self-describing.
-    load_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "4"))
+    # r9 tightening (VERDICT r9 Wrong #1: an attempt admitted at loadavg
+    # 3.75 — barely under the old threshold of 4 — still recorded ~1.2x
+    # uniform contention): admit at <=2, up to 5 attempts. The final
+    # attempt always runs even above threshold so the artifact exists;
+    # its loadavg_start makes the contamination self-describing.
+    load_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2"))
     defer_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "45"))
-    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "5"))
     prior = _prior_query_total()
+
+    # Noise-floor probe (VERDICT r9 Next #2b): a fixed, code-stable query
+    # (q20 — untouched since r7) timed before the query legs and again
+    # after ingest. The probe's spread measures the HOST's noise during
+    # this very run, so a drifted headline is attributable to environment
+    # vs code from the artifact alone.
+    def _noise_probe(n: int = 3) -> dict:
+        samples = []
+        for _ in range(n):
+            t0 = time.time()
+            specs["q20_time_bucket_agg"].build(spark, SF_DIR) \
+                .write.mode("overwrite").format("noop").save()
+            samples.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+        return {"samples": samples, "loadavg": _loadavg()}
+
+    probe_before = _noise_probe()
     attempts: list[dict] = []
     timings = timings_min = None
     for i in range(max_attempts):
@@ -190,6 +212,8 @@ def main() -> None:
     timings["ingest_catalog"] = round(dt, 3)
     timings["ingest_rows_per_sec"] = round(n_rows / dt, 1)
 
+    probe_after = _noise_probe()
+
     total = sum(v for k, v in timings.items() if k != "ingest_rows_per_sec")
     out = {
         "metric": "headline_queries_total_time",
@@ -199,6 +223,8 @@ def main() -> None:
         "queries_min": timings_min,
         "loadavg": {"start": loadavg_start, "end": _loadavg()},
         "attempts": attempts,
+        "noise_probe": {"query": "q20_time_bucket_agg",
+                        "before": probe_before, "after": probe_after},
         "retried": retried,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
