@@ -848,8 +848,13 @@ class PromQLEngine:
             return self._range_fn(fn, node.args[0], ctx)
         if fn in self._MATH_FNS:
             v = self._eval(node.args[0], ctx)
-            if isinstance(v, float):
-                return float(getattr(math, {"ln": "log"}.get(fn, fn), lambda x: x)(v))
+            if isinstance(v, float) or v.is_scalar:
+                # the reference planner types these vector-only
+                # (promql/math.result: "expected type vector in call to
+                # function 'rad', got scalar")
+                raise ValueError(
+                    f"expected type vector in call to function '{fn}', "
+                    "got scalar")
             out = v.df.withColumn(
                 "value", self._MATH_FNS[fn](F.col("value")).cast("double")
             )
@@ -1390,8 +1395,15 @@ class PromQLEngine:
             j = l.join(r, cond, "inner")
             a, b = F.col(f"{la}.value"), F.col(f"{ra}.value")
             labels = many.labels + [c for c in one_cols if c not in many.labels]
+            # include-labels are copied from the ONE side, OVERWRITING the
+            # many side's value when the label exists on both (prometheus
+            # vector-matching: "the listed labels are copied from the one
+            # side"; reference planner group_left/right include handling) —
+            # symmetric for group_left and group_right
             sel_cols = [F.col(f"{ma}.__t").alias("__t")] + [
-                F.col(f"{ma}.{lab}").alias(lab) for lab in many.labels
+                (F.col(f"{oa}.{lab}") if lab in one_cols
+                 else F.col(f"{ma}.{lab}")).alias(lab)
+                for lab in many.labels
             ] + [F.col(f"{oa}.{c}").alias(c) for c in one_cols if c not in many.labels]
         else:
             # one-to-one: each side's masked tag set is the join key; unequal

@@ -204,6 +204,54 @@ FROM ext
 """
 
 
+# -- q113: group_right with include-label copy ----------------------------------
+# N:1 vector matching where the ONE side's include label OVERWRITES the many
+# side's value of the same label (prometheus vector-matching contract; the
+# reference planner's group_left/right include handling in
+# src/query/src/promql/planner.rs). Two views of events: the many side
+# carries bucket='per_type' per event_type, the one side a single
+# bucket='all' series — the result must carry bucket='all' on every row.
+
+def q113_promql_group_right(spark: SparkSession, sf: str) -> DataFrame:
+    from greptimedb_spark.promql import MetricTable, PromQLEngine
+
+    e = read(spark, sf, "events")
+    eng = PromQLEngine(spark, {
+        "events_value": MetricTable(
+            e.withColumn("bucket", F.lit("per_type")),
+            tags=["event_type", "bucket"]),
+        "events_total": MetricTable(
+            e.withColumn("bucket", F.lit("all")), tags=["bucket"]),
+    })
+    df = eng.evaluate(
+        "avg_over_time(events_total[1d])"
+        " / on () group_right (bucket) avg_over_time(events_value[1d])",
+        START, END, STEP,
+    )
+    return df.select(
+        (F.unix_micros("ts") / 1000).cast("long").alias("ts_ms"),
+        "event_type", "bucket",
+        F.round("value", 6).alias("value"),
+    )
+
+
+Q113_SQL = """
+WITH grid AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-08', INTERVAL 6 HOUR)) AS gts
+), per_type AS (
+  SELECT CAST(epoch_ms(gts) AS BIGINT) AS ts_ms, event_type, AVG(value) AS v
+  FROM grid JOIN events ON ts > gts - INTERVAL 24 HOUR AND ts <= gts
+  GROUP BY 1, 2
+), total AS (
+  SELECT CAST(epoch_ms(gts) AS BIGINT) AS ts_ms, AVG(value) AS v
+  FROM grid JOIN events ON ts > gts - INTERVAL 24 HOUR AND ts <= gts
+  GROUP BY 1
+)
+SELECT p.ts_ms, p.event_type, 'all' AS bucket, ROUND(t.v / p.v, 6) AS value
+FROM per_type p JOIN total t USING (ts_ms)
+"""
+
+
 QUERIES = {
     "q60_promql_count_over_time": QuerySpec(q60_promql_count_over_time, Q60_SQL, "count_over_time grid"),
     "q61_promql_sum_over_time": QuerySpec(q61_promql_sum_over_time, Q61_SQL, "sum_over_time grid"),
@@ -211,4 +259,7 @@ QUERIES = {
     "q63_promql_topk": QuerySpec(q63_promql_topk, Q63_SQL, "topk over count vector"),
     "q64_promql_binary": QuerySpec(q64_promql_binary, Q64_SQL, "vector/vector binary op"),
     "q65_promql_rate": QuerySpec(q65_promql_rate, Q65_SQL, "rate w/ extrapolation"),
+    "q113_promql_group_right": QuerySpec(
+        q113_promql_group_right, Q113_SQL,
+        "N:1 group_right with include-label overwrite"),
 }

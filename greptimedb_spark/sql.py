@@ -3110,6 +3110,20 @@ class GreptimeSQL:
         if sm:
             # legacy SELECT-form of the admin functions (flush_compact_table)
             stmt = f"ADMIN {sm.group(1)}({sm.group(2)})"
+        am = re.match(r"^\s*ADMIN\s+(\w+)\s*\((.*)\)\s*;?\s*$", stmt,
+                      re.IGNORECASE | re.DOTALL)
+        if am and not self._ADMIN_RE.match(stmt):
+            # arg-shape rejections before table resolution, matching the
+            # reference's admin-fn arg binder (InvalidFuncArgs /
+            # BuildAdminFunctionArgs — function/admin/
+            # build_index_table_error.result)
+            fn, rawargs = am.group(1).lower(), am.group(2).strip()
+            if fn in ("flush_table", "compact_table", "flush_flow",
+                      "build_index"):
+                if not rawargs:
+                    raise ValueError("Expected 1 args, but actual 0")
+                raise ValueError("Failed to build admin function args: "
+                                 f"failed to cast {rawargs}")
         m = self._ADMIN_RE.match(stmt)
         if m:
             fn, target = m.group(1).lower(), m.group(2)
@@ -6160,6 +6174,37 @@ class GreptimeSQL:
         except Exception as exc:
             return _api.error_response(exc)
 
+    def _reject_reference_plan_errors(self, text: str) -> None:
+        """Narrow parity rejections DataFusion/the reference parser make
+        but ANSI-off Spark silently coerces (types/timestamp/
+        timestamp.result:78,195): SUM/AVG over a timestamp column
+        ('failed to match any signature') and timestamp literals past
+        year 9999 ('error parsing date')."""
+        m = re.search(r"\bTIMESTAMP\s+'(\+?\d{5,}-[^']*)'", text,
+                      re.IGNORECASE)
+        if m:
+            raise ValueError(
+                "Parser error: Error parsing timestamp from "
+                f"'{m.group(1).lstrip('+')}': error parsing date")
+        aggs = re.findall(r"\b(SUM|AVG)\s*\(\s*([A-Za-z_]\w*)\s*\)", text,
+                          re.IGNORECASE)
+        if not aggs:
+            return
+        fm = re.findall(r"\bFROM\s+([A-Za-z_]\w*)\b", text, re.IGNORECASE)
+        if len(fm) != 1:
+            return  # joins/subqueries: stay out of the way
+        try:
+            schema = {f.name.lower(): f.dataType.typeName()
+                      for f in self.spark.table(fm[0]).schema.fields}
+        except Exception:
+            return
+        for fname, col in aggs:
+            if schema.get(col.lower(), "").startswith("timestamp"):
+                raise ValueError(
+                    f"Failed to plan SQL: Error during planning: Function "
+                    f"'{fname.lower()}' failed to match any signature: "
+                    f"received Timestamp for '{col}'")
+
     def sql(self, text: str, time_index: str = "ts") -> DataFrame:
         text = _strip_block_comments(text)
         text = _strip_line_comments(text)
@@ -7202,6 +7247,7 @@ class GreptimeSQL:
                 self.spark, text, time_index=time_index, default_by=default_by,
                 tz_offset_ms=getattr(self, "tz_offset_ms", 0),
             )
+        self._reject_reference_plan_errors(text)
         try:
             return self.spark.sql(text)
         except Exception as e:

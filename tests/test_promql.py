@@ -276,6 +276,50 @@ def test_absent(engine):
     assert len(vals) == 0
 
 
+def test_group_right_include_label_overwrite(spark):
+    """group_right(include): the include label is copied from the ONE
+    side, overwriting the many side's value when both carry it
+    (prometheus vector-matching contract; reference planner
+    group_left/right include handling). Symmetric group_left check too."""
+    from greptimedb_spark.promql import MetricTable, PromQLEngine
+
+    many = spark.createDataFrame(
+        [(0, "a", "m", 10.0), (0, "b", "m", 20.0)],
+        "t long, series string, src string, value double"
+    ).selectExpr("timestamp_millis(t) AS ts", "series", "src", "value")
+    one = spark.createDataFrame(
+        [(0, "o", 2.0)], "t long, src string, value double"
+    ).selectExpr("timestamp_millis(t) AS ts", "src", "value")
+    eng = PromQLEngine(spark, {
+        "many_metric": MetricTable(many, tags=["series", "src"]),
+        "one_metric": MetricTable(one, tags=["src"]),
+    })
+    # one / on () group_right (src) many → labels from many, src := 'o'
+    rows = eng.evaluate(
+        "one_metric / on () group_right (src) many_metric",
+        0, 0, 15_000).collect()
+    got = {(r.series, r.src): r.value for r in rows}
+    assert got == {("a", "o"): 0.2, ("b", "o"): 0.1}
+    # mirrored group_left: many on the left, same label copy from one
+    rows = eng.evaluate(
+        "many_metric * on () group_left (src) one_metric",
+        0, 0, 15_000).collect()
+    got = {(r.series, r.src): r.value for r in rows}
+    assert got == {("a", "o"): 20.0, ("b", "o"): 40.0}
+    # include label NOT on the one side: dropped from the output
+    one2 = spark.createDataFrame(
+        [(0, 2.0)], "t long, value double"
+    ).selectExpr("timestamp_millis(t) AS ts", "value")
+    eng2 = PromQLEngine(spark, {
+        "many_metric": MetricTable(many, tags=["series", "src"]),
+        "one_metric": MetricTable(one2, tags=[]),
+    })
+    rows = eng2.evaluate(
+        "many_metric * on () group_left (env) one_metric",
+        0, 0, 15_000).collect()
+    assert "env" not in rows[0].asDict()
+
+
 def test_prometheus_metadata_api(engine):
     """labels / label_values / series endpoints (promql/metadata.py) vs
     the reference's prometheus.rs handler semantics."""

@@ -1,30 +1,31 @@
-"""SCALECHECK: empirical 1x-vs-10x scaling evidence for the LLM-data ops.
+"""SCALECHECK: empirical 1x / 10x / 100x scaling evidence for the LLM-data ops.
 
 The 100-TB claims for the dedup/ANN/decontamination operators are argued
 from plan shapes (banded/bucketed/broadcast, bounded candidate joins); this
-harness produces DATA: it scales the sf0.1 corpus 10x and records wall
-time + plan shuffle counts for each leg at both scales, so sub-quadratic
-growth is demonstrated, not asserted.
+harness produces DATA: it scales the sf0.1 corpus 10x and 100x and records
+wall time, plan shuffle counts AND measured shuffle read/write BYTES (from
+Spark's status REST API) for each leg, so sub-quadratic growth is
+demonstrated at the byte level, not asserted.
 
 Corpus construction (deterministic, dup-rate preserving):
-- documents: 10 replicas; every token gets a replica-unique suffix
+- documents: k replicas; every token gets a replica-unique suffix
   (``{k}z``), so shingle/n-gram overlap ACROSS replicas is zero while the
   near-dup structure WITHIN each replica mirrors the original — the 10x
   corpus has ~10x the dup pairs, not 45x from self-collisions. The 1x
   corpus is replica 0 (same transform), keeping token lengths comparable.
-- embeddings: 10 replicas with a small deterministic per-replica,
+- embeddings: k replicas with a small deterministic per-replica,
   per-component perturbation — distinct vectors, same cluster geometry.
 - ANN query set and the contamination benchmark set are FIXED (taken from
-  replica 0) at both scales: the measurement isolates corpus scaling.
+  replica 0) at ALL scales: the measurement isolates corpus scaling.
 
-Expected shapes: q52 minhash ~linear (per-doc signature work + ~10x
-banded candidate pairs); q54 brute force ~linear (fixed queries x 10x
-corpus); q57 IVF ~linear with a smaller constant (probe subset); q106
-contamination ~linear (fixed broadcast benchmark, 10x probe side).
+Expected shapes: q52 minhash ~linear (per-doc signature work + ~kx banded
+candidate pairs); q54 brute force ~linear (fixed queries x kx corpus);
+q57 IVF ~linear with a smaller constant (probe subset); q106 contamination
+~linear (fixed broadcast benchmark, kx probe side).
 
 Run SOLO (no concurrent Spark) — wall times are the artifact:
 
-    python tools/scalecheck.py            # writes SCALECHECK_r9.json
+    python tools/scalecheck.py            # writes SCALECHECK_r10.json
 """
 
 from __future__ import annotations
@@ -39,8 +40,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = os.environ.get("SPARK_GRAFT_SCALECHECK_DIR", "/tmp/spark_graft_scalecheck")
-OUT = os.environ.get("SPARK_GRAFT_SCALECHECK_OUT", "SCALECHECK_r9.json")
+OUT = os.environ.get("SPARK_GRAFT_SCALECHECK_OUT", "SCALECHECK_r10.json")
 REPS = int(os.environ.get("SPARK_GRAFT_SCALECHECK_REPS", "2"))
+SCALES = (1, 10, 100)
 
 
 def _build_corpora(spark):
@@ -67,26 +69,47 @@ def _build_corpora(spark):
             "label",
         )
 
-    d1, e1 = doc_replica(0), emb_replica(0)
-    d10 = d1
-    e10 = e1
-    for k in range(1, 10):
-        d10 = d10.unionByName(doc_replica(k))
-        e10 = e10.unionByName(emb_replica(k))
-
     paths = {}
-    for name, df in (("x1/documents", d1), ("x1/embeddings", e1),
-                     ("x10/documents", d10), ("x10/embeddings", e10)):
-        p = os.path.join(WORK, name + ".parquet")
-        df.write.mode("overwrite").parquet(p)
-        paths[name] = p
+    for n in SCALES:
+        d = doc_replica(0)
+        e = emb_replica(0)
+        for k in range(1, n):
+            d = d.unionByName(doc_replica(k))
+            e = e.unionByName(emb_replica(k))
+        for name, df in ((f"x{n}/documents", d), (f"x{n}/embeddings", e)):
+            p = os.path.join(WORK, name + ".parquet")
+            df.write.mode("overwrite").parquet(p)
+            paths[name] = p
     return paths
+
+
+def _shuffle_totals(spark):
+    """Cumulative shuffle read/write bytes across all completed stages,
+    from the Spark status REST API (the UI's own numbers). None when the
+    UI is disabled."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return None
+    app = spark.sparkContext.applicationId
+    try:
+        url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            stages = json.load(r)
+    except Exception:
+        return None
+    return {
+        "read": sum(s.get("shuffleReadBytes", 0) for s in stages),
+        "write": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+    }
 
 
 def _time_leg(spark, build, reps: int = REPS):
     """min-of-reps wall time for a leg (min is robust to external load:
     contention can only inflate); plan shuffle count from the initial
-    physical plan (structural, data-size independent)."""
+    physical plan (structural, data-size independent); shuffle BYTES
+    measured around one dedicated rep via the status API."""
     df = build()
     exchanges = df._jdf.queryExecution().executedPlan().toString().count(
         "Exchange")
@@ -96,10 +119,21 @@ def _time_leg(spark, build, reps: int = REPS):
         build().write.mode("overwrite").format("noop").save()
         samples.append(time.time() - t0)
         spark.catalog.clearCache()
+    sh0 = _shuffle_totals(spark)
+    build().write.mode("overwrite").format("noop").save()
+    spark.catalog.clearCache()
+    sh1 = _shuffle_totals(spark)
+    shuffle = None
+    if sh0 is not None and sh1 is not None:
+        shuffle = {"read_bytes": sh1["read"] - sh0["read"],
+                   "write_bytes": sh1["write"] - sh0["write"]}
     rows_out = build().count()
     spark.catalog.clearCache()
-    return {"sec": round(min(samples), 3), "exchanges": exchanges,
-            "rows_out": rows_out}
+    out = {"sec": round(min(samples), 3), "exchanges": exchanges,
+           "rows_out": rows_out}
+    if shuffle is not None:
+        out["shuffle"] = shuffle
+    return out
 
 
 def main() -> None:
@@ -122,23 +156,27 @@ def main() -> None:
         return spark.read.parquet(paths[f"{scale}/embeddings"])
 
     # FIXED across scales: ANN queries + contamination benchmark from
-    # replica 0 (present identically in both corpora)
+    # replica 0 (present identically in every corpus)
     queries = (embs("x1").filter(F.col("vec_id") % 100 == 0)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
     benchmark = docs("x1").filter(F.col("doc_id") % 37 == 0)
 
     legs = {
-        # same parameters as the driver-gate queries (queries/llmdata.py)
-        "q52_minhash_lsh": lambda s: dd.minhash_lsh_pairs(
+        # same parameters as the driver-gate queries (queries/llmdata.py);
+        # the second tuple element lists the scales the leg runs at —
+        # q52/q54/q106 get the 100x leg (VERDICT r9 Next #6), q57's IVF
+        # training cost dominates at 100x without adding signal
+        "q52_minhash_lsh": (lambda s: dd.minhash_lsh_pairs(
             docs(s), "doc_id", "text", num_hashes=64, bands=16,
-            shingle_k=3, jaccard_threshold=0.12),
-        "q54_ann_bruteforce": lambda s: sim.brute_force_topk(
-            embs(s), queries, k=5),
-        "q57_ann_ivf": lambda s: sim.ivf_topk(
+            shingle_k=3, jaccard_threshold=0.12), ("x1", "x10", "x100")),
+        "q54_ann_bruteforce": (lambda s: sim.brute_force_topk(
+            embs(s), queries, k=5), ("x1", "x10", "x100")),
+        "q57_ann_ivf": (lambda s: sim.ivf_topk(
             embs(s), queries, k=5, n_centroids=16, n_probe=8, iters=1),
-        "q106_contamination": lambda s: tp.ngram_contamination(
-            docs(s), benchmark, n=5),
+            ("x1", "x10")),
+        "q106_contamination": (lambda s: tp.ngram_contamination(
+            docs(s), benchmark, n=5), ("x1", "x10", "x100")),
     }
 
     try:
@@ -147,20 +185,34 @@ def main() -> None:
         load0 = None
 
     results = {}
-    for name, build in legs.items():
-        r1 = _time_leg(spark, lambda: build("x1"))
-        r10 = _time_leg(spark, lambda: build("x10"))
-        ratio = round(r10["sec"] / max(r1["sec"], 1e-9), 2)
-        results[name] = {
-            "x1": r1, "x10": r10, "time_ratio_10x": ratio,
-            # 10x input with fixed overheads: <= ~12 reads as linear-ish,
-            # ~100 would be the quadratic signature
-            "verdict": ("sub-linear" if ratio < 7 else
-                        "linear-ish" if ratio <= 15 else
-                        "SUPER-LINEAR"),
-        }
-        print(f"{name}: x1={r1['sec']}s x10={r10['sec']}s "
-              f"ratio={ratio} -> {results[name]['verdict']}", flush=True)
+    for name, (build, scales) in legs.items():
+        entry = {}
+        for sc in scales:
+            entry[sc] = _time_leg(
+                spark, lambda: build(sc),
+                reps=1 if sc == "x100" else REPS)
+        r1, r10 = entry["x1"], entry["x10"]
+        entry["time_ratio_10x"] = round(r10["sec"] / max(r1["sec"], 1e-9), 2)
+        # 10x input with fixed overheads: <= ~12 reads as linear-ish,
+        # ~100 would be the quadratic signature
+        entry["verdict"] = ("sub-linear" if entry["time_ratio_10x"] < 7 else
+                            "linear-ish" if entry["time_ratio_10x"] <= 15
+                            else "SUPER-LINEAR")
+        if "x100" in entry:
+            entry["time_ratio_100x_over_10x"] = round(
+                entry["x100"]["sec"] / max(r10["sec"], 1e-9), 2)
+            # 10x more data again: <= ~12 stays linear-ish
+            entry["verdict_100x"] = (
+                "sub-linear" if entry["time_ratio_100x_over_10x"] < 7 else
+                "linear-ish" if entry["time_ratio_100x_over_10x"] <= 15
+                else "SUPER-LINEAR")
+        results[name] = entry
+        print(f"{name}: " + " ".join(
+            f"{sc}={entry[sc]['sec']}s" for sc in scales)
+            + f" ratio10x={entry['time_ratio_10x']}"
+            + (f" ratio100x/10x={entry['time_ratio_100x_over_10x']}"
+               if "x100" in entry else "")
+            + f" -> {entry['verdict']}", flush=True)
 
     try:
         load1 = round(os.getloadavg()[0], 2)
@@ -169,10 +221,9 @@ def main() -> None:
     out = {
         "generated_by": "tools/scalecheck.py",
         "sf_base": SF_DIR,
-        "rows": {"documents_x1": docs("x1").count(),
-                 "documents_x10": docs("x10").count(),
-                 "embeddings_x1": embs("x1").count(),
-                 "embeddings_x10": embs("x10").count()},
+        "rows": {f"documents_{s}": docs(s).count() for s in
+                 ("x1", "x10", "x100")}
+        | {f"embeddings_{s}": embs(s).count() for s in ("x1", "x10", "x100")},
         "reps": REPS,
         "loadavg": {"start": load0, "end": load1},
         "legs": results,
