@@ -458,3 +458,81 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
             "n_members", "keep_id", "member_ids",
         )
     )
+
+
+# -- exact substring match (Lee et al. 2022) ----------------------------------------
+
+def exact_substring_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    max_gram_docs: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing an exact run of >= ``k`` whitespace tokens —
+    the ExactSubstr dedup family of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), re-expressed as the
+    scale-safe anchor-gram shape instead of a monolithic suffix array:
+
+    1. slide a k-token window over each doc -> (doc, pos, gram);
+    2. keep only grams seen in >1 row (partial-agg groupBy prunes the
+       ~unique majority map-side BEFORE any pair work);
+    3. self-join the surviving grams on the gram -> co-occurrence pairs
+       (doc_a < doc_b), fan-out bounded by per-gram group size, never
+       all-pairs across the corpus;
+    4. shared runs longer than k emit consecutive overlapping grams whose
+       position offset (pos_a - pos_b) is constant — grouping each pair by
+       that diagonal and taking max(pos)-min(pos)+k merges them into the
+       run's true token length.
+
+    Returns (doc_a, doc_b, max_run_tokens, n_shared_grams). Grams travel
+    as xxhash64 of the window text (shuffle key is 8 bytes instead of the
+    window string; a cross-doc collision needs ~2^32 distinct grams by the
+    birthday bound — negligible against corpus-level dedup noise, and the
+    diagonal merge tolerates a stray gram).
+
+    ``max_gram_docs`` optionally drops grams occurring more than that many
+    times (boilerplate guard at extreme scale: a gram shared by m docs
+    emits O(m^2) pairs; those docs are near-identical and already collapse
+    under minhash/exact dedup). None = exact semantics, no silent cap.
+
+    At 100 TB: tokenize+window is map-only; one shuffle on the gram hash
+    (partial count absorbs the unique-gram tail map-side), one shuffle for
+    the self-join co-location, one for the (pair, diagonal) aggregation —
+    all keyed finely enough to spread, no driver-side state.
+    """
+    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
+    d = (df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+         .filter(F.size("__toks") >= k))
+    grams = d.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - k + 1),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__toks", i, k))),
+            )
+        ).alias("__pos", "__gram"),
+    )
+    counts = grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__n"))
+    dup = counts.filter(F.col("__n") >= 2)
+    if max_gram_docs is not None:
+        dup = dup.filter(F.col("__n") <= max_gram_docs)
+    cand = grams.join(dup.select("__gram"), "__gram", "left_semi")
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = a.join(b, "__gram").where(F.col("a.__id") < F.col("b.__id")).select(
+        F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"),
+        F.col("a.__pos").alias("pa"), F.col("b.__pos").alias("pb"),
+    )
+    ext = pairs.groupBy(
+        "doc_a", "doc_b", (F.col("pa") - F.col("pb")).alias("__diag")
+    ).agg(
+        # NOTE: two disjoint shared runs of one pair landing on the SAME
+        # diagonal merge into their envelope (a conservative over-estimate
+        # of run length); the DuckDB oracle computes the identical merge
+        (F.max("pa") - F.min("pa") + k).cast("long").alias("run_tokens"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+    return ext.groupBy("doc_a", "doc_b").agg(
+        F.max("run_tokens").alias("max_run_tokens"),
+        F.sum("n_grams").alias("n_shared_grams"),
+    )

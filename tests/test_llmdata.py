@@ -392,3 +392,40 @@ def test_ivfpq_index_persistence(spark, sf_dir, tmp_path):
                                             index_path=idx).collect())
     assert stored == inline
     assert len(stored) > 0
+
+
+def test_exact_substring_pairs_planted(spark):
+    """exact_substring_pairs (Lee et al. 2022 ExactSubstr analog): planted
+    shared runs are found with exact token lengths; unrelated docs pair
+    with nothing; the within-doc repeat does not self-pair."""
+    from greptimedb_spark.operators.dedup import exact_substring_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"zeta {shared} eta theta iota"),
+            (3, "completely different text with no overlap at all here ok"),
+            # doc 4 repeats an 8-token run of doc 3? no — repeats its own
+            # tail twice; must not produce a (4,4) pair
+            (4, "one two three four five six seven eight "
+                "one two three four five six seven eight"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {(r.doc_a, r.doc_b): (r.max_run_tokens, r.n_shared_grams)
+           for r in exact_substring_pairs(docs, "doc_id", "text", k=8).collect()}
+    assert set(got) == {(1, 2)}
+    # 10 shared tokens -> max run 10, three overlapping 8-grams
+    assert got[(1, 2)] == (10, 3)
+    # k larger than the shared run -> nothing
+    assert exact_substring_pairs(docs, "doc_id", "text", k=11).count() == 0
+    # max_gram_docs cap drops boilerplate grams
+    many = spark.createDataFrame(
+        [(i, f"filler{i} {shared}") for i in range(5)],
+        "doc_id int, text string")
+    full = exact_substring_pairs(many, "doc_id", "text", k=8)
+    assert full.count() == 10  # C(5,2) — every pair shares the run
+    capped = exact_substring_pairs(many, "doc_id", "text", k=8,
+                                   max_gram_docs=3)
+    assert capped.count() == 0

@@ -94,7 +94,7 @@ def _shuffle_totals(spark):
         return None
     app = spark.sparkContext.applicationId
     try:
-        url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+        url = f"{base}/api/v1/applications/{app}/stages?status=COMPLETE"
         with urllib.request.urlopen(url, timeout=10) as r:
             stages = json.load(r)
     except Exception:
@@ -144,7 +144,11 @@ def main() -> None:
     from greptimedb_spark.operators import similarity as sim
     from greptimedb_spark.operators import textpipe as tp
 
-    spark = get_spark("greptimedb-spark-scalecheck")
+    # the session default disables the UI; the status REST API (shuffle
+    # byte capture) rides it, so turn it on for this tool only
+    spark = get_spark("greptimedb-spark-scalecheck",
+                      **{"spark.ui.enabled": "true",
+                         "spark.ui.port": "4099"})
     spark.range(1000).selectExpr("sum(id)").collect()  # warm up
 
     paths = _build_corpora(spark)
@@ -177,6 +181,10 @@ def main() -> None:
             ("x1", "x10")),
         "q106_contamination": (lambda s: tp.ngram_contamination(
             docs(s), benchmark, n=5), ("x1", "x10", "x100")),
+        # replica-suffixed tokens make cross-replica gram overlap zero, so
+        # the kx corpus has ~kx the shared-substring pairs — linear target
+        "q114_exact_substring": (lambda s: dd.exact_substring_pairs(
+            docs(s), "doc_id", "text", k=8), ("x1", "x10", "x100")),
     }
 
     try:
