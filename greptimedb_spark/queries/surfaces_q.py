@@ -660,6 +660,58 @@ UNION SELECT 'db'
 """
 
 
+# -- q115: Prometheus remote-write V2 ingest round-trip ----------------------------------
+# Events become io.prometheus.write.v2.Request payloads (symbol table +
+# labels_refs, the encoder dual) and come back through
+# sources/protocols.parse_prom_remote_write_v2 — the real v2 wire format
+# the reference negotiates by content-type (http/prom_store.rs:62,
+# prom_remote_write/v2.rs), no external protobuf/snappy libs.
+
+def q115_prom_remote_write_v2(spark: SparkSession, sf: str) -> DataFrame:
+    from greptimedb_spark.sources import protocols as proto
+
+    e = read(spark, sf, "events")
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                proto.encode_write_request_v2([(
+                    {"__name__": "events_value", "event_type": t},
+                    [(float(v), int(ts))],
+                )])
+                for t, v, ts in zip(pdf["event_type"], pdf["value"],
+                                    pdf["ts_ms"])
+            ]
+            yield pd.DataFrame({"payload": payloads})
+
+    payloads = e.select(
+        "event_type", "value", F.unix_millis("ts").alias("ts_ms")
+    ).mapInPandas(encode, "payload binary")
+    rows = proto.parse_prom_remote_write_v2(payloads).filter(
+        F.col("err").isNull())
+    return (
+        rows.groupBy("table", F.col("tags")["event_type"].alias("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col(proto.VALUE_COL).cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_value"),
+            F.unix_millis(F.max(proto.TIME_INDEX)).alias("max_ts_ms"),
+        )
+    )
+
+
+Q115_SQL = """
+SELECT 'events_value' AS "table",
+       event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+       MAX(epoch_ms(ts)) AS max_ts_ms
+FROM events GROUP BY event_type
+"""
+
+
 # -- q112: Prometheus remote-read round-trip --------------------------------------------
 # The full remote-storage protocol loop (src/servers/src/http/prom_store.rs:745
 # remote_read; src/servers/src/prom_store.rs:79-159 query_to_plan; frontend
@@ -791,5 +843,9 @@ QUERIES = {
     "q112_prom_remote_read": QuerySpec(
         q112_prom_remote_read, Q112_SQL,
         "prometheus remote-read write-then-read wire round-trip"
+    ),
+    "q115_prom_remote_write_v2": QuerySpec(
+        q115_prom_remote_write_v2, Q115_SQL,
+        "prometheus remote-write v2 (symbol table) parse round-trip"
     ),
 }

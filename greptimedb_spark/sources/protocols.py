@@ -1125,3 +1125,252 @@ def parse_otlp_traces_json(
         F.when(start_ns.isNull(), F.lit("missing span start timestamp"))
         .alias("err"),
     ).unionByName(bad)
+
+
+# ---- Prometheus remote write V2 (io.prometheus.write.v2.Request) ----------
+# The reference negotiates v2 by content-type (http/prom_store.rs:62
+# REMOTE_WRITE_V2_PROTO, remote_write_proto) and decodes the public
+# prompb/io/prometheus/write/v2 Request: a symbol table (field 4) plus
+# TimeSeries with labels_refs index PAIRS into it (v2.rs
+# resolve_series_labels). Samples share the v1 (value, ts_ms) shape;
+# native-histogram payloads are experimental in the reference and
+# rejected unless opted in — mirrored here as a ValueError.
+
+REMOTE_WRITE_V2_PROTO = "io.prometheus.write.v2.Request"
+_LABEL_NAME_RE = None  # built lazily (validation.rs validate_label_name)
+
+
+def remote_write_proto(content_type: str | None) -> str:
+    """'v1' or 'v2' from the request content-type
+    (http/prom_store.rs remote_write_proto: any x-protobuf with
+    proto=io.prometheus.write.v2.Request is v2, everything else v1)."""
+    if content_type and REMOTE_WRITE_V2_PROTO in content_type.replace(
+            '"', "").replace("'", ""):
+        return "v2"
+    return "v1"
+
+
+def zstd_decompress(buf: bytes) -> bytes:
+    """Zstd frame decompression via pyarrow; the frame header's
+    frame-content-size field supplies the size pyarrow requires, with a
+    doubling fallback when the producer omitted it."""
+    import pyarrow as pa
+
+    codec = pa.Codec("zstd")
+    size = _zstd_frame_content_size(buf)
+    if size is not None:
+        return bytes(codec.decompress(buf, size))
+    guess = max(4 * len(buf), 1 << 12)
+    while guess <= 1 << 30:
+        try:
+            return bytes(codec.decompress(buf, guess))
+        except Exception:
+            guess *= 4
+    raise ValueError("unable to determine zstd decompressed size")
+
+
+def _zstd_frame_content_size(buf: bytes) -> int | None:
+    """RFC 8878 frame header parse: returns frame_content_size or None."""
+    if len(buf) < 6 or buf[:4] != b"\x28\xb5\x2f\xfd":
+        return None
+    fhd = buf[4]
+    fcs_flag, single_segment, dict_flag = fhd >> 6, (fhd >> 5) & 1, fhd & 3
+    i = 5 + (0 if single_segment else 1)
+    i += (0, 1, 2, 4)[dict_flag]
+    if fcs_flag == 0:
+        return buf[i] if single_segment and i < len(buf) else None
+    width = (0, 2, 4, 8)[fcs_flag]
+    if i + width > len(buf):
+        return None
+    n = int.from_bytes(buf[i:i + width], "little")
+    return n + 256 if fcs_flag == 1 else n
+
+
+def _try_decompress(payload: bytes, zstd: bool) -> bytes:
+    """prom_remote_write/mod.rs try_decompress with the VictoriaMetrics
+    mismatched-header fallback: try the declared compression, then the
+    other one."""
+    first, second = ((zstd_decompress, snappy_decompress) if zstd
+                     else (snappy_decompress, zstd_decompress))
+    try:
+        return first(payload)
+    except Exception:
+        return second(payload)
+
+
+def _valid_label_name(name: str) -> bool:
+    """validation.rs validate_label_name: [a-zA-Z_][a-zA-Z0-9_]*."""
+    global _LABEL_NAME_RE
+    if _LABEL_NAME_RE is None:
+        import re as _re
+
+        _LABEL_NAME_RE = _re.compile(r"[a-zA-Z_][a-zA-Z0-9_]*\Z")
+    return bool(_LABEL_NAME_RE.match(name))
+
+
+def decode_write_request_v2(payload: bytes,
+                            zstd: bool = False) -> list[tuple[dict, list]]:
+    """Compressed v2 Request -> [(labels dict incl __name__, [(value,
+    ts_ms)])] — the v1 decoder's shape, so the downstream table routing is
+    shared. Validations mirror v2.rs resolve_series_labels: symbols[0]
+    must be "", labels_refs even and in-range, label names valid and
+    unique per series, __name__ present and non-empty; native histograms
+    rejected (experimental gate)."""
+    import struct
+
+    body = _try_decompress(payload, zstd)
+    symbols: list[str] = []
+    series_bufs: list[bytes] = []
+    for fnum, wt, v in _decode_fields(body):
+        if fnum == 4 and wt == 2:
+            symbols.append(v.decode("utf-8"))
+        elif fnum == 5 and wt == 2:
+            series_bufs.append(v)
+    if not series_bufs and not symbols:
+        return []
+    if not symbols or symbols[0] != "":
+        raise ValueError(
+            "remote write v2 symbols must start with an empty string")
+
+    def symbol(idx: int, field: str) -> str:
+        if idx >= len(symbols):
+            raise ValueError(
+                f"remote write v2 {field} symbol ref {idx} out of range")
+        return symbols[idx]
+
+    out = []
+    for sbuf in series_bufs:
+        refs: list[int] = []
+        samples: list[tuple[float, int]] = []
+        for fnum, wt, v in _decode_fields(sbuf):
+            if fnum == 1 and wt == 2:  # packed labels_refs
+                i = 0
+                while i < len(v):
+                    n, i = _read_varint(v, i)
+                    refs.append(n)
+            elif fnum == 1 and wt == 0:  # unpacked
+                refs.append(v)
+            elif fnum == 2 and wt == 2:  # Sample
+                val, ts = 0.0, 0
+                for pf, pwt, pv in _decode_fields(v):
+                    if pf == 1 and pwt == 1:
+                        val = struct.unpack("<d", pv)[0]
+                    elif pf == 2 and pwt == 0:
+                        ts = pv - (1 << 64) if pv >= (1 << 63) else pv
+                samples.append((val, ts))
+            elif fnum == 5 and wt == 2:  # Histogram
+                raise ValueError(
+                    "prometheus remote write v2 native histogram ingestion "
+                    "is experimental; set prom_store."
+                    "experimental_enable_prometheus_native_histogram = true "
+                    "to enable it")
+            # fields 3 (exemplars), 4 (metadata), 6 (created_timestamp)
+            # intentionally ignored, like the reference
+        if not samples:
+            # the reference skips sample-less series before resolving
+            # labels (v2.rs into_write_requests `continue`)
+            continue
+        if len(refs) % 2:
+            raise ValueError(
+                "remote write v2 labels_refs must contain name/value pairs")
+        labels: dict = {}
+        for j in range(0, len(refs), 2):
+            name = symbol(refs[j], "label name")
+            value = symbol(refs[j + 1], "label value")
+            if not _valid_label_name(name):
+                raise ValueError(
+                    f"remote write v2 label name `{name}` is invalid")
+            if name in labels:
+                raise ValueError(
+                    f"remote write v2 label name `{name}` is repeated")
+            labels[name] = value
+        if PROM_NAME_LABEL not in labels:
+            raise ValueError("missing '__name__' label in time-series")
+        if not labels[PROM_NAME_LABEL]:
+            raise ValueError(
+                "remote write v2 label `__name__` value must not be empty")
+        out.append((labels, samples))
+    return out
+
+
+def encode_write_request_v2(series: list[tuple[dict, list]],
+                            zstd: bool = False) -> bytes:
+    """Emitter dual of :func:`decode_write_request_v2` (tests/export):
+    builds the symbol table (index 0 = ""), packed labels_refs and
+    samples, then snappy- or zstd-compresses."""
+    import struct
+
+    import pyarrow as pa
+
+    def varint(n: int) -> bytes:
+        b = bytearray()
+        while True:
+            c = n & 0x7F
+            n >>= 7
+            b.append(c | (0x80 if n else 0))
+            if not n:
+                return bytes(b)
+
+    def ld(fnum: int, body: bytes) -> bytes:
+        return varint((fnum << 3) | 2) + varint(len(body)) + body
+
+    table: dict[str, int] = {"": 0}
+
+    def sym(s: str) -> int:
+        if s not in table:
+            table[s] = len(table)
+        return table[s]
+
+    ts_bufs = []
+    for labels, samples in series:
+        refs = bytearray()
+        for k, v in labels.items():
+            refs += varint(sym(k)) + varint(sym(v))
+        body = ld(1, bytes(refs))
+        for val, ts_ms in samples:
+            body += ld(2, varint((1 << 3) | 1) + struct.pack("<d", val)
+                       + varint(2 << 3)
+                       + varint(ts_ms & 0xFFFFFFFFFFFFFFFF))
+        ts_bufs.append(body)
+    msg = bytearray()
+    for s, _ in sorted(table.items(), key=lambda kv: kv[1]):
+        msg += ld(4, s.encode("utf-8"))
+    for b in ts_bufs:
+        msg += ld(5, b)
+    codec = pa.Codec("zstd" if zstd else "snappy")
+    return bytes(codec.compress(bytes(msg)))
+
+
+def parse_prom_remote_write_v2(
+    payloads: DataFrame, payload_col: str = "payload",
+    zstd: bool = False,
+) -> DataFrame:
+    """v2 twin of :func:`parse_prom_remote_write`: same output schema
+    (table, tags, greptime_timestamp, greptime_value, err), Arrow-batched
+    decode at the ingest edge, malformed payloads -> one err row."""
+    import pandas as pd  # noqa: F811 (mapInPandas worker import)
+
+    cols = ["table", "tags", TIME_INDEX, VALUE_COL, "err"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf[payload_col]:
+                try:
+                    for labels, samples in decode_write_request_v2(
+                            bytes(payload), zstd=zstd):
+                        name = labels.pop(PROM_NAME_LABEL)
+                        for val, ts_ms in samples:
+                            rows.append((name, labels,
+                                         pd.Timestamp(ts_ms, unit="ms"),
+                                         val, None))
+                except (ValueError, IndexError, KeyError, OSError) as e:
+                    rows.append((None, None, None, None,
+                                 f"invalid remote write v2 payload: {e}"))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return payloads.mapInPandas(
+        gen,
+        schema=(f"table string, tags map<string,string>, "
+                f"{TIME_INDEX} timestamp, {VALUE_COL} double, err string"),
+    )

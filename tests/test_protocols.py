@@ -491,3 +491,104 @@ def test_otlp_traces_json(spark):
     assert o["span_status_code"] == "STATUS_CODE_UNSET"
     errs = [r["err"] for r in rows if r["err"] is not None]
     assert len(errs) == 1 and "invalid otlp traces payload" in errs[0]
+
+
+def test_prom_remote_write_v2(spark):
+    """v2 (io.prometheus.write.v2.Request) decode: hand-assembled wire
+    vector with a symbol table + packed labels_refs, the encoder dual
+    (snappy AND zstd), the reference's validation errors, and the Spark
+    mapInPandas surface."""
+    import struct
+
+    import pyarrow as pa
+
+    # hand-built Request: symbols ["", "__name__", "m", "host", "h1"],
+    # one series labels_refs=[1,2,3,4] (packed), one sample (1.0, ts=5)
+    msg = b""
+    for s in (b"", b"__name__", b"m", b"host", b"h1"):
+        msg += b"\x22" + bytes([len(s)]) + s                 # field 4 LD
+    refs = b"\x0a\x04\x01\x02\x03\x04"                       # field 1 packed
+    sample = b"\x09" + struct.pack("<d", 1.0) + b"\x10\x05"  # Sample
+    ts_body = refs + b"\x12" + bytes([len(sample)]) + sample
+    msg += b"\x2a" + bytes([len(ts_body)]) + ts_body         # field 5 LD
+    payload = bytes(pa.Codec("snappy").compress(msg))
+    assert proto.decode_write_request_v2(payload) == [
+        ({"__name__": "m", "host": "h1"}, [(1.0, 5)])]
+
+    # content-type negotiation (http/prom_store.rs remote_write_proto)
+    assert proto.remote_write_proto(
+        "application/x-protobuf;proto=io.prometheus.write.v2.Request") == "v2"
+    assert proto.remote_write_proto(
+        'application/x-protobuf; proto="io.prometheus.write.v2.Request"') == "v2"
+    assert proto.remote_write_proto("application/x-protobuf") == "v1"
+    assert proto.remote_write_proto(None) == "v1"
+
+    # encoder dual round-trip, snappy and zstd (incl. zstd frame-size path)
+    series = [({"__name__": "cpu", "host": "h1"},
+               [(1.5, 1663840496000), (2.5, 1663840497000)]),
+              ({"__name__": "mem", "dc": "lax"}, [(-3.25, 1000)])]
+    assert proto.decode_write_request_v2(
+        proto.encode_write_request_v2(series)) == series
+    assert proto.decode_write_request_v2(
+        proto.encode_write_request_v2(series, zstd=True), zstd=True) == series
+    # mismatched-header fallback (VictoriaMetrics behavior in the reference)
+    assert proto.decode_write_request_v2(
+        proto.encode_write_request_v2(series, zstd=True), zstd=False) == series
+
+    # validation errors mirror v2.rs resolve_series_labels
+    import pytest as _pytest
+
+    def enc_raw(symbols, ts_bodies):
+        m = b""
+        for s in symbols:
+            m += b"\x22" + bytes([len(s)]) + s
+        for b in ts_bodies:
+            m += b"\x2a" + bytes([len(b)]) + b
+        return bytes(pa.Codec("snappy").compress(m))
+
+    with _pytest.raises(ValueError, match="empty string"):
+        proto.decode_write_request_v2(enc_raw(
+            [b"x"], [refs + b"\x12" + bytes([len(sample)]) + sample]))
+    with _pytest.raises(ValueError, match="name/value pairs"):
+        proto.decode_write_request_v2(enc_raw(
+            [b"", b"__name__", b"m"],
+            [b"\x0a\x03\x01\x02\x01"
+             + b"\x12" + bytes([len(sample)]) + sample]))
+    with _pytest.raises(ValueError, match="out of range"):
+        proto.decode_write_request_v2(enc_raw(
+            [b"", b"__name__"],
+            [b"\x0a\x02\x01\x09" + b"\x12" + bytes([len(sample)]) + sample]))
+    with _pytest.raises(ValueError, match="repeated"):
+        proto.decode_write_request_v2(enc_raw(
+            [b"", b"__name__", b"m", b"n"],
+            [b"\x0a\x04\x01\x02\x01\x03"
+             + b"\x12" + bytes([len(sample)]) + sample]))
+    with _pytest.raises(ValueError, match="missing '__name__'"):
+        proto.decode_write_request_v2(enc_raw(
+            [b"", b"host", b"h1"],
+            [b"\x0a\x02\x01\x02" + b"\x12" + bytes([len(sample)]) + sample]))
+    with _pytest.raises(ValueError, match="must not be empty"):
+        proto.decode_write_request_v2(enc_raw(
+            [b"", b"__name__"],
+            [b"\x0a\x02\x01\x00" + b"\x12" + bytes([len(sample)]) + sample]))
+    # native histogram payload rejected (experimental gate, prom_store.rs:241)
+    with _pytest.raises(ValueError, match="native histogram"):
+        proto.decode_write_request_v2(enc_raw(
+            [b"", b"__name__", b"m"],
+            [b"\x0a\x02\x01\x02" + b"\x2a\x02\x08\x01"]))
+    # sample-less series skipped, not errored (into_write_requests continue)
+    assert proto.decode_write_request_v2(enc_raw(
+        [b"", b"__name__", b"m"], [b"\x0a\x02\x01\x02"])) == []
+
+    # Spark surface: binary column -> typed rows; garbage -> err row
+    df = spark.createDataFrame(
+        [Row(payload=bytearray(proto.encode_write_request_v2(series))),
+         Row(payload=bytearray(b"neither snappy nor zstd"))],
+        "payload binary")
+    rows = proto.parse_prom_remote_write_v2(df).collect()
+    ok = sorted((r for r in rows if r["err"] is None),
+                key=lambda r: (r["table"], r[proto.TIME_INDEX]))
+    assert [(r["table"], r["tags"], r[proto.VALUE_COL]) for r in ok] == [
+        ("cpu", {"host": "h1"}, 1.5), ("cpu", {"host": "h1"}, 2.5),
+        ("mem", {"dc": "lax"}, -3.25)]
+    assert len([r for r in rows if r["err"] is not None]) == 1
