@@ -214,6 +214,11 @@ class PromQLEngine:
         empty = False
         field_sel = None
         for m in sel.matchers:
+            if m.name == "__name__" and m.op in ("=~", "!~"):
+                # tql/basic.result: regex matchers on the metric name are
+                # rejected (the reference resolves __name__ to ONE table)
+                raise ValueError(
+                    f"Matcher operator {m.op} is not supported for __name__")
             if m.name == "__name__" and m.op == "=" and not metric:
                 metric = m.value
             elif m.name in ("__schema__", "__database__"):
@@ -225,6 +230,20 @@ class PromQLEngine:
             elif m.name != "__name__":
                 matchers.append(m)
         field_sels = [m.value for m in sel.matchers if m.name == "__field__"]
+        if not metric:
+            # nameless selector: Prometheus requires >=1 matcher that cannot
+            # match the empty string (tql/basic.result {__name__!="test"})
+            def _matches_empty(m):
+                if m.op == "=":
+                    return m.value == ""
+                if m.op == "!=":
+                    return m.value != ""
+                ok = bool(re.fullmatch(f"(?:{m.value})", ""))
+                return ok if m.op == "=~" else not ok
+            if all(_matches_empty(m) for m in sel.matchers):
+                raise ValueError(
+                    "vector selector must contain at least one non-empty "
+                    "matcher")
         mt = self.tables.get(metric)
         if mt is None:
             # reference returns an empty result for unknown metrics
