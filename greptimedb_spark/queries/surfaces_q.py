@@ -712,6 +712,60 @@ FROM events GROUP BY event_type
 """
 
 
+# -- q116: OTLP histogram shredding round-trip -------------------------------------------
+# Events become OTLP/JSON histogram export payloads (bounds [50], per-event
+# 0/1 bucket indicators) and come back through the metrics parser's
+# histogram fan-out: {name}_bucket rows carry CUMULATIVE counts under an
+# `le` tag, plus {name}_sum / {name}_count rows
+# (src/servers/src/otlp/metrics.rs encode_histogram:613).
+
+def q116_otlp_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    from greptimedb_spark.sources import protocols as proto
+
+    e = read(spark, sf, "events")
+    payload = F.concat(
+        F.lit('{"resourceMetrics":[{"resource":{"attributes":[{"key":'
+              '"event_type","value":{"stringValue":"'),
+        F.col("event_type"),
+        F.lit('"}}]},"scopeMetrics":[{"metrics":[{"name":"events.value",'
+              '"histogram":{"dataPoints":[{"timeUnixNano":"'),
+        (F.unix_millis("ts") * 1_000_000).cast("string"),
+        F.lit('","count":"1","sum":'), F.col("value").cast("string"),
+        F.lit(',"bucketCounts":["'),
+        (F.col("value") <= 50).cast("int").cast("string"),
+        F.lit('","'),
+        (F.col("value") > 50).cast("int").cast("string"),
+        F.lit('"],"explicitBounds":[50]}]}}]}]}]}'),
+    )
+    rows = proto.parse_otlp_metrics_json(
+        e.select(payload.alias("payload"))).filter(F.col("err").isNull())
+    return (
+        rows.groupBy("table", F.col("tags")["le"].alias("le"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum(F.col(proto.VALUE_COL).cast("decimal(18,2)")), 2)
+             .cast("double").alias("sum_value"),
+             F.unix_millis(F.max(proto.TIME_INDEX)).alias("max_ts_ms"))
+    )
+
+
+Q116_SQL = """
+WITH base AS (SELECT value, epoch_ms(ts) AS ts_ms FROM events)
+SELECT 'events_value_bucket' AS "table", '50' AS le, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS DOUBLE) AS sum_value,
+       MAX(ts_ms) AS max_ts_ms FROM base
+UNION ALL
+SELECT 'events_value_bucket', 'inf', COUNT(*),
+       CAST(COUNT(*) AS DOUBLE), MAX(ts_ms) FROM base
+UNION ALL
+SELECT 'events_value_sum', NULL, COUNT(*),
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE),
+       MAX(ts_ms) FROM base
+UNION ALL
+SELECT 'events_value_count', NULL, COUNT(*),
+       CAST(COUNT(*) AS DOUBLE), MAX(ts_ms) FROM base
+"""
+
+
 # -- q112: Prometheus remote-read round-trip --------------------------------------------
 # The full remote-storage protocol loop (src/servers/src/http/prom_store.rs:745
 # remote_read; src/servers/src/prom_store.rs:79-159 query_to_plan; frontend
@@ -847,5 +901,9 @@ QUERIES = {
     "q115_prom_remote_write_v2": QuerySpec(
         q115_prom_remote_write_v2, Q115_SQL,
         "prometheus remote-write v2 (symbol table) parse round-trip"
+    ),
+    "q116_otlp_histogram": QuerySpec(
+        q116_otlp_histogram, Q116_SQL,
+        "OTLP histogram fan-out: le-tagged cumulative buckets + sum/count"
     ),
 }

@@ -421,15 +421,33 @@ def parse_elasticsearch_bulk(
 _OTLP_ATTR = "array<struct<key:string,value:struct<stringValue:string>>>"
 _OTLP_DP = (f"struct<timeUnixNano:string,asDouble:double,asInt:string,"
             f"attributes:{_OTLP_ATTR}>")
+# uint64 fields (count, bucketCounts) are JSON strings per the proto3
+# JSON mapping
+_OTLP_HIST_DP = (f"struct<timeUnixNano:string,count:string,sum:double,"
+                 f"bucketCounts:array<string>,explicitBounds:array<double>,"
+                 f"attributes:{_OTLP_ATTR}>")
+_OTLP_SUMM_DP = (
+    f"struct<timeUnixNano:string,count:string,sum:double,"
+    f"quantileValues:array<struct<quantile:double,value:double>>,"
+    f"attributes:{_OTLP_ATTR}>")
 _OTLP_SCHEMA = (
     f"resourceMetrics array<struct<"
     f"resource:struct<attributes:{_OTLP_ATTR}>,"
     f"scopeMetrics:array<struct<metrics:array<struct<"
     f"name:string,"
     f"gauge:struct<dataPoints:array<{_OTLP_DP}>>,"
-    f"sum:struct<dataPoints:array<{_OTLP_DP}>,isMonotonic:boolean>"
+    f"sum:struct<dataPoints:array<{_OTLP_DP}>,isMonotonic:boolean>,"
+    f"histogram:struct<dataPoints:array<{_OTLP_HIST_DP}>>,"
+    f"summary:struct<dataPoints:array<{_OTLP_SUMM_DP}>>"
     f">>>>>>"
 )
+
+
+def _fmt_f64_tag(c):
+    """Rust f64 Display for tag cells (metrics.rs write_tag of bounds /
+    quantiles): integral values drop the fraction ('1' not '1.0')."""
+    return F.when(c == c.cast("long").cast("double"),
+                  c.cast("long").cast("string")).otherwise(c.cast("string"))
 
 
 def normalize_otlp_name(name) -> "F.Column":
@@ -442,18 +460,22 @@ def normalize_otlp_name(name) -> "F.Column":
 def parse_otlp_metrics_json(
     payloads: DataFrame, payload_col: str = "payload"
 ) -> DataFrame:
-    """Parse OTLP/JSON metrics export payloads (gauge and sum number data
-    points) into rows — the reference's /v1/otlp/v1/metrics ingestion
-    (src/servers/src/otlp/metrics.rs:99-567): metric name → table (legacy
-    normalization), resource + data-point attributes → tags (data-point
-    keys win on collision), values coerced to f64 (metrics.rs:460-477:
-    asInt/asDouble both land as f64 in ``greptime_value``), timeUnixNano →
-    the default time index.
+    """Parse OTLP/JSON metrics export payloads (gauge/sum number points
+    PLUS histogram and summary points) into rows — the reference's
+    /v1/otlp/v1/metrics ingestion (src/servers/src/otlp/metrics.rs:99-830):
+    metric name → table (legacy normalization), resource + data-point
+    attributes → tags (data-point keys win on collision), values coerced
+    to f64 (metrics.rs:460-477: asInt/asDouble both land as f64 in
+    ``greptime_value``), timeUnixNano → the default time index. Histogram
+    points shred into ``{name}_bucket`` (cumulative counts under an ``le``
+    tag) + ``{name}_sum`` + ``{name}_count``; summary points into
+    ``{name}`` (``quantile`` tag) + ``{name}_count`` + ``{name}_sum``
+    (encode_histogram:613, encode_summary:717). Exponential histograms are
+    a no-op in the reference too (metrics.rs:168).
 
-    Pure ``from_json`` + nested explodes — JVM-side, shuffle-free. Payloads
-    that do not parse yield one row with ``err`` set. Histogram/summary
-    points are out of this subset (the reference shreds them into multiple
-    semantic tables); number points are the TSBS-style hot path.
+    Pure ``from_json`` + nested explodes — JVM-side, shuffle-free (the
+    cumulative bucket count is an ``aggregate()`` over the bucket prefix).
+    Payloads that do not parse yield one row with ``err`` set.
     """
     parsed = payloads.select(
         F.col(payload_col).alias("_raw"),
@@ -499,7 +521,7 @@ def parse_otlp_metrics_json(
                            e["value"]["stringValue"].alias("value")),
     )
     value = F.coalesce(F.col("dp.asDouble"), F.col("dp.asInt").try_cast("double"))
-    return pts.select(
+    num = pts.select(
         normalize_otlp_name(F.col("name")).alias("table"),
         F.map_from_entries(entries).alias("tags"),
         _ns_to_ts(F.col("dp.timeUnixNano").try_cast("long")).alias(TIME_INDEX),
@@ -510,7 +532,101 @@ def parse_otlp_metrics_json(
               F.concat(F.lit("invalid otlp timestamp: "),
                        F.coalesce(F.col("dp.timeUnixNano"), F.lit("null"))))
         .alias("err"),
-    ).unionByName(bad)
+    )
+
+    # -- histogram / summary shredding (metrics.rs encode_histogram:613,
+    # encode_summary:717, emitted_semantic_tables:144): a histogram point
+    # fans into {name}_bucket (le tag, CUMULATIVE count), {name}_sum and
+    # {name}_count rows; a summary point into {name} (quantile tag),
+    # {name}_count and {name}_sum. Still pure column algebra: the
+    # cumulative bucket count is an aggregate() over the bucket prefix,
+    # no shuffle, no UDF.
+    def _tag_entries(dp_attrs_col):
+        dpa = F.coalesce(dp_attrs_col, F.expr(f"CAST(array() AS {_OTLP_ATTR})"))
+        ra = F.coalesce(F.col("res_attrs"),
+                        F.expr(f"CAST(array() AS {_OTLP_ATTR})"))
+        keys = F.transform(dpa, lambda e: e["key"])
+        kept = F.filter(ra, lambda e: ~F.array_contains(keys, e["key"]))
+        return F.transform(
+            F.concat(kept, dpa),
+            lambda e: F.struct(e["key"].alias("key"),
+                               e["value"]["stringValue"].alias("value")))
+
+    def _row(table_col, tags_col, value_col, mtype):
+        ts_ns = F.col("dp.timeUnixNano").try_cast("long")
+        return [
+            table_col.alias("table"), tags_col.alias("tags"),
+            _ns_to_ts(ts_ns).alias(TIME_INDEX),
+            value_col.cast("double").alias(VALUE_COL),
+            F.lit(mtype).alias("metric_type"),
+            F.when(ts_ns.isNull(),
+                   F.concat(F.lit("invalid otlp timestamp: "),
+                            F.coalesce(F.col("dp.timeUnixNano"),
+                                       F.lit("null")))).alias("err"),
+        ]
+
+    empty_map = F.expr("CAST(map() AS map<string,string>)")
+
+    hdp = (rm.filter(F.col("m.histogram").isNotNull())
+           .select("res_attrs",
+                   normalize_otlp_name(F.col("m.name")).alias("name"),
+                   F.explode("m.histogram.dataPoints").alias("dp")))
+    htags = F.map_from_entries(_tag_entries(F.col("dp.attributes")))
+    b = hdp.select(
+        "res_attrs", "name", "dp", htags.alias("__tags"),
+        F.posexplode(F.coalesce(
+            F.col("dp.bucketCounts"),
+            F.expr("CAST(array() AS array<string>)"))).alias("idx", "cnt"))
+    cum = F.expr("aggregate(slice(dp.bucketCounts, 1, idx + 1), "
+                 "CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))")
+    # le = explicit bound at idx, 'inf' for the one-past-last bucket; a
+    # malformed extra bucket gets NO le tag (metrics.rs:647-662)
+    le_map = (F.when(F.col("idx") < F.size("dp.explicitBounds"),
+                     F.create_map(F.lit("le"), _fmt_f64_tag(
+                         F.element_at("dp.explicitBounds",
+                                      F.col("idx") + 1))))
+              .when(F.col("idx") == F.size("dp.explicitBounds"),
+                    F.create_map(F.lit("le"), F.lit("inf")))
+              .otherwise(empty_map))
+    hist_bucket = b.select(*_row(
+        F.concat(F.col("name"), F.lit("_bucket")),
+        F.map_concat(F.col("__tags"), le_map), cum, "histogram"))
+    hist_sum = hdp.filter(F.col("dp.sum").isNotNull()).select(*_row(
+        F.concat(F.col("name"), F.lit("_sum")), htags,
+        F.col("dp.sum"), "histogram"))
+    hist_count = hdp.select(*_row(
+        F.concat(F.col("name"), F.lit("_count")), htags,
+        F.col("dp.count").try_cast("double"), "histogram"))
+
+    sdp = (rm.filter(F.col("m.summary").isNotNull())
+           .select("res_attrs",
+                   normalize_otlp_name(F.col("m.name")).alias("name"),
+                   F.explode("m.summary.dataPoints").alias("dp")))
+    stags = F.map_from_entries(_tag_entries(F.col("dp.attributes")))
+    q = sdp.select(
+        "res_attrs", "name", "dp", stags.alias("__tags"),
+        F.explode(F.coalesce(
+            F.col("dp.quantileValues"),
+            F.expr("CAST(array() AS array<struct<quantile:double,"
+                   "value:double>>)"))).alias("qv"))
+    summ_q = q.select(*_row(
+        F.col("name"),
+        F.map_concat(F.col("__tags"),
+                     F.create_map(F.lit("quantile"),
+                                  _fmt_f64_tag(F.col("qv.quantile")))),
+        F.col("qv.value"), "summary"))
+    summ_count = sdp.select(*_row(
+        F.concat(F.col("name"), F.lit("_count")), stags,
+        F.col("dp.count").try_cast("double"), "summary"))
+    summ_sum = sdp.filter(F.col("dp.sum").isNotNull()).select(*_row(
+        F.concat(F.col("name"), F.lit("_sum")), stags,
+        F.col("dp.sum"), "summary"))
+
+    out = num
+    for part in (hist_bucket, hist_sum, hist_count,
+                 summ_q, summ_count, summ_sum):
+        out = out.unionByName(part)
+    return out.unionByName(bad)
 
 
 OTLP_LOG_TABLE = "opentelemetry_logs"  # reference default (otlp/logs.rs:52)

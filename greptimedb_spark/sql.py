@@ -6408,12 +6408,22 @@ class GreptimeSQL:
                 [(val,)], f"`@@{m.group(1)}` string")
         m = re.match(
             r"^\s*SET\s+(?:@@)?(?:SESSION\s+|LOCAL\s+|GLOBAL\s+)?"
-            r"(?:SESSION\.)?MAX_EXECUTION_TIME\s*=\s*(\d+)\s*;?\s*$",
+            r"(?:SESSION\.)?MAX_EXECUTION_TIME\s*=\s*(\S+?)\s*;?\s*$",
             text, re.IGNORECASE)
         if m:
+            expr = m.group(1)
+            # reference set.rs timeout binder: non-numeric (incl. negative)
+            # exprs are Unsupported, numerics past u64::MAX are Invalid
+            # (system/max_execution_time.result:171,192)
+            if not re.fullmatch(r"\d+", expr):
+                raise ValueError(f"Not supported: Unsupported timeout expr "
+                                 f"{expr} in set variable statement")
+            if int(expr) > 0xFFFFFFFFFFFFFFFF:
+                raise ValueError(f"Not supported: Invalid timeout expr "
+                                 f"{expr} in set variable statement")
             if not hasattr(self, "_session_vars"):
                 self._session_vars = {}
-            self._session_vars["max_execution_time"] = m.group(1)
+            self._session_vars["max_execution_time"] = expr
             self._warnings = []
             return self.spark.createDataFrame([], "result string")
         m = re.match(r"^\s*SET\s+read_preference\s*=\s*'([^']*)'\s*;?\s*$",

@@ -592,3 +592,56 @@ def test_prom_remote_write_v2(spark):
         ("cpu", {"host": "h1"}, 1.5), ("cpu", {"host": "h1"}, 2.5),
         ("mem", {"dc": "lax"}, -3.25)]
     assert len([r for r in rows if r["err"] is not None]) == 1
+
+
+def test_otlp_histogram_summary_shredding(spark):
+    """OTLP histogram/summary points fan into the reference's semantic
+    tables (metrics.rs encode_histogram:613 / encode_summary:717):
+    {name}_bucket carries CUMULATIVE counts under `le` (explicit bound,
+    then 'inf' for the one-past-last bucket), plus _sum/_count rows;
+    summaries emit a quantile-tagged row per quantileValue + _count/_sum.
+    f64 tag cells use Rust Display ('1', not '1.0')."""
+    import json
+
+    payload = json.dumps({"resourceMetrics": [{
+        "resource": {"attributes": [
+            {"key": "host", "value": {"stringValue": "h1"}}]},
+        "scopeMetrics": [{"metrics": [
+            {"name": "req.latency",
+             "histogram": {"dataPoints": [{
+                 "timeUnixNano": "1700000000000000000",
+                 "count": "6", "sum": 21.5,
+                 "bucketCounts": ["1", "2", "3"],
+                 "explicitBounds": [0.1, 1],
+                 "attributes": [
+                     {"key": "path", "value": {"stringValue": "/a"}}]}]}},
+            {"name": "rpc.duration",
+             "summary": {"dataPoints": [{
+                 "timeUnixNano": "1700000000000000000",
+                 "count": "4", "sum": 10.0,
+                 "quantileValues": [{"quantile": 0.5, "value": 1.5},
+                                    {"quantile": 1, "value": 3.0}]}]}},
+        ]}]}]})
+    rows = proto.parse_otlp_metrics_json(
+        spark.createDataFrame([(payload,)], "payload string")).collect()
+    got = {(r.table, tuple(sorted((r.tags or {}).items()))):
+           (r[proto.VALUE_COL], r.metric_type) for r in rows}
+    h = (("host", "h1"), ("path", "/a"))
+    assert got[("req_latency_bucket", tuple(sorted(h + (("le", "0.1"),))))] \
+        == (1.0, "histogram")
+    assert got[("req_latency_bucket", tuple(sorted(h + (("le", "1"),))))] \
+        == (3.0, "histogram")   # cumulative: 1 + 2
+    assert got[("req_latency_bucket", tuple(sorted(h + (("le", "inf"),))))] \
+        == (6.0, "histogram")   # 1 + 2 + 3
+    assert got[("req_latency_sum", tuple(sorted(h)))] == (21.5, "histogram")
+    assert got[("req_latency_count", tuple(sorted(h)))] == (6.0, "histogram")
+    assert got[("rpc_duration",
+                (("host", "h1"), ("quantile", "0.5")))] == (1.5, "summary")
+    assert got[("rpc_duration",
+                (("host", "h1"), ("quantile", "1")))] == (3.0, "summary")
+    assert got[("rpc_duration_count", (("host", "h1"),))] == (4.0, "summary")
+    assert got[("rpc_duration_sum", (("host", "h1"),))] == (10.0, "summary")
+    # all timestamps land on the ns-derived index
+    assert all(r[proto.TIME_INDEX].year == 2023 for r in rows)
+    # gauge/sum number points still parse alongside (shared route)
+    assert len(rows) == 9

@@ -983,6 +983,12 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=(),
                 # missing table): index build writes nothing here (Parquet
                 # stats play that role), so error parity is mutation-free
                 r"|ADMIN\s+BUILD_INDEX"
+                # SET max_execution_time error-goldens (negative /
+                # out-of-u64-range exprs): a rejection stores nothing, and
+                # the case's own later @@max_execution_time reads pin any
+                # lenient drift loudly
+                r"|SET\s+(?:@@)?(?:SESSION\s+|LOCAL\s+|GLOBAL\s+)?"
+                r"(?:SESSION\.)?MAX_EXECUTION_TIME\b"
                 # DROP DATABASE/SCHEMA/VIEW error-goldens: a rejection drops
                 # nothing; a lenient accept deletes state later goldens read
                 r"|DROP\s+(?:DATABASE|SCHEMA|VIEW|FLOW)"
