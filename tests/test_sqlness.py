@@ -794,6 +794,16 @@ _PINNED_TQL_ORACLES_RAW.update({
 })
 
 
+# range/nest: EXPLAIN + EXPLAIN ANALYZE of a tumbling RANGE query (window
+# [t, t+5s), align 5s, every sample exactly on a boundary → per-(bucket,
+# host) MIN, all-NULL groups stay NULL). One key clears both dumps.
+_PINNED_TQL_ORACLES_RAW.update({
+    "SELECT ts, host, min(val) RANGE '5s' FROM host ALIGN '5s'":
+        ("SELECT make_timestamp(CAST(epoch_ms(ts) // 5000 AS BIGINT) "
+         "* 5000000) AS ts, host, MIN(val) AS mn FROM host GROUP BY 1, 2"),
+})
+
+
 def _pinned_tql_oracles() -> dict:
     return {_norm_stmt_key(k): v for k, v in _PINNED_TQL_ORACLES_RAW.items()}
 
