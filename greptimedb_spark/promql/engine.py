@@ -89,6 +89,7 @@ class PromQLEngine:
         ast = parse_promql(query)
         ctx = _Ctx(start_ms, end_ms, step_ms, self.lookback_ms)
         k = self._field_slots(ast)
+        self._n_slots = k
         if k > 1:
             # multi-field metrics (reference promql field matching,
             # tql/binary_operator.sql `data / data`): the whole expression
@@ -740,6 +741,15 @@ class PromQLEngine:
     # -- aggregation operators ----------------------------------------------------
 
     def _aggregate(self, node: Aggregate, ctx: _Ctx) -> VectorResult:
+        if getattr(self, "_n_slots", 1) > 1:
+            # multi-field inputs: the reference rejects these operators
+            # (promql/topk_bottomk.result:172, promql/group_by.result)
+            if node.op in ("topk", "bottomk"):
+                raise ValueError("Unsupported expr type: topk or bottomk "
+                                 "on multi-value input")
+            if node.op == "group":
+                raise ValueError(
+                    "Multi fields calculation is not supported in group()")
         inner = self._eval(node.expr, ctx)
         if not isinstance(inner, VectorResult):
             raise ValueError("aggregate over non-vector")
