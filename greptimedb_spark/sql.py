@@ -3542,22 +3542,78 @@ class GreptimeSQL:
             self.catalog.read(sink).createOrReplaceTempView(sink)
             sink_exists = True
             auto_sink = True
-        if sink_exists and not auto_sink and not pending and not tql_info \
-                and not tql_cte_name \
-                and not re.match(r"\s*TQL\b", select_text, re.IGNORECASE):
-            # PRE-EXISTING sink: the flow's output maps positionally when
-            # its names aren't the sink's — a timestamp/non-timestamp clash
-            # at any position is the reference's "data type mismatch"
-            # rejection (show_create_flow.result: OR REPLACE with an
-            # incompatible query leaves the old flow in place)
+        if sink_exists and not auto_sink and not pending:
+            # PRE-EXISTING sink: create-time schema validation mirroring the
+            # reference's batching-mode rewrite (flow/src/batching_mode/
+            # utils.rs:1200-1330 match_extra_output_columns /
+            # modify_project_exprs_with_partial): extra flow columns must
+            # pair positionally with missing sink columns (strict mode);
+            # last_non_null sinks instead tolerate missing non-required
+            # columns but reject missing pk/time-index and any extras.
             try:
                 pdtypes = self._flow_df(select_text).dtypes
                 sink_cols = self._col_entries(sink)
             except Exception:
                 pdtypes, sink_cols = None, []
-            sink_set = {str(e[0]).lower() for e in sink_cols}
-            if pdtypes is not None and sink_cols and \
-                    not all(c.lower() in sink_set for c, _ in pdtypes):
+            if pdtypes is not None and sink_cols:
+                flow_names = [c.lower() for c, _ in pdtypes]
+                sink_names = [str(e[0]).lower() for e in sink_cols]
+                sink_set, flow_set = set(sink_names), set(flow_names)
+                try:
+                    smeta = self.catalog.meta(sink)
+                    lnn = getattr(smeta, "merge_mode",
+                                  "last_row") == "last_non_null"
+                except Exception:
+                    smeta, lnn = None, False
+                extras = [c for c in flow_names if c not in sink_set]
+                # the flow engine auto-fills update_at, the placeholder
+                # time index (utils.rs AUTO_CREATED_UPDATE_AT_TS_COL /
+                # AUTO_CREATED_PLACEHOLDER_TS_COL) and any column with a
+                # declared DEFAULT (show_create_flow.result: a sink ts
+                # DEFAULT CURRENT_TIMESTAMP absent from the flow output is
+                # accepted) — none of those count as "missing"
+                defaulted = {str(e[0]).lower() for e in sink_cols
+                             if len(e) > 3 and e[3] is not None}
+                missing = [c for c in sink_names
+                           if c not in flow_set
+                           and c not in ("update_at", "__ts_placeholder")
+                           and c not in defaulted]
+                mismatch = ("Flow output schema does not match sink table "
+                            f"schema: found {len(flow_names)} flow output "
+                            f"columns and {len(sink_names)} sink table "
+                            f"columns. flow output columns: {flow_names}, "
+                            f"sink table columns: {sink_names}, extra flow "
+                            f"columns not in sink: {sorted(set(extras))}, "
+                            "missing sink columns from flow output: "
+                            f"{sorted(set(missing))}")
+                if lnn and smeta is not None:
+                    required = {t.lower() for t in (smeta.tags or [])}
+                    required.add(str(smeta.time_index).lower())
+                    req_missing = sorted(c for c in missing if c in required)
+                    if req_missing:
+                        raise ValueError(
+                            f"Column(s) {req_missing} required by sink "
+                            "table are missing from flow output when "
+                            f"merge_mode=last_non_null. {mismatch}")
+                    if extras:
+                        raise ValueError(
+                            "Flow output has extra column(s) "
+                            f"{sorted(set(extras))} not found in sink "
+                            f"schema when merge_mode=last_non_null. "
+                            f"{mismatch}")
+                elif len(extras) != len(missing):
+                    raise ValueError(mismatch)
+            is_tql = bool(tql_info or tql_cte_name or re.match(
+                r"\s*TQL\b", select_text, re.IGNORECASE))
+            if pdtypes is not None and sink_cols and not is_tql and \
+                    not all(c.lower() in {str(e[0]).lower()
+                                          for e in sink_cols}
+                            for c, _ in pdtypes):
+                # positional aliasing (non-TQL flows, as before): a
+                # timestamp/non-timestamp clash at any position is the
+                # reference's "data type mismatch" rejection
+                # (show_create_flow.result: OR REPLACE with an
+                # incompatible query leaves the old flow in place)
                 for i, (fc, ft) in enumerate(pdtypes):
                     if i >= len(sink_cols):
                         break
@@ -7141,7 +7197,15 @@ class GreptimeSQL:
             text = _rewrite_geo_path(text)
         if re.search(r"\bcount_hash\s*\(", text, re.IGNORECASE):
             # count of distinct hashed tuples (reference count_hash.rs) —
-            # stays JVM-side as count(DISTINCT xxhash64(...))
+            # stays JVM-side as count(DISTINCT xxhash64(...)). The
+            # reference only implements the single-argument form
+            # (count_hash.result:55); mirror its rejection so multi-arg
+            # calls don't silently diverge
+            cm = re.search(r"\bcount_hash\s*\(([^()]*)\)", text,
+                           re.IGNORECASE)
+            if cm and "," in re.sub(r"\([^)]*\)", "", cm.group(1)):
+                raise ValueError("This feature is not implemented: "
+                                 "count_hash with multiple arguments")
             text = _wrap_call(
                 text, "count_hash", "count(DISTINCT xxhash64(", "))")
         if re.search(r"\bINSERT\s*\(", text, re.IGNORECASE):

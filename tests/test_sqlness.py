@@ -999,6 +999,9 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=(),
                 # lenient drift loudly
                 r"|SET\s+(?:@@)?(?:SESSION\s+|LOCAL\s+|GLOBAL\s+)?"
                 r"(?:SESSION\.)?MAX_EXECUTION_TIME\b"
+                # SET read_preference error-goldens: validated up front
+                # against the leader/follower enum — rejection stores nothing
+                r"|SET\s+read_preference\b"
                 # DROP DATABASE/SCHEMA/VIEW error-goldens: a rejection drops
                 # nothing; a lenient accept deletes state later goldens read
                 r"|DROP\s+(?:DATABASE|SCHEMA|VIEW|FLOW)"
