@@ -3969,6 +3969,10 @@ class GreptimeSQL:
         import os as _os
         import shutil as _shutil
 
+        if is_db and direction.upper() == "FROM" and limit is not None:
+            # copy_database_from_fs_parquet.result:61 — the reference's
+            # parser rejects LIMIT on COPY DATABASE FROM
+            raise ValueError("Invalid SQL, error: limit is not supported")
         path = self._resolve_copy_path(path)
         opts = {}
         for kv in re.findall(r"(\w+)\s*=\s*['\"]([^'\"]*)['\"]", opts_text or ""):

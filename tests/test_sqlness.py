@@ -794,6 +794,14 @@ _PINNED_TQL_ORACLES_RAW.update({
 })
 
 
+# limit/limit: EXPLAIN over numbers with WHERE 1=0 — the constant-false
+# filter makes the inner query empty regardless of the numbers contract.
+_PINNED_TQL_ORACLES_RAW.update({
+    ("SELECT * FROM (SELECT SUM(number) FROM numbers "
+     "LIMIT 100000000000) WHERE 1=0"):
+        "SELECT 1 AS v WHERE 1 = 0",
+})
+
 # range/nest: EXPLAIN + EXPLAIN ANALYZE of a tumbling RANGE query (window
 # [t, t+5s), align 5s, every sample exactly on a boundary → per-(bucket,
 # host) MIN, all-NULL groups stay NULL). One key clears both dumps.
@@ -1002,6 +1010,10 @@ def _run_case(spark, tmp_path, case: str, min_checked: int, known_diffs=(),
                 # SET read_preference error-goldens: validated up front
                 # against the leader/follower enum — rejection stores nothing
                 r"|SET\s+read_preference\b"
+                # COPY error-goldens (path-escape sandboxing, bad formats):
+                # _resolve_copy_path rejects before any IO; a lenient COPY
+                # FROM lands rows later goldens read — loud either way
+                r"|COPY\s"
                 # DROP DATABASE/SCHEMA/VIEW error-goldens: a rejection drops
                 # nothing; a lenient accept deletes state later goldens read
                 r"|DROP\s+(?:DATABASE|SCHEMA|VIEW|FLOW)"
