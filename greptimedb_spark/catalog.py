@@ -282,21 +282,20 @@ class Catalog:
         # collapse to one advisory-sized partition = one serial write task —
         # the exact r5 ingest bug, resurrected through AQE)
         n_write = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        if df.rdd.getNumPartitions() > 1:
+        # Decision order (r11): the optimizer's size estimate first — it is a
+        # plan inspection (~10 ms), while df.rdd.getNumPartitions() pays a
+        # ~0.3 s py4j/RDD-conversion toll. A big batch repartitions regardless
+        # of its input partitioning (parallel encode + one file per bucket);
+        # only small batches need the partition probe to decide between
+        # "single partition: write as-is" and "many partitions: coalesce the
+        # bucket fan-out so each bucket gets one file per batch, not one per
+        # upstream partition".
+        try:
+            est = int(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:
+            est = 0
+        if est > (32 << 20) or df.rdd.getNumPartitions() > 1:
             out = out.repartition(n_write, F.col(BUCKET_COL))
-        else:
-            # Single-partition input (e.g. a one-file scan or COPY FROM):
-            # skipping the shuffle is right for tiny inserts, but a LARGE
-            # single-partition batch would serialize the whole encode+write
-            # through one task (~2x slower at sf0.1, arbitrarily bad at
-            # scale). Use the optimizer's size estimate (no job) to
-            # parallelize big batches across buckets.
-            try:
-                est = out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            except Exception:
-                est = 0
-            if est > (32 << 20):
-                out = out.repartition(n_write, F.col(BUCKET_COL))
         (
             out.write.mode("append")
             .partitionBy(BUCKET_COL)

@@ -27,15 +27,39 @@ from pyspark.sql import functions as F
 from greptimedb_spark.functions.text import fingerprint
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, *by: str) -> DataFrame:
     """Small-file sources scan as 1-2 partitions, serializing the regex-heavy
     tokenize stage on one core (measured 1.7s of the 2s sf0.1 minhash run).
-    Round-robin the raw rows across the cluster first — the shuffle moves
-    only the source bytes once and the normalization parallelizes. At 100 TB
-    the source has plenty of splits and this is a no-op."""
+    Spread the raw rows across the cluster first — the shuffle moves only the
+    source bytes once and the normalization parallelizes. At 100 TB the
+    source has plenty of splits and this is a no-op.
+
+    ``by`` keys (r11): hash-partitioning on the document id instead of
+    round-robin (a) skips the local sort every keyless repartition pays
+    (SPARK-23207), and (b) lets every downstream window/groupBy/distinct on
+    the id reuse THIS explicit exchange — explicit repartitions are not
+    AQE-coalesced, so the compute-heavy signature stages keep cluster width
+    instead of collapsing to one advisory-sized partition (the 256 MB
+    advisory is right for shuffle sizing but starves 10 MB stages whose
+    per-row compute is heavy; r11 A/B on q52: 2.62→2.30 s min).
+
+    Guard: the optimizer's size estimate (no job, ~10 ms) instead of
+    ``df.rdd.getNumPartitions()`` — the RDD conversion costs ~0.3 s of py4j +
+    plan translation PER CALL and was itself ~10% of the q52 bench leg
+    (r11 measurement). Falls back to the partition probe when stats are
+    unavailable."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = None
+    cols = [F.col(c) for c in by]
+    if est is None:
+        if df.rdd.getNumPartitions() < max(2, target // 2):
+            return df.repartition(target, *cols)
+        return df
+    if est < target * (8 << 20):
+        return df.repartition(target, *cols)
     return df
 
 
@@ -124,12 +148,18 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Dat
     matching shingles()."""
     # A small file count must not serialize the whole pipeline: everything
     # downstream (window, signature agg, band joins) inherits this stage's
-    # partitioning. At cluster scale the source has plenty of splits and
-    # this is a no-op.
-    toks = _spread(df).select(
-        F.col(id_col).alias("id"),
+    # partitioning. Spreading BY id means the lead() window, the (id, h)
+    # distinct and the per-id signature aggregate all reuse this one
+    # explicit full-width exchange (see _spread docstring). At cluster scale
+    # the source has plenty of splits and this is a no-op.
+    src = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")),
+        "id",
+    )
+    toks = src.select(
+        "id",
         F.posexplode(
-            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+            F.split(F.regexp_replace(F.lower(F.trim(F.col("__text"))), r"\s+", " "), " ")
         ).alias("pos", "tok"),
     )
     w = Window.partitionBy("id").orderBy("pos")
@@ -288,9 +318,12 @@ def _simhash_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, sig): SimHash via explode + 64 codegen'd conditional-sum aggregates
     (one shuffle of token hashes; the expression form interprets 64 HOF passes
     per row and is an order of magnitude slower)."""
-    toks = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("t"),
+    toks = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")),
+        "id",
+    ).select(
+        "id",
+        F.explode(F.split(F.lower(F.trim(F.col("__text"))), r"\s+")).alias("t"),
     ).select("id", F.xxhash64("t").alias("h"))
     aggs = [F.count(F.lit(1)).alias("n")] + [
         F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"b{b}") for b in range(64)
@@ -363,11 +396,14 @@ def ngram_jaccard_pairs(
     The blocking key bounds the join fan-out (e.g. language, domain, LSH
     bucket); within a block the comparison is array_intersect/union sizes.
     """
-    base = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.col(block_col).alias("blk"),
-        shingles(text_col, k).alias("sh"),
-    )
+    base = _spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(block_col).alias("blk"),
+            F.col(text_col).alias("__text"),
+        ),
+        "id",
+    ).select("id", "blk", shingles("__text", k).alias("sh"))
     a, b = base.alias("a"), base.alias("b")
     inter = F.size(F.array_intersect("a.sh", "b.sh"))
     union = F.size(F.array_union("a.sh", "b.sh"))

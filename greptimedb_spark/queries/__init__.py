@@ -31,11 +31,28 @@ class QuerySpec:
     doc: str = ""
 
 
+# Per-session resolved-plan cache: (session id, table path) → DataFrame.
+# spark.read.parquet() costs ~150 ms of py4j + footer/schema work per call
+# even warm, and a bench pass issues ~13 read() calls INSIDE timed regions
+# (r11 measurement: ~2 s/pass of pure metadata overhead). DataFrames are
+# immutable, so handing back the same analyzed plan is safe; nothing here
+# caches *data* — every action still computes from the parquet files. The
+# driver tables are read-only; a path whose contents change mid-session must
+# not go through this cache.
+# the cached session object rides along so a recycled id() of a dead session
+# can never alias a live one
+_READ_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a driver table. The events parquet stores TIMESTAMP(NANOS), which
     Spark 4 refuses by default — read nanos as long and truncate to µs
     timestamps (matches DuckDB's epoch_us() flooring)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (id(spark), path)
+    cached = _READ_CACHE.get(key)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
     from pyspark.errors.exceptions.captured import AnalysisException
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
@@ -55,6 +72,44 @@ def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # pin UTC so the NTZ wall-clock → instant cast is a no-op shift
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
+    _READ_CACHE[key] = (spark, df)
+    return df
+
+
+def source_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a driver table (0 when not statable, e.g. remote FS)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path) for f in fs
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def read_spread(spark: SparkSession, sf_dir: str, name: str, *by: str) -> DataFrame:
+    """read() + a scale-adaptive repartition for compute-heavy consumers.
+
+    A source too small to fill the cluster's default parallelism with ≥ 8 MB
+    splits scans as a handful of tasks (locally: ONE — the testdata tables
+    are single-row-group parquet), serializing every downstream
+    partial-aggregate/join on one core (guide §2.2/§2.5: scale-adaptive
+    partitioning, derived from input size — not a constant tuned for either
+    mode). Hash-repartitioning on a deterministic high-cardinality key avoids
+    the local sort a round-robin repartition pays (SPARK-23207) and lets a
+    downstream groupBy/join on the same key reuse the exchange. At 100 TB the
+    size guard makes this a no-op — the scan already has enough splits.
+    """
+    df = read(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    nbytes = source_bytes(sf_dir, name)
+    if nbytes and nbytes < target * (8 << 20):
+        from pyspark.sql import functions as F
+
+        return df.repartition(target, *[F.col(c) for c in by])
     return df
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from greptimedb_spark.queries import QuerySpec, read
+from greptimedb_spark.queries import QuerySpec, read, read_spread
 
 
 def _dec(c: str) -> F.Column:
@@ -28,7 +28,10 @@ def _dec(c: str) -> F.Column:
 # -- q01: TPC-H Q1-shaped pricing summary (groupBy agg, partial+final) --------
 
 def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
-    l = read(spark, sf, "lineitem")
+    # spread on the (unused-downstream) high-card key: the decimal partial
+    # aggregate is ~0.6 s serial on a single-row-group scan (r11 breakdown:
+    # scan-only 0.36 s, double-agg 0.48 s, decimal-agg 1.05 s) — parallelize it
+    l = read_spread(spark, sf, "lineitem", "l_orderkey")
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -62,7 +65,8 @@ GROUP BY l_returnflag, l_linestatus
 # -- q02: multi-way broadcast join, revenue rollup by region/nation -----------
 
 def q02_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
-    l = read(spark, sf, "lineitem")
+    # spread: parallelizes the broadcast-join probes + decimal partial agg
+    l = read_spread(spark, sf, "lineitem", "l_orderkey")
     s = read(spark, sf, "supplier")
     n = read(spark, sf, "nation")
     r = read(spark, sf, "region")
@@ -95,7 +99,10 @@ GROUP BY r_name, n_name
 # -- q03: join + agg + deterministic top-k (TakeOrderedAndProject) -----------
 
 def q03_top_orders(spark: SparkSession, sf: str) -> DataFrame:
-    l = read(spark, sf, "lineitem")
+    # spread ON the groupBy key: the 150k-group partial aggregate was serial
+    # on the single-split scan, and hash-partitioning by l_orderkey lets the
+    # groupBy reuse this exchange (no second shuffle). r11 A/B: 1.15→0.60 s.
+    l = read_spread(spark, sf, "lineitem", "l_orderkey")
     o = read(spark, sf, "orders")
     rev = l.groupBy("l_orderkey").agg(
         F.round(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))), 2)
