@@ -187,28 +187,59 @@ def main() -> None:
 
     ev = read(spark, SF_DIR, "events")
     n_rows = ev.count()
-    # replicate to >=1M rows so fixed JVM/commit overhead doesn't dominate
+    # replicate to >=1M rows so fixed JVM/commit overhead doesn't dominate.
+    # r11 measurement fix (guide §1.4 — time the ingest path, not the test
+    # harness's replication): the replicated batch is built with range() as
+    # the STREAM side and the events scan broadcast, so the map side of the
+    # insert's bucket shuffle is `factor`-way parallel instead of serialized
+    # behind the single-row-group events scan (the old orientation put the
+    # whole 1M-row decode+explode+shuffle-write on one core: solo A/B
+    # 1.14→0.84 s min). Same rows, same insert path, same timed region.
     factor = max(1, 1_000_000 // max(n_rows, 1))
     if factor > 1:
         from pyspark.sql import functions as F
 
-        ev = ev.crossJoin(F.broadcast(spark.range(factor))).drop("id")
+        ev_cols = ev.columns
+        ev = spark.range(factor).crossJoin(F.broadcast(ev)).drop("id").select(ev_cols)
         n_rows *= factor
+
     # median of >=3 reps into a fresh table each time — same steady-state
     # policy as the query legs (the first rep alone is dominated by one-time
     # codegen of the insert pipeline, not ingest throughput)
-    samples = []
-    for _ in range(max(3, reps // 2)):
-        ingest_dir = os.path.join(tempfile.gettempdir(), "spark_graft_bench_ingest")
-        shutil.rmtree(ingest_dir, ignore_errors=True)
-        cat = Catalog(spark, ingest_dir)
-        cat.create_table(TableMeta(name="ev", time_index="ts", tags=["user_id"]))
-        t0 = time.time()
-        cat.insert("ev", ev)
-        samples.append(time.time() - t0)
-        shutil.rmtree(ingest_dir, ignore_errors=True)
-    samples.sort()
-    dt = samples[len(samples) // 2]
+    def _ingest_pass() -> float:
+        samples = []
+        for _ in range(max(3, reps // 2)):
+            ingest_dir = os.path.join(tempfile.gettempdir(), "spark_graft_bench_ingest")
+            shutil.rmtree(ingest_dir, ignore_errors=True)
+            cat = Catalog(spark, ingest_dir)
+            cat.create_table(TableMeta(name="ev", time_index="ts", tags=["user_id"]))
+            t0 = time.time()
+            cat.insert("ev", ev)
+            samples.append(time.time() - t0)
+            shutil.rmtree(ingest_dir, ignore_errors=True)
+        samples.sort()
+        return samples[len(samples) // 2]
+
+    # the ingest leg runs inside the same loadavg gate as the query legs
+    # (r10 verdict Wrong #1: it used to run once, unconditionally, after the
+    # gate — and recorded host contention as ingest regression). Every
+    # attempt (measured or deferred) lands in `attempts` with leg="ingest".
+    dt = None
+    for i in range(max_attempts):
+        la0 = _loadavg()
+        if la0 is not None and la0 > load_max and i < max_attempts - 1:
+            attempts.append({"attempt": i + 1, "leg": "ingest",
+                             "loadavg_start": la0,
+                             "action": "deferred_high_load"})
+            time.sleep(defer_wait)
+            continue
+        cur = _ingest_pass()
+        attempts.append({"attempt": i + 1, "leg": "ingest",
+                         "loadavg_start": la0, "loadavg_end": _loadavg(),
+                         "ingest_median": round(cur, 3)})
+        dt = min(dt, cur) if dt is not None else cur
+        if la0 is None or la0 <= load_max:
+            break
     timings["ingest_catalog"] = round(dt, 3)
     timings["ingest_rows_per_sec"] = round(n_rows / dt, 1)
 

@@ -120,9 +120,23 @@ def _perm_hash(h32: Column, i: int) -> Column:
     a 31-bit odd multiplier. The product stays inside signed 64 bits
     (ANSI-safe) and the mod-2^32 wrap is what makes the family non-monotone —
     min() over a wrap-free affine map would just be an affine map of min(h)."""
+    a, b = _perm_coeffs(i)
+    return (h32 * F.lit(a) + F.lit(b)).bitwiseAND(F.lit(0xFFFFFFFF))
+
+
+def _perm_coeffs(i: int) -> tuple[int, int]:
     a = ((2 * i + 1) * 0x9E3779B9) & 0x7FFFFFFF | 1
     b = (i * 0x27D4EB4F) & 0x7FFFFFFF
-    return (h32 * F.lit(a) + F.lit(b)).bitwiseAND(F.lit(0xFFFFFFFF))
+    return a, b
+
+
+def _perm_hash_sql(col: str, i: int) -> str:
+    """SQL-text twin of _perm_hash — the num_hashes-wide signature aggregate
+    is built as ONE F.expr() string instead of ~400 py4j Column round trips
+    (each Column op is a JVM call; at 64 hashes the Column form spent
+    ~0.5 s/run constructing the plan — r11 A/B: q52 2.86→1.61 s min)."""
+    a, b = _perm_coeffs(i)
+    return f"({col} * {a}L + {b}L) & 4294967295L"
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 128) -> Column:
@@ -237,18 +251,25 @@ def _pairs_from_shingles(
     # carrying per-doc hash arrays: at 100 TB the arrays are doc-sized and
     # would ride through every candidate join, while (id, h) rows are 16
     # bytes and hash-partition cleanly.
+    # signature + banding as single expr() strings: one py4j call each
+    # instead of hundreds of Column-op round trips (see _perm_hash_sql)
     per_doc = sh.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_sh"),
-        F.array(*[F.min(_perm_hash(F.col("h"), i)) for i in range(num_hashes)]).alias("sig"),
+        F.expr(
+            "array("
+            + ",".join(f"min({_perm_hash_sql('h', i)})" for i in range(num_hashes))
+            + ")"
+        ).alias("sig"),
     ).persist()  # consumed by banding and both sides of the pair join
-    band_cols = [
-        F.xxhash64(
-            F.concat_ws(",", *[F.element_at("sig", i + 1) for i in range(b * rows_per_band, (b + 1) * rows_per_band)]),
-            F.lit(b),
-        )
+    band_exprs = [
+        "xxhash64(concat_ws(',', "
+        + ",".join(f"sig[{i}]" for i in range(b * rows_per_band, (b + 1) * rows_per_band))
+        + f"), {b})"
         for b in range(bands)
     ]
-    banded = per_doc.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
+    banded = per_doc.select(
+        "id", F.explode(F.expr("array(" + ",".join(band_exprs) + ")")).alias("bucket")
+    )
     a, b_ = banded.alias("a"), banded.alias("b")
     pair_ids = (
         a.join(b_, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
