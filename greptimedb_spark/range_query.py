@@ -226,10 +226,20 @@ def range_select(
     ts_ms = (F.unix_micros(F.col(time_index)) / 1000).cast("long")
 
     # Steps for one range value: all aligned t with t in (x-range, x].
-    def steps_for(range_ms: int) -> Column:
+    def _step_hi() -> Column:
         off = ts_ms - F.lit(to_ms)
         rem = F.pmod(off, F.lit(align_ms))
-        step_hi = ts_ms - rem
+        return ts_ms - rem, rem
+
+    def steps_for(range_ms: int) -> Column:
+        step_hi, rem = _step_hi()
+        if range_ms % align_ms == 0:
+            # rem < align ≤ range ⇒ every row lands in exactly range/align
+            # steps: a literal (codegen'd) array, no per-row interpreted
+            # sequence/transform HOFs (r11; the tumbling n=1 case skips the
+            # explode entirely below)
+            n = range_ms // align_ms
+            return F.array(*[step_hi - k * align_ms for k in range(n)])
         k_max = F.floor((F.lit(range_ms) - rem - 1) / F.lit(align_ms)).cast("long")
         return F.when(
             k_max >= 0,
@@ -246,7 +256,12 @@ def range_select(
     parts: list[DataFrame] = []
     for r_ms in distinct_ranges:
         sub = [a for a in aggs if a.range_ms == r_ms]
-        exploded = df.withColumn("__step", F.explode(steps_for(r_ms)))
+        if r_ms == align_ms:
+            # tumbling: each row belongs to exactly its own aligned step —
+            # plain column, no Generate node
+            exploded = df.withColumn("__step", _step_hi()[0])
+        else:
+            exploded = df.withColumn("__step", F.explode(steps_for(r_ms)))
         for expr_text, alias in by_specs:
             if expr_text != alias:
                 exploded = exploded.withColumn(alias, F.expr(expr_text))
