@@ -220,22 +220,20 @@ def lsh_topk(
             out = out.withColumn(f"__sig{t}", F.element_at("__sigs", t + 1))
         return out.drop("__sigs")
 
-    c = with_sigs(
-        corpus.select(id_col, vec_col,
-                      vec_norm(F.col(vec_col)).alias("__cn")), vec_col)
+    # corpus side: posexplode of the signature array — ONE UDF evaluation.
+    # (the previous n_tables-way unionAll duplicated the ArrowEvalPython
+    # subtree into every branch, so the signature matmul ran n_tables times
+    # over the corpus — 20 Python evals in the q55 plan; r11, guide §4)
+    c_all = (
+        corpus.select(id_col, vec_col, vec_norm(F.col(vec_col)).alias("__cn"))
+        .withColumn("__sigs", sig_udf(F.col(vec_col)))
+        .select(id_col, vec_col, "__cn",
+                F.posexplode("__sigs").alias("tbl", "sig"))
+    )
     q = with_sigs(
         queries.select(query_id_col, query_vec_col,
                        vec_norm(F.col(query_vec_col)).alias("__qn")),
         query_vec_col)
-    sig_tables = []
-    for t in range(n_tables):
-        sig_tables.append(
-            c.select(id_col, vec_col, "__cn",
-                     F.col(f"__sig{t}").alias("sig"), F.lit(t).alias("tbl"))
-        )
-    c_all = sig_tables[0]
-    for s in sig_tables[1:]:
-        c_all = c_all.unionAll(s)
     q_all = q.select(
         query_id_col,
         query_vec_col,

@@ -226,7 +226,7 @@ def range_select(
     ts_ms = (F.unix_micros(F.col(time_index)) / 1000).cast("long")
 
     # Steps for one range value: all aligned t with t in (x-range, x].
-    def _step_hi() -> Column:
+    def _step_hi() -> tuple[Column, Column]:
         off = ts_ms - F.lit(to_ms)
         rem = F.pmod(off, F.lit(align_ms))
         return ts_ms - rem, rem
