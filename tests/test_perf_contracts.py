@@ -1,0 +1,174 @@
+"""Round-11 optimization contracts.
+
+Each test pins the *mechanism* of an r11 optimization (OPTIMIZATION_r11.md),
+not just end results — so a refactor that silently reverts one fails here
+even while the oracle gate stays green.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_read_returns_cached_plan_per_session(spark):
+    from greptimedb_spark.queries import read
+
+    a = read(spark, SF, "events")
+    b = read(spark, SF, "events")
+    assert a is b, "read() must reuse the per-session resolved plan"
+    # different path → different plan
+    c = read(spark, SF, "region")
+    assert c is not a
+
+
+def test_read_spread_repartitions_small_sources(spark):
+    from greptimedb_spark.queries import read_spread
+
+    df = read_spread(spark, SF, "lineitem", "l_orderkey")
+    plan = _plan(df)
+    # the testdata table is far below target*8MB → explicit hash repartition
+    assert "hashpartitioning(l_orderkey" in plan, plan[:600]
+
+
+def test_read_spread_noop_when_source_is_large(spark, monkeypatch):
+    import greptimedb_spark.queries as q
+
+    monkeypatch.setattr(q, "source_bytes", lambda *_: 10 << 40)  # pretend 10 TB
+    df = q.read_spread(spark, SF, "lineitem", "l_orderkey")
+    assert "Repartition" not in _plan(df), "spread must be a no-op at scale"
+
+
+def test_dedup_spread_partitions_by_id_without_rdd_probe(spark):
+    from greptimedb_spark.operators.dedup import shingle_hashes
+    from greptimedb_spark.queries import read
+
+    sh = shingle_hashes(read(spark, SF, "documents"), "doc_id", "text", 3)
+    plan = _plan(sh)
+    # explicit by-id spread: the window/distinct reuse ONE id exchange —
+    # exactly one hashpartitioning(id...) Exchange in the plan
+    n_id_exchanges = plan.count("Arguments: hashpartitioning(id#")
+    assert n_id_exchanges == 1, f"expected 1 id exchange, plan:\n{plan[:1500]}"
+
+
+def test_minhash_signature_expr_string_matches_column_form(spark):
+    """The expr()-string signature path must equal the Column-API definition
+    hash for hash (the oracle fixture pins absolute values; this pins the
+    two in-repo formulations against each other)."""
+    from greptimedb_spark.operators.dedup import (
+        _perm_hash,
+        _perm_hash_sql,
+    )
+
+    df = spark.range(1000).select((F.col("id") * 2654435761 % (1 << 32)).alias("h"))
+    cols = [_perm_hash(F.col("h"), i).alias(f"c{i}") for i in range(8)]
+    exprs = [F.expr(_perm_hash_sql("h", i)).alias(f"e{i}") for i in range(8)]
+    rows = df.select(*cols, *exprs).collect()
+    for r in rows:
+        for i in range(8):
+            assert r[f"c{i}"] == r[f"e{i}"]
+
+
+def test_range_literal_steps_match_general_path(spark):
+    """range % align == 0 takes the literal-array path; a coprime range takes
+    the general HOF path. Both must implement the same window membership:
+    steps t with t in (x-range, x]."""
+    from greptimedb_spark.range_query import RangeAgg, range_select
+
+    rows = [(i * 700, float(i)) for i in range(50)]
+    df = spark.createDataFrame(
+        [(i,) for i in range(1)], "dummy int"
+    ).sparkSession.createDataFrame(rows, "ms long, v double").select(
+        F.timestamp_millis("ms").alias("ts"), "v"
+    )
+
+    def grid(range_ms):
+        out = range_select(
+            df, "ts", [RangeAgg("sum(v)", "s", range_ms)], align=1000
+        )
+        return sorted(
+            (r["ts"].timestamp(), r["s"]) for r in out.collect()
+        )
+
+    # brute-force expected windows for the literal (multiple) case
+    def expected(range_ms):
+        from collections import defaultdict
+
+        acc = defaultdict(float)
+        for ms, v in rows:
+            step_hi = ms - ms % 1000
+            t = step_hi
+            while t > ms - range_ms:
+                acc[t] += v
+                t -= 1000
+        return sorted((k / 1000.0, v) for k, v in acc.items())
+
+    assert grid(3000) == expected(3000)   # literal path (multiple)
+    assert grid(2500) == expected(2500)   # general HOF path (non-multiple)
+    assert grid(1000) == expected(1000)   # tumbling path (no explode)
+
+
+def test_range_tumbling_has_no_generate(spark):
+    from greptimedb_spark.range_query import RangeAgg, range_select
+    from greptimedb_spark.queries import read
+
+    out = range_select(
+        read(spark, SF, "events"), "ts",
+        [RangeAgg("count(value)", "n", 3_600_000)], align="1h",
+    )
+    assert "Generate" not in _plan(out), "tumbling RANGE must not explode"
+
+
+def test_lsh_topk_evaluates_signature_udf_once_per_side(spark):
+    from greptimedb_spark.operators.similarity import lsh_topk
+    from greptimedb_spark.queries import read
+
+    e = read(spark, SF, "embeddings")
+    q = e.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = _plan(lsh_topk(e, q, dim=64, k=3, n_planes=4, n_tables=20))
+    n_py = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+    # corpus side 1 + query side ≤2 (formatted output may list a node twice
+    # in AQE initial/final sections; 20-per-side means the unionAll bug)
+    assert n_py <= 6, f"signature UDF duplicated {n_py}x in plan"
+
+
+def test_catalog_insert_skips_rdd_probe_for_big_batches(spark, tmp_path, monkeypatch):
+    """Big batches must take the size-estimate branch (no RDD conversion)."""
+    from greptimedb_spark.catalog import Catalog, TableMeta
+    from pyspark.sql import DataFrame
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table(TableMeta(name="t", time_index="ts", tags=["k"]))
+    big = (
+        spark.range(200_000)
+        .select(
+            F.timestamp_millis((F.col("id") % 30) * 86_400_000).alias("ts"),
+            (F.col("id") % 7).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+    )
+
+    def _boom(self):
+        raise AssertionError("df.rdd must not be touched for big batches")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+    cat.insert("t", big)  # must not raise
+    # raw read: the logical view upserts by (tag, ts) and this batch has
+    # only 210 distinct pairs — the contract under test is the write path
+    got = cat.read("t", raw=True).count()
+    assert got == 200_000
