@@ -36,6 +36,11 @@ _DEFAULTS = {
     # sizes — rejected.
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256m",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # zstd output parquet (guide §6): 38% fewer bytes than snappy on the
+    # ingest-bench batch (5.3 vs 8.6 MB) at statistically equal write time
+    # locally (r11 A/B: min 0.90 vs 0.91 s) — at 100 TB the byte saving is
+    # the lever (less disk + network on every write/read of written data)
+    "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.parquet.recordLevelFilter.enabled": "false",
