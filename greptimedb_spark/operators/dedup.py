@@ -199,18 +199,19 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard, jaccard ≥ threshold).
 
-    Pipeline: shingle hashes → num_hashes-way MIN aggregate signature → band
-    buckets → id-only candidate join → exact-Jaccard verify via a shingle-hash
-    join (|A∩B| counted by joining the two docs' distinct hash sets — no
-    arrays ever shuffle). Band count tunes recall:
+    Pipeline: shingle hashes → one grouped pass building the per-doc profile
+    (shingle count, num_hashes-way MIN signature, distinct-hash array) → band
+    buckets → id-only candidate join → exact-Jaccard verify by attaching the
+    two docs' hash arrays to each candidate pair and taking
+    size(array_intersect). Band count tunes recall:
     P(collide) = 1-(1-j^r)^b with r = num_hashes/bands.
 
-    CACHING CONTRACT: three intermediates (shingle hashes, per-doc
-    signatures, candidate pair ids) are persist()ed because each feeds 2-3
-    consumers of the returned plan; they stay cached until the caller drops
-    them. In a long-lived session, call spark.catalog.clearCache() (or
-    unpersist the returned plan's sources) after materializing the result —
-    the bench harness does exactly this between reps.
+    CACHING CONTRACT: ONE intermediate (the per-doc profile) is persist()ed
+    because it feeds three consumers of the returned plan (banding + both
+    sides of the pair join); it stays cached until the caller drops it. In a
+    long-lived session, call spark.catalog.clearCache() (or unpersist the
+    returned plan's sources) after materializing the result — the bench
+    harness does exactly this between reps.
 
     PERF EXPERIMENTS (r7, tools/bench_q52_variants.py, solo sf0.1): spilling
     sh to parquet and re-reading LOST to persist() (2.9s vs winner below);
@@ -219,17 +220,16 @@ def minhash_lsh_pairs(
     many small exchanges coalesce to advisory size: 3.3s -> ~2.65s. A raw
     shuffle.partitions=16 benched 2.03s but hard-coding width is
     anti-scale; the AQE route gets most of it and stays wide at 100TB.
-    Also benched and rejected (r7 late):
-    spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true (let AQE
-    re-coalesce the persisted stages) — no effect inside noise (5-rep A/B
-    medians 2.48s vs 2.37s); per-session warm-up dominates the first rep.
-    Current solo floor: ~2.4s median / ~1.9s min.
+    r11 (second pass): the row-form intersection (joining the exploded
+    (id, h) relation on both sides of each candidate pair) was replaced by
+    the array-form verify above — see _pairs_from_shingles for the
+    measurements and the scale argument.
     """
-    # sh feeds three consumers (signature aggregate, both sides of the
-    # exact-verify intersection join) whose partitionings differ, so Spark
-    # cannot reuse one exchange — persist so the tokenize→window→distinct
-    # pipeline runs once, not 3× (r2 bench: 7.2 s → ~5 s at sf0.1)
-    sh = shingle_hashes(df, id_col, text_col, shingle_k).persist()
+    # sh has exactly one consumer now (the per-doc profile aggregate), so it
+    # is NOT persisted — the tokenize→window→distinct pipeline runs once and
+    # feeds the grouped pass directly (r11: the old three-consumer shape
+    # persisted it; the profile cache replaced that role)
+    sh = shingle_hashes(df, id_col, text_col, shingle_k)
     return _pairs_from_shingles(sh, num_hashes=num_hashes, bands=bands,
                                 jaccard_threshold=jaccard_threshold)
 
@@ -242,15 +242,39 @@ def _pairs_from_shingles(
 ) -> DataFrame:
     """minhash_lsh_pairs past the shingle stage: takes the distinct (id, h)
     relation (cached, or re-read from columnar storage — see
-    tools/bench_q52_variants.py) and returns the verified pair set."""
+    tools/bench_q52_variants.py) and returns the verified pair set.
+
+    r11 restructure (guide §2.4 — remove shuffles outright): the whole query
+    is now ONE Spark job. The old shape ran an eager pair-ids count() job
+    (to pick broadcast vs shuffle joins and to keep the band self-join from
+    re-executing under its two consumers) and verified |A∩B| by joining the
+    exploded (id, h) relation onto each side of every candidate pair —
+    2 exchanges + a (pair)-keyed aggregate + a 3-way final join. Now the
+    per-doc profile carries the distinct-hash ARRAY, each candidate pair
+    attaches the two arrays in the same join that fetches n_sh/sig, and
+    |A∩B| = size(array_intersect(hs_a, hs_b)) computed in place:
+
+    - the candidate-pair relation has exactly ONE consumer, so nothing needs
+      eager materialization and AQE picks the join strategy from runtime
+      shuffle stats (strictly better than the old static ≤1M-rows count
+      guard: the decision sees actual bytes, and the count job disappears);
+    - shuffle bytes DROP at scale: a doc's hash set crosses the wire once as
+      one 8-bytes-per-hash array row per candidate pair, where the row form
+      shipped the same hashes as (id, h) rows through two exchanges plus a
+      shuffled (pair, count) aggregate. A hot doc in m pairs replicates its
+      array m times — the row form replicated its rows m times through the
+      same joins, so the fan-out bound is unchanged (and the pair join is a
+      join, so AQE skew splitting still applies);
+    - solo A/B at sf0.1 (interleaved min-of-10, quiet-window): 1.69 → 1.17 s
+      min, 3.23 → 1.66 s median — and the tail tightens (worst rep 8.78 →
+      2.55 s) because fewer sequential stage barriers are exposed to host
+      load spikes.
+    """
     rows_per_band = num_hashes // bands
 
-    # One grouped pass produces the per-doc shingle count and the minhash
-    # signature (128 fixed-width ints — bounded row payload). The exact-verify
-    # intersection below re-joins the exploded (id, h) relation instead of
-    # carrying per-doc hash arrays: at 100 TB the arrays are doc-sized and
-    # would ride through every candidate join, while (id, h) rows are 16
-    # bytes and hash-partition cleanly.
+    # One grouped pass produces the per-doc shingle count, the minhash
+    # signature (num_hashes fixed-width ints — bounded row payload) and the
+    # distinct-hash array used by the exact verify.
     # signature + banding as single expr() strings: one py4j call each
     # instead of hundreds of Column-op round trips (see _perm_hash_sql)
     per_doc = sh.groupBy("id").agg(
@@ -260,6 +284,7 @@ def _pairs_from_shingles(
             + ",".join(f"min({_perm_hash_sql('h', i)})" for i in range(num_hashes))
             + ")"
         ).alias("sig"),
+        F.collect_list("h").alias("hs"),
     ).persist()  # consumed by banding and both sides of the pair join
     band_exprs = [
         "xxhash64(concat_ws(',', "
@@ -271,40 +296,19 @@ def _pairs_from_shingles(
         "id", F.explode(F.expr("array(" + ",".join(band_exprs) + ")")).alias("bucket")
     )
     a, b_ = banded.alias("a"), banded.alias("b")
-    pair_ids = (
+    cand = (
         a.join(b_, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .persist()  # feeds the intersection AND the final join — without
-    )              # persist the banding self-join would run twice
-    # materializing also yields the candidate count, which decides the join
-    # strategy below: LSH candidate sets are usually tiny relative to the
-    # corpus, so broadcasting them turns every downstream join map-side; past
-    # the guard (huge near-dup corpora) the shuffle joins stand
-    n_pairs = pair_ids.count()
-    cand = F.broadcast(pair_ids) if n_pairs <= 1_000_000 else pair_ids
-
-    # |A∩B| by joining the exploded distinct (id, h) sets of the candidate
-    # pairs and counting matches — no arrays move through the shuffle
-    sh_a = sh.select(F.col("id").alias("id_a"), "h")
-    sh_b = sh.select(F.col("id").alias("id_b"), "h")
-    inter = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    if n_pairs <= 1_000_000:
-        inter = F.broadcast(inter)  # ≤ n_pairs rows by construction
 
     out = (
         cand.join(per_doc.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"),
-                                 F.col("sig").alias("sig_a")), "id_a")
+                                 F.col("sig").alias("sig_a"), F.col("hs").alias("hs_a")), "id_a")
         .join(per_doc.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"),
-                             F.col("sig").alias("sig_b")), "id_b")
-        .join(inter, ["id_a", "id_b"], "left")
+                             F.col("sig").alias("sig_b"), F.col("hs").alias("hs_b")), "id_b")
     )
-    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    n_inter = F.size(F.array_intersect("hs_a", "hs_b"))
     matches = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1)
     )
