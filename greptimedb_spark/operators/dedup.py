@@ -27,6 +27,24 @@ from pyspark.sql import functions as F
 from greptimedb_spark.functions.text import fingerprint
 
 
+def _should_spread(df: DataFrame, target: int) -> bool:
+    """True when the source is too small to fill ``target`` partitions at
+    ≥8 MB each — i.e. a small-file scan whose 1-2 splits would serialize
+    compute-heavy downstream stages on one core. At 100 TB the estimate
+    exceeds the bound and spreading is a no-op.
+
+    Guard: the optimizer's size estimate (no job, ~10 ms) instead of
+    ``df.rdd.getNumPartitions()`` — the RDD conversion costs ~0.3 s of py4j +
+    plan translation PER CALL and was itself ~10% of the q52 bench leg
+    (r11 measurement). Falls back to the partition probe when stats are
+    unavailable."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df.rdd.getNumPartitions() < max(2, target // 2)
+    return est < target * (8 << 20)
+
+
 def _spread(df: DataFrame, *by: str) -> DataFrame:
     """Small-file sources scan as 1-2 partitions, serializing the regex-heavy
     tokenize stage on one core (measured 1.7s of the 2s sf0.1 minhash run).
@@ -41,25 +59,10 @@ def _spread(df: DataFrame, *by: str) -> DataFrame:
     AQE-coalesced, so the compute-heavy signature stages keep cluster width
     instead of collapsing to one advisory-sized partition (the 256 MB
     advisory is right for shuffle sizing but starves 10 MB stages whose
-    per-row compute is heavy; r11 A/B on q52: 2.62→2.30 s min).
-
-    Guard: the optimizer's size estimate (no job, ~10 ms) instead of
-    ``df.rdd.getNumPartitions()`` — the RDD conversion costs ~0.3 s of py4j +
-    plan translation PER CALL and was itself ~10% of the q52 bench leg
-    (r11 measurement). Falls back to the partition probe when stats are
-    unavailable."""
+    per-row compute is heavy; r11 A/B on q52: 2.62→2.30 s min)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:
-        est = None
-    cols = [F.col(c) for c in by]
-    if est is None:
-        if df.rdd.getNumPartitions() < max(2, target // 2):
-            return df.repartition(target, *cols)
-        return df
-    if est < target * (8 << 20):
-        return df.repartition(target, *cols)
+    if _should_spread(df, target):
+        return df.repartition(target, *[F.col(c) for c in by])
     return df
 
 
@@ -188,6 +191,19 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Dat
     ).distinct()
 
 
+def _band_exprs_sql(num_hashes: int, bands: int) -> list[str]:
+    """One SQL band-hash expression per band: xxhash64 over that band's
+    signature slice, seeded by the band index so equal slices in different
+    bands land in different buckets."""
+    rows_per_band = num_hashes // bands
+    return [
+        "xxhash64(concat_ws(',', "
+        + ",".join(f"sig[{i}]" for i in range(b * rows_per_band, (b + 1) * rows_per_band))
+        + f"), {b})"
+        for b in range(bands)
+    ]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -206,6 +222,29 @@ def minhash_lsh_pairs(
     size(array_intersect). Band count tunes recall:
     P(collide) = 1-(1-j^r)^b with r = num_hashes/bands.
 
+    BUILD PATH (r11 third pass, guide §1.2 "per-task work" applied to the
+    DRIVER): the plan is built as TWO spark.sql() texts instead of ~40
+    chained DataFrame ops. Each classic-mode DataFrame op is an eager
+    Catalyst analysis over the whole accumulated tree plus a py4j round
+    trip; at 64 signature mins + 16 band hashes that cost 0.38-0.5 s per
+    build — a third of the sf0.1 leg (cProfile: ~1,050 py4j commands/build,
+    1.5 s of 2.0 s in socket reads across 3 builds). The SQL form analyzes
+    once per statement: build 0.38→0.15 s, execution byte-identical and
+    unchanged (interleaved A/B min 0.99→0.79 s, med 1.17→0.96 s).
+    Two statements, not one, because the per-doc profile must persist()
+    between them (below). The DataFrame twin of this pipeline lives in
+    shingle_hashes + _pairs_from_shingles and a parity test pins the two
+    formulations against each other.
+
+    NOTE: registers/overwrites two session temp views (__minhash_src,
+    __minhash_per_doc). They are not dropped afterwards: dropping
+    __minhash_per_doc would uncache the persisted profile out from under
+    the returned plan (dropTempView uncaches matching plans). Multi-ref
+    CTEs are avoided in the pair statement — Spark's cache substitution
+    does not reach through CTERelationRef, so each reference inlines the
+    view flat (measured: the WITH form recomputed the whole tokenize
+    pipeline 3×; the flat form hits the InMemoryRelation).
+
     CACHING CONTRACT: ONE intermediate (the per-doc profile) is persist()ed
     because it feeds three consumers of the returned plan (banding + both
     sides of the pair join); it stays cached until the caller drops it. In a
@@ -222,16 +261,63 @@ def minhash_lsh_pairs(
     anti-scale; the AQE route gets most of it and stays wide at 100TB.
     r11 (second pass): the row-form intersection (joining the exploded
     (id, h) relation on both sides of each candidate pair) was replaced by
-    the array-form verify above — see _pairs_from_shingles for the
-    measurements and the scale argument.
+    the array-form verify — see _pairs_from_shingles for the measurements
+    and the scale argument.
     """
-    # sh has exactly one consumer now (the per-doc profile aggregate), so it
-    # is NOT persisted — the tokenize→window→distinct pipeline runs once and
-    # feeds the grouped pass directly (r11: the old three-consumer shape
-    # persisted it; the profile cache replaced that role)
-    sh = shingle_hashes(df, id_col, text_col, shingle_k)
-    return _pairs_from_shingles(sh, num_hashes=num_hashes, bands=bands,
-                                jaccard_threshold=jaccard_threshold)
+    spark = df.sparkSession
+    k = shingle_k
+    target = spark.sparkContext.defaultParallelism
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    hint = (
+        f"/*+ REPARTITION({target}, id) */ " if _should_spread(src, target) else ""
+    )
+    src.createOrReplaceTempView("__minhash_src")
+
+    # shingle window via lead() like shingle_hashes (concat_ws skips the NULL
+    # leads of short docs; pos=0 keeps the whole-text shingle of docs < k)
+    leads = ["tok"] + [
+        f"lead(tok, {j}) OVER (PARTITION BY id ORDER BY pos)" for j in range(1, k)
+    ]
+    mins = ",".join(f"min({_perm_hash_sql('h', i)})" for i in range(num_hashes))
+    per_doc = spark.sql(f"""
+WITH spread AS (SELECT {hint}id, __text FROM __minhash_src),
+toks AS (
+  SELECT id, pos, tok FROM spread
+  LATERAL VIEW posexplode(split(regexp_replace(lower(trim(__text)), '\\\\s+', ' '), ' ')) AS pos, tok
+),
+sh AS (
+  SELECT id, pos, concat_ws(' ', {", ".join(leads)}) AS sh,
+         lead(tok, {k - 1}) OVER (PARTITION BY id ORDER BY pos) AS last
+  FROM toks
+),
+hs AS (
+  SELECT DISTINCT id, xxhash64(sh) & 4294967295 AS h
+  FROM sh WHERE last IS NOT NULL OR pos = 0
+)
+SELECT id, count(1) AS n_sh, array({mins}) AS sig, collect_list(h) AS hs
+FROM hs GROUP BY id
+""").persist()  # consumed by banding and both sides of the pair join
+    per_doc.createOrReplaceTempView("__minhash_per_doc")
+
+    banded = (
+        "(SELECT id, explode(array(" + ",".join(_band_exprs_sql(num_hashes, bands))
+        + ")) AS bucket FROM __minhash_per_doc)"
+    )
+    n_inter = "size(array_intersect(pa.hs, pb.hs))"
+    return spark.sql(f"""
+SELECT id_a, id_b, est_jaccard, jaccard FROM (
+  SELECT c.id_a, c.id_b,
+         round(size(filter(zip_with(pa.sig, pb.sig, (x, y) -> cast(x = y AS int)), v -> v = 1)) / {num_hashes}, 6) AS est_jaccard,
+         round({n_inter} / (pa.n_sh + pb.n_sh - {n_inter}), 6) AS jaccard
+  FROM (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM {banded} a JOIN {banded} b ON a.bucket = b.bucket AND a.id < b.id
+  ) c
+  JOIN __minhash_per_doc pa ON pa.id = c.id_a
+  JOIN __minhash_per_doc pb ON pb.id = c.id_b
+)
+WHERE jaccard >= CAST({jaccard_threshold!r} AS DOUBLE)
+""")
 
 
 def _pairs_from_shingles(
@@ -240,9 +326,11 @@ def _pairs_from_shingles(
     bands: int = 32,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
-    """minhash_lsh_pairs past the shingle stage: takes the distinct (id, h)
-    relation (cached, or re-read from columnar storage — see
-    tools/bench_q52_variants.py) and returns the verified pair set.
+    """DataFrame twin of minhash_lsh_pairs past the shingle stage: takes the
+    distinct (id, h) relation (cached, or re-read from columnar storage — see
+    tools/bench_q52_variants.py) and returns the verified pair set. The main
+    entry builds the same pipeline as SQL text (fewer py4j/analysis round
+    trips); a parity test pins the two formulations against each other.
 
     r11 restructure (guide §2.4 — remove shuffles outright): the whole query
     is now ONE Spark job. The old shape ran an eager pair-ids count() job
@@ -270,8 +358,6 @@ def _pairs_from_shingles(
       2.55 s) because fewer sequential stage barriers are exposed to host
       load spikes.
     """
-    rows_per_band = num_hashes // bands
-
     # One grouped pass produces the per-doc shingle count, the minhash
     # signature (num_hashes fixed-width ints — bounded row payload) and the
     # distinct-hash array used by the exact verify.
@@ -286,12 +372,7 @@ def _pairs_from_shingles(
         ).alias("sig"),
         F.collect_list("h").alias("hs"),
     ).persist()  # consumed by banding and both sides of the pair join
-    band_exprs = [
-        "xxhash64(concat_ws(',', "
-        + ",".join(f"sig[{i}]" for i in range(b * rows_per_band, (b + 1) * rows_per_band))
-        + f"), {b})"
-        for b in range(bands)
-    ]
+    band_exprs = _band_exprs_sql(num_hashes, bands)
     banded = per_doc.select(
         "id", F.explode(F.expr("array(" + ",".join(band_exprs) + ")")).alias("bucket")
     )

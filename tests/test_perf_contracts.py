@@ -147,6 +147,51 @@ def test_lsh_topk_evaluates_signature_udf_once_per_side(spark):
     assert n_py <= 6, f"signature UDF duplicated {n_py}x in plan"
 
 
+def test_minhash_sql_path_matches_dataframe_twin(spark):
+    """minhash_lsh_pairs builds its plan as SQL text (2 spark.sql calls);
+    shingle_hashes + _pairs_from_shingles is the DataFrame twin. The two
+    formulations must produce identical rows (including float rounding)."""
+    from greptimedb_spark.operators.dedup import (
+        _pairs_from_shingles,
+        minhash_lsh_pairs,
+        shingle_hashes,
+    )
+    from greptimedb_spark.queries import read
+
+    docs = read(spark, SF, "documents")
+    kw = dict(num_hashes=32, bands=8, jaccard_threshold=0.2)
+    via_sql = minhash_lsh_pairs(docs, "doc_id", "text", shingle_k=3, **kw)
+    via_df = _pairs_from_shingles(shingle_hashes(docs, "doc_id", "text", 3), **kw)
+    assert via_sql.columns == via_df.columns
+    rows_sql = sorted(map(tuple, via_sql.collect()))
+    spark.catalog.clearCache()
+    rows_df = sorted(map(tuple, via_df.collect()))
+    spark.catalog.clearCache()
+    assert rows_sql and rows_sql == rows_df
+
+
+def test_minhash_pair_statement_hits_profile_cache(spark):
+    """The pair statement must reference the persisted per-doc profile flat
+    (no multi-ref CTE): Spark's cache substitution does not reach through
+    CTERelationRef, and a miss silently recomputes the tokenize pipeline
+    3x. Four InMemoryRelation consumers = banding both sides + pa + pb."""
+    import io
+    from contextlib import redirect_stdout
+
+    from greptimedb_spark.operators.dedup import minhash_lsh_pairs
+    from greptimedb_spark.queries import read
+
+    out = minhash_lsh_pairs(read(spark, SF, "documents"), "doc_id", "text",
+                            num_hashes=32, bands=8, jaccard_threshold=0.2)
+    plan = _plan(out)
+    assert "InMemoryTableScan" in plan, plan[:1500]
+    # the whole tokenize pipeline must appear ONLY below the cache boundary:
+    # no Window (shingle lead) may survive above InMemoryRelation sections
+    head = plan.split("InMemoryRelation", 1)[0]
+    assert "Window" not in head
+    spark.catalog.clearCache()
+
+
 def test_catalog_insert_skips_rdd_probe_for_big_batches(spark, tmp_path, monkeypatch):
     """Big batches must take the size-estimate branch (no RDD conversion)."""
     from greptimedb_spark.catalog import Catalog, TableMeta
