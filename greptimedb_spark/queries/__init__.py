@@ -113,6 +113,35 @@ def read_spread(spark: SparkSession, sf_dir: str, name: str, *by: str) -> DataFr
     return df
 
 
+# Per-session registered temp views over read()/read_spread() plans.
+# Why views at all: a builder that chains ~10-40 classic DataFrame ops pays a
+# py4j round trip PLUS an eager Catalyst analysis of the accumulated tree per
+# op (r11 cProfile on q52: ~1,050 py4j commands ≈ 0.4-0.5 s per build). A
+# builder that issues ONE spark.sql() statement over a pre-registered view
+# analyzes once. The view wraps the same cached read()/read_spread() plan —
+# metadata only, every action still computes from parquet.
+_VIEW_CACHE: dict[tuple[int, str], SparkSession] = {}
+
+
+def table_view(spark: SparkSession, sf_dir: str, name: str, *spread_by: str) -> str:
+    """Register (once per session + path [+ spread key]) a temp view over
+    read() / read_spread() and return its deterministic name. Views are
+    session-scoped and overwritten, never dropped (dropping would race other
+    builders in flight)."""
+    import re
+
+    slug = re.sub(r"[^A-Za-z0-9]", "_", sf_dir.rstrip("/"))
+    vname = f"__t{slug}_{name}" + (f"__by_{'_'.join(spread_by)}" if spread_by else "")
+    key = (id(spark), vname)
+    cached = _VIEW_CACHE.get(key)
+    if cached is not None and cached is spark:
+        return vname
+    df = read_spread(spark, sf_dir, name, *spread_by) if spread_by else read(spark, sf_dir, name)
+    df.createOrReplaceTempView(vname)
+    _VIEW_CACHE[key] = spark
+    return vname
+
+
 def all_queries() -> dict[str, QuerySpec]:
     from greptimedb_spark.queries import (
         relational,

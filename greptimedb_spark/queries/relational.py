@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from greptimedb_spark.queries import QuerySpec, read, read_spread
+from greptimedb_spark.queries import QuerySpec, read, read_spread, table_view
 
 
 def _dec(c: str) -> F.Column:
@@ -30,22 +30,22 @@ def _dec(c: str) -> F.Column:
 def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     # spread on the (unused-downstream) high-card key: the decimal partial
     # aggregate is ~0.6 s serial on a single-row-group scan (r11 breakdown:
-    # scan-only 0.36 s, double-agg 0.48 s, decimal-agg 1.05 s) — parallelize it
-    l = read_spread(spark, sf, "lineitem", "l_orderkey")
-    return (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))), 2)
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.round(F.avg(_dec("l_quantity")), 4).cast("double").alias("avg_qty"),
-            F.round(F.avg(_dec("l_discount")), 4).cast("double").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
+    # scan-only 0.36 s, double-agg 0.48 s, decimal-agg 1.05 s) — parallelize it.
+    # Single SQL statement over the registered view: one Catalyst analysis
+    # instead of an eager analysis per chained DataFrame op (r11 third pass).
+    v = table_view(spark, sf, "lineitem", "l_orderkey")
+    return spark.sql(f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(AVG(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE) AS avg_qty,
+       CAST(ROUND(AVG(CAST(l_discount AS DECIMAL(18,2))), 4) AS DOUBLE) AS avg_disc,
+       COUNT(1) AS count_order
+FROM {v}
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
 
 
 Q01_SQL = """
@@ -66,22 +66,20 @@ GROUP BY l_returnflag, l_linestatus
 
 def q02_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     # spread: parallelizes the broadcast-join probes + decimal partial agg
-    l = read_spread(spark, sf, "lineitem", "l_orderkey")
-    s = read(spark, sf, "supplier")
-    n = read(spark, sf, "nation")
-    r = read(spark, sf, "region")
-    return (
-        l.join(broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(
-            F.round(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))), 2)
-            .cast("double")
-            .alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
+    vl = table_view(spark, sf, "lineitem", "l_orderkey")
+    vs = table_view(spark, sf, "supplier")
+    vn = table_view(spark, sf, "nation")
+    vr = table_view(spark, sf, "region")
+    return spark.sql(f"""
+SELECT /*+ BROADCAST(s), BROADCAST(n), BROADCAST(r) */ r_name, n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+       COUNT(1) AS n_items
+FROM {vl} l
+JOIN {vs} s ON l.l_suppkey = s.s_suppkey
+JOIN {vn} n ON s.s_nationkey = n.n_nationkey
+JOIN {vr} r ON n.n_regionkey = r.r_regionkey
+GROUP BY r_name, n_name
+""")
 
 
 Q02_SQL = """
@@ -102,19 +100,19 @@ def q03_top_orders(spark: SparkSession, sf: str) -> DataFrame:
     # spread ON the groupBy key: the 150k-group partial aggregate was serial
     # on the single-split scan, and hash-partitioning by l_orderkey lets the
     # groupBy reuse this exchange (no second shuffle). r11 A/B: 1.15→0.60 s.
-    l = read_spread(spark, sf, "lineitem", "l_orderkey")
-    o = read(spark, sf, "orders")
-    rev = l.groupBy("l_orderkey").agg(
-        F.round(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))), 2)
-        .cast("double")
-        .alias("revenue")
-    )
-    return (
-        o.join(rev, o.o_orderkey == rev.l_orderkey)
-        .select("o_orderkey", "o_orderpriority", "revenue")
-        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-        .limit(20)
-    )
+    vl = table_view(spark, sf, "lineitem", "l_orderkey")
+    vo = table_view(spark, sf, "orders")
+    return spark.sql(f"""
+SELECT o_orderkey, o_orderpriority, revenue
+FROM {vo} o
+JOIN (
+  SELECT l_orderkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+  FROM {vl} GROUP BY l_orderkey
+) r ON o.o_orderkey = r.l_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 20
+""")
 
 
 Q03_SQL = """
@@ -304,15 +302,18 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 # -- q10: conditional aggregation (CASE/if → when) -----------------------------
 
 def q10_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
-    l = read(spark, sf, "lineitem")
-    return l.groupBy("l_linestatus").agg(
-        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_discounted"),
-        F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0)).alias("n_taxfree"),
-        F.round(
-            F.sum(F.when(F.col("l_returnflag") == "R", _dec("l_extendedprice")).otherwise(F.lit(0).cast("decimal(18,2)"))),
-            2,
-        ).cast("double").alias("returned_value"),
-    )
+    # Single SQL statement over the registered view (r11: one Catalyst
+    # analysis per build instead of one per chained op). Double literals use
+    # the D suffix so the comparisons match the DataFrame form bit-for-bit.
+    v = table_view(spark, sf, "lineitem")
+    return spark.sql(f"""
+SELECT l_linestatus,
+       SUM(CASE WHEN l_discount > 0.05D THEN 1 ELSE 0 END) AS n_discounted,
+       SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS n_taxfree,
+       CAST(ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS returned_value
+FROM {v}
+GROUP BY l_linestatus
+""")
 
 
 Q10_SQL = """

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from greptimedb_spark.queries import QuerySpec, read
+from greptimedb_spark.queries import QuerySpec, read, table_view
 from greptimedb_spark.range_query import RangeAgg, range_select
 
 
@@ -25,16 +25,20 @@ def _bucket_ms(col: str = "ts", unit: str = "hour") -> F.Column:
 # -- q20: time-bucketed multi-agg (TSBS double-groupby analog) ----------------
 
 def q20_time_bucket_agg(spark: SparkSession, sf: str) -> DataFrame:
-    e = read(spark, sf, "events")
-    return (
-        e.groupBy(_bucket_ms().alias("bucket_ms"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-            F.round(F.max("value"), 4).alias("max_value"),
-            F.round(F.min("value"), 4).alias("min_value"),
-        )
-    )
+    # Single SQL statement over the registered view (r11: one Catalyst
+    # analysis per build). No spread: avg(value) over doubles is summation-
+    # order-dependent, so the serial-scan fold order must be preserved.
+    v = table_view(spark, sf, "events")
+    return spark.sql(f"""
+SELECT CAST(unix_micros(date_trunc('hour', ts)) / 1000 AS BIGINT) AS bucket_ms,
+       event_type,
+       COUNT(1) AS n,
+       ROUND(AVG(value), 4) AS avg_value,
+       ROUND(MAX(value), 4) AS max_value,
+       ROUND(MIN(value), 4) AS min_value
+FROM {v}
+GROUP BY bucket_ms, event_type
+""")
 
 
 Q20_SQL = """
@@ -55,21 +59,19 @@ def q21_lastpoint(spark: SparkSession, sf: str) -> DataFrame:
     # partial combine — one shuffle of one row per series, no per-partition
     # sort (beats window row_number()=1; TSBS lastpoint class,
     # docs/benchmarks/tsbs/v0.12.0.md:33)
-    e = read(spark, sf, "events")
-    last = F.max_by(
-        F.struct("event_id", "event_type", "value"),
-        F.struct("ts", "event_id"),
-    )
-    return (
-        e.groupBy("user_id")
-        .agg(last.alias("__last"))
-        .select(
-            "user_id",
-            F.col("__last.event_id").alias("last_event_id"),
-            F.col("__last.event_type").alias("last_type"),
-            F.round("__last.value", 4).alias("last_value"),
-        )
-    )
+    v = table_view(spark, sf, "events")
+    return spark.sql(f"""
+SELECT user_id,
+       __last.event_id AS last_event_id,
+       __last.event_type AS last_type,
+       ROUND(__last.value, 4) AS last_value
+FROM (
+  SELECT user_id,
+         max_by(struct(event_id, event_type, value), struct(ts, event_id)) AS __last
+  FROM {v}
+  GROUP BY user_id
+)
+""")
 
 
 Q21_SQL = """
@@ -175,16 +177,24 @@ FROM steps GROUP BY 1, 2
 # -- q25: top-k per time bucket (PromQL topk shape, §2.6) ---------------------
 
 def q25_topk_per_bucket(spark: SparkSession, sf: str) -> DataFrame:
-    e = read(spark, sf, "events")
-    day = e.groupBy(
-        _bucket_ms(unit="day").alias("bucket_ms"), F.col("user_id")
-    ).agg(F.round(F.sum("value"), 2).alias("user_sum"))
-    w = Window.partitionBy("bucket_ms").orderBy(F.desc("user_sum"), F.asc("user_id"))
-    return (
-        day.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("bucket_ms", "user_id", "user_sum", "rk")
-    )
+    # Single SQL statement over the registered view (r11). No spread:
+    # sum(value) over doubles keeps the serial-scan fold order.
+    v = table_view(spark, sf, "events")
+    return spark.sql(f"""
+SELECT bucket_ms, user_id, user_sum, rk
+FROM (
+  SELECT bucket_ms, user_id, user_sum,
+         ROW_NUMBER() OVER (PARTITION BY bucket_ms ORDER BY user_sum DESC, user_id ASC) AS rk
+  FROM (
+    SELECT CAST(unix_micros(date_trunc('day', ts)) / 1000 AS BIGINT) AS bucket_ms,
+           user_id,
+           ROUND(SUM(value), 2) AS user_sum
+    FROM {v}
+    GROUP BY bucket_ms, user_id
+  )
+)
+WHERE rk <= 3
+""")
 
 
 Q25_SQL = """

@@ -217,3 +217,43 @@ def test_catalog_insert_skips_rdd_probe_for_big_batches(spark, tmp_path, monkeyp
     # only 210 distinct pairs — the contract under test is the write path
     got = cat.read("t", raw=True).count()
     assert got == 200_000
+
+
+def test_table_view_registers_once_per_session(spark):
+    from greptimedb_spark.queries import table_view
+
+    a = table_view(spark, SF, "events")
+    calls = []
+    from pyspark.sql import DataFrame
+
+    orig = DataFrame.createOrReplaceTempView
+    try:
+        DataFrame.createOrReplaceTempView = lambda self, n: calls.append(n) or orig(self, n)
+        b = table_view(spark, SF, "events")
+    finally:
+        DataFrame.createOrReplaceTempView = orig
+    assert a == b
+    assert calls == [], "second table_view call must hit the view cache"
+    assert spark.sql(f"SELECT count(1) AS n FROM {a}").collect()[0]["n"] > 0
+    # spread views get a distinct name (different plan behind it)
+    c = table_view(spark, SF, "events", "user_id")
+    assert c != a
+
+
+def test_q54_sql_builder_matches_library(spark):
+    """q54's single-statement SQL build must equal sim.brute_force_topk on
+    the same inputs (same norm/dot folds, same two-phase top-k)."""
+    from greptimedb_spark.operators import similarity as sim
+    from greptimedb_spark.queries import all_queries, read, read_spread
+
+    via_sql = all_queries()["q54_ann_bruteforce"].build(spark, SF)
+    e = read_spread(spark, SF, "embeddings", "vec_id")
+    queries = (
+        read(spark, SF, "embeddings").filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    via_lib = sim.brute_force_topk(e, queries, k=5)
+    assert via_sql.columns == via_lib.columns
+    rows_sql = sorted(map(tuple, via_sql.collect()))
+    rows_lib = sorted(map(tuple, via_lib.collect()))
+    assert rows_sql and rows_sql == rows_lib
