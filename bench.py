@@ -98,23 +98,30 @@ def _prior_ingest() -> float | None:
 
 
 def _run_query_legs(spark, specs, reps: int):
-    """One full pass over BENCH_QUERIES; returns (medians, mins) per query."""
+    """One full pass over BENCH_QUERIES; returns (medians, mins, samples).
+
+    ``samples`` keeps the raw per-rep timings in execution order so the
+    artifact is self-describing about warm-up vs steady state (the first
+    1-2 reps of a query pay Janino/JIT compilation of its generated stages;
+    r11 measured q52's fresh-JVM first rep at 9-17 s vs 0.6-0.8 s steady)."""
     medians: dict[str, float] = {}
     mins: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         build = specs[name].build
         samples = []
         for _ in range(reps):
             t0 = time.time()
             build(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            samples.append(time.time() - t0)
+            samples.append(round(time.time() - t0, 3))
             # operators may persist() intermediates for intra-query reuse;
             # drop them so later reps don't time cache hits
             spark.catalog.clearCache()
+        raw[name] = list(samples)
         samples.sort()
         medians[name] = round(samples[len(samples) // 2], 3)
         mins[name] = round(samples[0], 3)
-    return medians, mins
+    return medians, mins, raw
 
 
 def main() -> None:
@@ -184,6 +191,7 @@ def main() -> None:
     probe_before = _noise_probe()
     attempts: list[dict] = []
     timings = timings_min = None
+    timings_samples: dict[str, list[list[float]]] = {}
     for i in range(max_attempts):
         la0 = _loadavg()
         if la0 is not None and la0 > load_max and i < max_attempts - 1:
@@ -191,7 +199,9 @@ def main() -> None:
                              "action": "deferred_high_load"})
             time.sleep(defer_wait)
             continue
-        t, m = _run_query_legs(spark, specs, reps)
+        t, m, raw = _run_query_legs(spark, specs, reps)
+        for k, v in raw.items():
+            timings_samples.setdefault(k, []).append(v)
         cur_total = sum(t.values())
         attempts.append({"attempt": i + 1, "loadavg_start": la0,
                          "loadavg_end": _loadavg(),
@@ -285,6 +295,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_min": timings_min,
+        # raw per-rep samples per measured attempt, execution order — makes
+        # warm-up (first-rep Janino/JIT of each query's generated stages)
+        # attributable from the artifact alone
+        "queries_samples": timings_samples,
         "loadavg": {"start": loadavg_start, "end": _loadavg()},
         "attempts": attempts,
         "noise_probe": {"query": "q20_time_bucket_agg",
