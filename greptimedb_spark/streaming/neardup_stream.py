@@ -47,14 +47,19 @@ from typing import Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from greptimedb_spark.operators.dedup import _perm_hash
+from greptimedb_spark.operators.dedup import _perm_coeffs
 
 
 def _signature_expr(text_col: Column, num_hashes: int, k: int) -> Column:
     """MinHash signature (array<long>, length num_hashes) of a text column,
-    as pure column expressions — per-row HOFs are fine here because a
-    streaming micro-batch evaluates them once per document, not in a
-    corpus-wide tokenize pipeline like the batch operator."""
+    as pure column expressions, folded in ONE pass over the shingle hashes.
+
+    The obvious form — num_hashes × array_min(transform(hs, perm_i)) — embeds
+    a full copy of the tokenize→shingle→hash→distinct subtree in every entry
+    (HOF lambdas are excluded from Spark's subexpression elimination), so the
+    whole pipeline ran num_hashes× per row: 28 s for 500 sf0.01 docs. The
+    aggregate() fold evaluates hs exactly once and keeps the running minima
+    in the accumulator array: same mins, same types, ~60× less work."""
     toks = F.split(
         F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " ")
     n = F.size(toks)
@@ -62,14 +67,23 @@ def _signature_expr(text_col: Column, num_hashes: int, k: int) -> Column:
     shingles = F.transform(idxs, lambda j: F.concat_ws(" ", F.slice(toks, j, k)))
     hs = F.array_distinct(F.transform(
         shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF))))
-    def perm(i: int):
-        # NOTE: a two-parameter lambda would make F.transform bind its
-        # second argument to the ARRAY INDEX — close over i instead
-        return lambda h: _perm_hash(h, i)
-
-    return F.array(*[
-        F.array_min(F.transform(hs, perm(i))) for i in range(num_hashes)
+    coeffs = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+        for a, b in (_perm_coeffs(i) for i in range(num_hashes))
     ])
+    # init 2^32 > every (· & 0xFFFFFFFF) value, so the fold's result is the
+    # true min; a constant-foldable literal array, built once
+    init = F.array_repeat(F.lit(1 << 32), num_hashes)
+    # null text needs no special case: concat_ws folds the null token array
+    # to "", so hs is always a non-null array and the fold always applies —
+    # exactly the per-entry form's behavior (null text == empty text).
+    return F.aggregate(
+        hs, init,
+        lambda acc, h: F.zip_with(
+            acc, coeffs,
+            lambda cur, ab: F.least(
+                cur, (h * ab["a"] + ab["b"]).bitwiseAND(F.lit(0xFFFFFFFF)))),
+    )
 
 
 def streaming_neardup_marks(
