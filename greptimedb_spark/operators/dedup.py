@@ -545,16 +545,23 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         .distinct()
         .persist()
     )
+    # localCheckpoint (eager) instead of persist: materializes the round AND
+    # truncates lineage, so the analyzed plan stays constant-size across
+    # rounds. The old persist() shape kept the full join lineage — plan
+    # analysis grew per round and a diameter-20 component (20 rounds) hung
+    # in the analyzer; it also unpersisted each round's cache before the
+    # derived select() ever materialized, re-executing the prior round's
+    # join from scratch on every round's first action.
     labels = (
         edges.select(F.col("u").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iter):
         neigh = (
-            edges.join(labels.withColumnRenamed("node", "v")
-                       .withColumnRenamed("label", "nl"), "v")
+            edges.join(labels.select(F.col("node").alias("v"),
+                                     F.col("label").alias("nl")), "v")
             .groupBy("u").agg(F.min("nl").alias("best"))
         )
         nxt = (
@@ -564,23 +571,19 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
                 F.least(F.col("label"), F.coalesce(F.col("best"), F.col("label"))).alias("label"),
                 (F.col("best") < F.col("label")).alias("chg"),
             )
-        ).persist()
+        ).localCheckpoint(eager=True)
         changed = nxt.filter(F.col("chg")).count()  # scalar convergence probe
-        new_labels = nxt.select("node", "label").persist()
-        labels.unpersist()
-        labels = new_labels
-        nxt.unpersist()
+        labels = nxt.select("node", "label")
         if changed == 0:
             converged = True
             break
     edges.unpersist()
     if not converged:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} rounds; "
             "raise max_iter (components with diameter > max_iter exist)"
         )
-    return labels.withColumnRenamed("label", "component")
+    return labels.select("node", F.col("label").alias("component"))
 
 
 def dedup_clusters(pairs: DataFrame) -> DataFrame:
