@@ -358,6 +358,11 @@ def _train_ivf(c: DataFrame, n_centroids: int, iters: int):
                 F.array_sort(F.collect_list(F.struct("pos", "m"))),
                 lambda s: s["m"]).alias("cvec"))
         ).select("centroid_id", "cvec", vec_norm(F.col("cvec")).alias("cn"))
+    # materialize the trained ≤n_centroids-row relation once: every caller
+    # references cent at least twice (the final assignment's broadcast AND
+    # the query-probe broadcast), and each lazy reference re-executes the
+    # whole unrolled Lloyd pipeline over the corpus
+    cent = cent.localCheckpoint(eager=True)
     return cent, assign(c)
 
 
@@ -515,6 +520,9 @@ def _train_ivfpq(c: DataFrame, n_centroids: int, n_codes: int, m_sub: int,
                 F.array_sort(F.collect_list(F.struct("pos", "m"))),
                 lambda s: s["m"]).alias("cvec"))
         ).select("centroid_id", "cvec", vec_norm(F.col("cvec")).alias("cn"))
+    # materialize trained centroids once (see _train_ivf): referenced by the
+    # final assignment below AND by the search-side probe broadcast
+    cent = cent.localCheckpoint(eager=True)
     corpus_cells = coarse_assign(c).select("cid", "centroid_id")
 
     # ---- PQ codebooks --------------------------------------------------
@@ -551,6 +559,10 @@ def _train_ivfpq(c: DataFrame, n_centroids: int, n_codes: int, m_sub: int,
                 F.array_sort(F.collect_list(F.struct("pos", "m"))),
                 lambda s: s["m"]).alias("cbv"))
         )
+    # the trained m_sub*n_codes-row codebook is referenced three times
+    # downstream (final pq_assign, the query ADC lookup table, cb_norm2) —
+    # materialize it once instead of re-running codebook Lloyd per reference
+    cb = cb.localCheckpoint(eager=True)
     pq_codes = pq_assign(cb)
     return cent, corpus_cells, cb, pq_codes
 
