@@ -451,7 +451,10 @@ def simhash_pairs(
     Hamming ≤ 3 shares at least one exact band (pigeonhole), so the join is
     band-equality, never O(n²).
     """
-    sig = _simhash_agg(df, id_col, text_col)
+    # materialize the narrow (id, sig) relation once: the band self-join
+    # otherwise re-executes the explode + 64-aggregate signature pipeline
+    # on BOTH sides
+    sig = _simhash_agg(df, id_col, text_col).localCheckpoint(eager=True)
     banded = sig.select(
         "id",
         "sig",
@@ -502,6 +505,8 @@ def ngram_jaccard_pairs(
     The blocking key bounds the join fan-out (e.g. language, domain, LSH
     bucket); within a block the comparison is array_intersect/union sizes.
     """
+    # materialize (id, blk, sh) once: the block self-join otherwise runs the
+    # shingle HOF pipeline on both sides
     base = _spread(
         df.select(
             F.col(id_col).alias("id"),
@@ -509,7 +514,8 @@ def ngram_jaccard_pairs(
             F.col(text_col).alias("__text"),
         ),
         "id",
-    ).select("id", "blk", shingles("__text", k).alias("sh"))
+    ).select("id", "blk", shingles("__text", k).alias("sh")).localCheckpoint(
+        eager=True)
     a, b = base.alias("a"), base.alias("b")
     inter = F.size(F.array_intersect("a.sh", "b.sh"))
     union = F.size(F.array_union("a.sh", "b.sh"))
