@@ -272,12 +272,16 @@ def embedding_neardup_pairs(
     """Near-duplicate embedding pairs (cosine ≥ threshold) via LSH-bucketed
     self-join. High thresholds need few planes for near-perfect recall."""
     sig_udf = _sig_batch_udf(dim, n_planes, [100 + t for t in range(n_tables)])
-    c = corpus.select(
+    # materialize the per-row signature array BEFORE the self-join (and
+    # before the explode, so one corpus-sized row set is stored): the lazy
+    # plan re-ran the ArrowEvalPython signature matmul on both join sides
+    sigs = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         vec_norm(F.col(vec_col)).alias("nv"),
-        F.posexplode(sig_udf(F.col(vec_col))).alias("tbl", "sig"),
-    )
-    all_b = c.select("id", "v", "nv", "tbl", "sig")
+        sig_udf(F.col(vec_col)).alias("__sigs"),
+    ).localCheckpoint(eager=True)
+    all_b = sigs.select(
+        "id", "v", "nv", F.posexplode("__sigs").alias("tbl", "sig"))
     a, b = all_b.alias("a"), all_b.alias("b")
     pairs = (
         a.join(
