@@ -98,10 +98,18 @@ def repetition_signals(
     this is the cheapest possible shape — one map-only pass, usually fused
     with whatever filter consumes ``repetition_ok``.
     """
-    toks = _norm_tokens(text_col)
+    # tokenize in its OWN projection level: passing the `toks` Column object
+    # into each ngram expression copies the split+regexp subtree per use
+    # (7 copies in the executed plan — HOF-lambda copies are also excluded
+    # from codegen subexpression elimination). As a named column referenced
+    # by non-cheap consumers it is evaluated once; CollapseProject keeps the
+    # two Projects separate, still one map-only fused stage over the scan.
+    toks = F.col("_toks")
     d = df.select(
+        F.col(id_col), _norm_tokens(text_col).alias("_toks")
+    ).select(
         F.col(id_col),
-        toks.alias("_toks"),
+        "_toks",
         _token_ngrams(toks, 2).alias("_bi"),
         _token_ngrams(toks, 3).alias("_tri"),
     )
@@ -365,9 +373,10 @@ def top_ngrams(
     sort ever materializes. Gram-key skew is absorbed by the partial
     aggregates: a gram appearing in every document contributes ONE partial
     row per task, not one row per occurrence."""
-    toks = _norm_tokens(text_col)
-    grams = df.select(F.col(id_col),
-                      F.explode(_token_ngrams(toks, n)).alias("g"))
+    grams = df.select(
+        F.col(id_col), _norm_tokens(text_col).alias("_toks")
+    ).select(F.col(id_col),
+             F.explode(_token_ngrams(F.col("_toks"), n)).alias("g"))
     return (
         grams.groupBy("g")
         .agg(F.countDistinct(id_col).alias("doc_freq"),
@@ -408,33 +417,49 @@ def quality_filter(
     Scale shape: pure column algebra over the scan — no explode, no
     shuffle, no UDF; at 100 TB this is a map-only pass that composes with
     predicate pushdown (filtering on ``keep`` prunes at the scan)."""
-    toks = _norm_tokens(text_col)
-    norm = F.array_join(toks, " ")
-    n_words = F.size(toks)
-    mean_len = (F.length(norm) - (n_words - 1)) / n_words
-    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n_words
-    symbol_frac = (F.length(F.regexp_replace(norm, "[a-z0-9 ]", ""))
-                   / F.length(norm))
+    # layered named columns: passing the raw Column trees into every
+    # consumer copied the tokenize subtree 32x per row in the executed plan
+    # (same construction-time duplication as repetition_signals); each layer
+    # evaluates once, the stage stays one fused map-only pass
+    mean_len = (F.length("_norm") - (F.col("_nw") - 1)) / F.col("_nw")
+    symbol_frac = (F.length(F.regexp_replace("_norm", "[a-z0-9 ]", ""))
+                   / F.length("_norm"))
     reasons = F.concat_ws(
         ",",
         F.array_sort(F.filter(F.array(
-            F.when(n_words < min_words, F.lit("too_few_words")),
-            F.when(n_words > max_words, F.lit("too_many_words")),
-            F.when((mean_len < min_mean_word_len)
-                   | (mean_len > max_mean_word_len), F.lit("word_length")),
-            F.when(alpha_frac < min_alpha_word_frac,
+            F.when(F.col("_nw") < min_words, F.lit("too_few_words")),
+            F.when(F.col("_nw") > max_words, F.lit("too_many_words")),
+            F.when((F.col("_ml") < min_mean_word_len)
+                   | (F.col("_ml") > max_mean_word_len), F.lit("word_length")),
+            F.when(F.col("_af") < min_alpha_word_frac,
                    F.lit("low_alpha_ratio")),
-            F.when(symbol_frac > max_symbol_frac,
+            F.when(F.col("_sf") > max_symbol_frac,
                    F.lit("high_symbol_ratio")),
         ), lambda x: x.isNotNull())))
-    return df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        F.round(mean_len, 4).alias("mean_word_len"),
-        F.round(alpha_frac, 4).alias("alpha_word_frac"),
-        F.round(symbol_frac, 4).alias("symbol_frac"),
-        reasons.alias("reasons"),
-        (reasons == "").alias("keep"),
+    return (
+        df.select(F.col(id_col), _norm_tokens(text_col).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.size("_toks").alias("_nw"),
+            F.array_join("_toks", " ").alias("_norm"),
+            F.size(F.filter("_toks", lambda t: t.rlike("[a-z]")))
+            .alias("_nalpha"),
+        )
+        .select(
+            F.col(id_col), "_nw",
+            mean_len.alias("_ml"),
+            (F.col("_nalpha") / F.col("_nw")).alias("_af"),
+            symbol_frac.alias("_sf"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_nw").alias("n_words"),
+            F.round("_ml", 4).alias("mean_word_len"),
+            F.round("_af", 4).alias("alpha_word_frac"),
+            F.round("_sf", 4).alias("symbol_frac"),
+            reasons.alias("reasons"),
+            (reasons == "").alias("keep"),
+        )
     )
 
 
@@ -463,16 +488,18 @@ def ngram_contamination(
     engine-agnostic oracles; at petabyte scale hash them first (xxhash64)
     to shrink the exchanged key — same plan, narrower rows.
     """
-    toks = _norm_tokens(text_col)
-    bench_toks = _norm_tokens(bench_text_col or text_col)
     bench_grams = (
-        benchmark.select(F.explode(_token_ngrams(bench_toks, n)).alias("g"))
+        benchmark.select(_norm_tokens(bench_text_col or text_col)
+                         .alias("_toks"))
+        .select(F.explode(_token_ngrams(F.col("_toks"), n)).alias("g"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     doc_grams = df.select(
+        F.col(id_col), _norm_tokens(text_col).alias("_toks")
+    ).select(
         F.col(id_col),
-        F.array_distinct(_token_ngrams(toks, n)).alias("gs"),
+        F.array_distinct(_token_ngrams(F.col("_toks"), n)).alias("gs"),
     ).select(
         id_col,
         F.size("gs").alias("n_distinct_ngrams"),
