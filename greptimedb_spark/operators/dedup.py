@@ -664,6 +664,11 @@ def exact_substring_pairs(
             )
         ).alias("__pos", "__gram"),
     )
+    # three consumers (the duplicate-gram count, and both sides of the
+    # self-join) — persist so the tokenize+window+explode pipeline runs once
+    # per action instead of three times; the count subtree materializes the
+    # cache first (it feeds the semi-join's build side), the join scans hit it
+    grams = grams.persist()
     counts = grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__n"))
     dup = counts.filter(F.col("__n") >= 2)
     if max_gram_docs is not None:

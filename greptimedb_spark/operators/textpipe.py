@@ -332,6 +332,10 @@ def corpus_frequency_score(
     """
     toks = _norm_tokens(text_col)
     tok_rows = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    # two consumers (vocabulary count + the scoring join) — deliberately NOT
+    # persisted: an r11 A/B regressed 0.8->2.0 s at sf0.1 (materializing the
+    # exploded token stream costs more than the second fused map pass, and
+    # the vocab side loses its scan-fused partial aggregation)
     vocab = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").alias("n_total"))
     return (
