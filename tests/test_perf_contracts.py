@@ -257,3 +257,74 @@ def test_q54_sql_builder_matches_library(spark):
     rows_sql = sorted(map(tuple, via_sql.collect()))
     rows_lib = sorted(map(tuple, via_lib.collect()))
     assert rows_sql and rows_sql == rows_lib
+
+
+# ---- third-session contracts: duplicated-subtree fixes ----------------------
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_textpipe_map_ops_tokenize_once(spark):
+    """repetition_signals / quality_filter / top_ngrams must evaluate the
+    tokenize (split+regexp) subtree exactly once per corpus row — the raw
+    Column-object form copied it 7x / 32x / 3x into the executed plan
+    (HOF-lambda copies are outside codegen subexpression elimination)."""
+    from greptimedb_spark.operators import textpipe as tp
+    from greptimedb_spark.queries import read
+
+    d = read(spark, SF, "documents")
+    for df, cap in [
+        (tp.repetition_signals(d, "doc_id", "text"), 1),
+        (tp.quality_filter(d, "doc_id", "text"), 1),
+        (tp.top_ngrams(d, n=3, k=5), 1),
+    ]:
+        plan = _executed_plan(df)
+        n = plan.count("split(regexp_replace")
+        assert n <= cap, f"tokenize evaluated {n}x (cap {cap}):\n{plan[:800]}"
+
+
+def test_streaming_signature_is_single_pass(spark):
+    """_signature_expr must fold all num_hashes minima in ONE traversal of
+    the shingle-hash array: one tokenize subtree and one aggregate() in the
+    plan, not num_hashes array_min(transform(...)) copies."""
+    from greptimedb_spark.queries import read
+    from greptimedb_spark.streaming.neardup_stream import _signature_expr
+
+    d = read(spark, SF, "documents").select(
+        "doc_id", _signature_expr(F.col("text"), 64, 3).alias("sig"))
+    plan = _executed_plan(d)
+    # 2 tokenize copies are structural (the sequence bound's size(toks) and
+    # the shingle lambda's slice(toks)); the old form carried num_hashes
+    # copies of the WHOLE tokenize->shingle->hash->distinct pipeline
+    assert plan.count("split(regexp_replace") <= 2, plan[:800]
+    assert plan.count("aggregate(") == 1, plan[:800]
+
+
+def test_connected_components_deep_chain_converges(spark):
+    """Label propagation must stay constant-plan-size per round (eager
+    localCheckpoint): a diameter-20 chain needs 20 rounds and hung the
+    analyzer under the old grow-forever lineage."""
+    from greptimedb_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long")
+    comps = {r["node"]: r["component"]
+             for r in connected_components(chain).collect()}
+    assert set(comps.values()) == {0}
+    assert len(comps) == 21
+
+
+def test_dedup_selfjoin_sides_read_materialized_relation(spark):
+    """ngram_jaccard_pairs / simhash_pairs must self-join a materialized
+    (checkpointed) per-doc relation — both sides scan an RDD, neither
+    re-runs the shingle/signature pipeline."""
+    from greptimedb_spark.operators import dedup as dd
+    from greptimedb_spark.queries import read
+
+    d = read(spark, SF, "documents")
+    for df in [dd.ngram_jaccard_pairs(d, "doc_id", "text", "lang", 3, 0.12),
+               dd.simhash_pairs(d, "doc_id", "text", 3)]:
+        plan = _executed_plan(df)
+        assert "Scan ExistingRDD" in plan, plan[:800]
+        assert plan.count("split(regexp_replace") == 0, plan[:800]
