@@ -665,10 +665,12 @@ def exact_substring_pairs(
         ).alias("__pos", "__gram"),
     )
     # three consumers (the duplicate-gram count, and both sides of the
-    # self-join) — persist so the tokenize+window+explode pipeline runs once
-    # per action instead of three times; the count subtree materializes the
-    # cache first (it feeds the semi-join's build side), the join scans hit it
-    grams = grams.persist()
+    # self-join) — deliberately NOT persisted: the two self-join sides are
+    # byte-identical exchange subtrees that ReuseExchange deduplicates, so
+    # the gram stream is shuffled once and read twice. An r11 persist() A/B
+    # broke that reuse and DOUBLED shuffle bytes at every SCALECHECK scale
+    # (257.6 -> 514.1 MB at x100) for ~equal wall time — at 100 TB the
+    # shuffle is the bottleneck, not the recomputed (map-only) tokenize.
     counts = grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__n"))
     dup = counts.filter(F.col("__n") >= 2)
     if max_gram_docs is not None:
