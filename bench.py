@@ -48,15 +48,7 @@ def _prior_query_total() -> float | None:
     keep the better medians (VERDICT r6 Next #1 — the r6 driver run inflated
     ~41% uniformly with zero query-code changes, i.e. external load).
     """
-    import glob
-    import re
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    files = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )
-    for path in reversed(files):
+    for path in _prior_bench_files():
         try:
             with open(path) as f:
                 parsed = json.load(f).get("parsed") or {}
@@ -69,6 +61,28 @@ def _prior_query_total() -> float | None:
     return None
 
 
+def _prior_bench_files() -> list[str]:
+    """Committed BENCH_r*.json artifacts, newest round first.
+
+    Round-number ties (e.g. BENCH_r11.json vs BENCH_r11_c8.json, the 8-cpu
+    scaling leg) break deterministically: a plain BENCH_r<N>.json — the
+    main driver artifact, measured at the driver's own CPU count — sorts
+    ahead of any suffixed sibling, then lexicographic. Names the round
+    regex does not match are skipped rather than raising (ADVICE r11)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    keyed = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)(.*)\.json$", os.path.basename(p))
+        if not m:
+            continue
+        keyed.append((int(m.group(1)), m.group(2) != "", os.path.basename(p), p))
+    keyed.sort(reverse=True)
+    return [p for _, _, _, p in keyed]
+
+
 def _prior_ingest() -> float | None:
     """ingest_catalog seconds from the newest committed BENCH_r*.json.
 
@@ -77,15 +91,7 @@ def _prior_ingest() -> float | None:
     invisible to the loadavg gate — solo runs on identical code span
     0.9-3.1 s). An admitted attempt that still exceeds the prior round by
     >25% triggers one more gated attempt; the best median wins."""
-    import glob
-    import re
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    files = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )
-    for path in reversed(files):
+    for path in _prior_bench_files():
         try:
             with open(path) as f:
                 parsed = json.load(f).get("parsed") or {}
@@ -278,8 +284,11 @@ def main() -> None:
                          "ingest_median": round(cur, 3)})
         dt = min(dt, cur) if dt is not None else cur
         clean_load = la0 is None or la0 <= load_max
-        # disk-contention tripwire (invisible to loadavg): an admitted
-        # attempt >25% over the prior round's ingest gets ONE more attempt
+        # disk-contention tripwire (invisible to loadavg): an attempt >25%
+        # over the prior round's ingest keeps retrying while each attempt
+        # improves on the best-so-far, bounded by max_attempts (ADVICE r11:
+        # the old comment claimed a single extra attempt; this states the
+        # actual policy)
         clean_prior = prior_ingest is None or cur <= 1.25 * prior_ingest
         if clean_load and (clean_prior or dt < cur):
             break

@@ -44,6 +44,29 @@ class QuerySpec:
 _READ_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
 
 
+def _session_alive(spark: SparkSession) -> bool:
+    """True while the session's SparkContext is running. SparkContext.stop()
+    nulls _jsc, so this is a pure attribute check — no py4j round trip."""
+    try:
+        sc = spark._sc
+        return sc is not None and sc._jsc is not None
+    except Exception:
+        return False
+
+
+def _prune_dead_sessions() -> None:
+    """Evict cache entries owned by stopped sessions (r11 VERDICT Wrong #4:
+    entries for terminated sessions accumulated forever). Called on cache
+    misses only — a once-per-(session, path) event, so the sweep is O(cache)
+    amortized over a session's lifetime, not per lookup."""
+    for cache, live in (
+        (_READ_CACHE, lambda v: _session_alive(v[0])),
+        (_VIEW_CACHE, _session_alive),
+    ):
+        for key in [k for k, v in cache.items() if not live(v)]:
+            cache.pop(key, None)
+
+
 def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a driver table. The events parquet stores TIMESTAMP(NANOS), which
     Spark 4 refuses by default — read nanos as long and truncate to µs
@@ -53,6 +76,7 @@ def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _READ_CACHE.get(key)
     if cached is not None and cached[0] is spark:
         return cached[1]
+    _prune_dead_sessions()
     from pyspark.errors.exceptions.captured import AnalysisException
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
@@ -136,6 +160,7 @@ def table_view(spark: SparkSession, sf_dir: str, name: str, *spread_by: str) -> 
     cached = _VIEW_CACHE.get(key)
     if cached is not None and cached is spark:
         return vname
+    _prune_dead_sessions()
     df = read_spread(spark, sf_dir, name, *spread_by) if spread_by else read(spark, sf_dir, name)
     df.createOrReplaceTempView(vname)
     _VIEW_CACHE[key] = spark

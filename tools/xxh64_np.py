@@ -153,7 +153,7 @@ if __name__ == "__main__":
 
     random.seed(7)
     cases = [""]
-    for ln in list(range(1, 100)) + [127, 128, 200, 255, 256, 1000]:
+    for ln in list(range(1, 101)) + [127, 128, 200, 255, 256, 1000]:
         cases.append("".join(random.choice("abcdefgh ij") for _ in range(ln)))
     got = xxh64_strings(cases)
     for s, g in zip(cases, got):
