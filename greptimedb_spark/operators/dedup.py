@@ -219,6 +219,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
+    big_doc_hashes: int = 1 << 16,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard, jaccard ≥ threshold).
 
@@ -261,6 +262,19 @@ def minhash_lsh_pairs(
     long-lived session, call spark.catalog.clearCache() (or unpersist the
     returned plan's sources) after materializing the result — the bench
     harness does exactly this between reps.
+
+    BIG-DOC GUARD (r12, guide §5 — unbounded per-key state): the per-doc
+    distinct-hash array is doc-sized, and a pathological document's array
+    would otherwise replicate per candidate pair through the verify join as
+    ONE giant shuffle row. Docs with n_sh > ``big_doc_hashes`` (default 64 k
+    hashes = 512 KB per array) take a row-form intersection instead: their
+    hashes cross the pair join as 8-byte rows — same total bytes, bounded
+    row size. The plan is picked by a LIMIT-1 probe on the (persisted)
+    profile, which makes this builder EAGER (it materializes the profile at
+    call time — consistent with the localCheckpoint-based builders in this
+    module); corpora with no pathological docs keep the exact r11
+    single-statement shape, so the common case pays one extra tiny job and
+    nothing else.
 
     PERF EXPERIMENTS (r7, tools/bench_q52_variants.py, solo sf0.1): spilling
     sh to parquet and re-reading LOST to persist() (2.9s vs winner below);
@@ -314,6 +328,16 @@ FROM hs GROUP BY id
     # the profile statement is analyzed; the src view has no further readers
     spark.catalog.dropTempView(src_view)
 
+    # big-doc probe (see docstring): materializes the persisted profile and
+    # decides which verify plan to build. Both plans are exact.
+    has_big = bool(
+        per_doc.filter(F.col("n_sh") > big_doc_hashes).limit(1).count()
+    )
+    if has_big:
+        return _verify_pairs_hybrid(
+            per_doc, num_hashes, bands, jaccard_threshold, big_doc_hashes
+        )
+
     banded = (
         "(SELECT id, explode(array(" + ",".join(_band_exprs_sql(num_hashes, bands))
         + f")) AS bucket FROM {per_doc_view})"
@@ -335,11 +359,88 @@ WHERE jaccard >= CAST({jaccard_threshold!r} AS DOUBLE)
 """)
 
 
+def _verify_pairs_hybrid(
+    per_doc: DataFrame,
+    num_hashes: int,
+    bands: int,
+    jaccard_threshold: float,
+    big_doc_hashes: int,
+) -> DataFrame:
+    """Exact pair verify when pathological documents exist (n_sh over the
+    guard): pairs where both docs are small keep the in-place
+    array_intersect; pairs touching a big doc compute |A∩B| by exploding
+    BOTH docs' hashes to (pair, h) rows and counting the (pair, h) join —
+    identical result, but no row in any exchange exceeds
+    ``big_doc_hashes`` array elements. The rare path affords eager
+    materialization (candidates and the pair base feed two consumers each)."""
+    small_hs = F.when(F.col("n_sh") <= big_doc_hashes, F.col("hs"))
+    band_exprs = _band_exprs_sql(num_hashes, bands)
+    banded = per_doc.select(
+        "id", F.explode(F.expr("array(" + ",".join(band_exprs) + ")")).alias("bucket")
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    base = (
+        cand.join(per_doc.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"),
+                                 F.col("sig").alias("sig_a"),
+                                 small_hs.alias("hs_a")), "id_a")
+        .join(per_doc.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"),
+                             F.col("sig").alias("sig_b"),
+                             small_hs.alias("hs_b")), "id_b")
+        .localCheckpoint(eager=True)  # two consumers (small/big split) below
+    )
+
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1)
+    )
+
+    def _finish(df: DataFrame, n_inter) -> DataFrame:
+        jacc = n_inter / (F.col("na") + F.col("nb") - n_inter)
+        return (
+            df.withColumn("jaccard", F.round(jacc, 6))
+            .withColumn("est_jaccard", F.round(matches / F.lit(num_hashes), 6))
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", "est_jaccard", "jaccard")
+        )
+
+    small = base.filter(F.col("hs_a").isNotNull() & F.col("hs_b").isNotNull())
+    small_out = _finish(small, F.size(F.array_intersect("hs_a", "hs_b")))
+
+    big = base.filter(F.col("hs_a").isNull() | F.col("hs_b").isNull()).select(
+        "id_a", "id_b", "na", "nb", "sig_a", "sig_b"
+    )
+    # (id, h) rows ONLY for docs that appear in a big pair — the cached
+    # profile supplies the arrays once per doc; the rows (not arrays) then
+    # replicate per pair through the two joins
+    ids = (big.select(F.col("id_a").alias("id"))
+           .unionAll(big.select(F.col("id_b").alias("id"))).distinct())
+    rows = per_doc.join(ids, "id", "left_semi").select(
+        "id", F.explode("hs").alias("h"))
+    ua = big.select("id_a", "id_b").join(
+        rows.select(F.col("id").alias("id_a"), "h"), "id_a")
+    ub = rows.select(F.col("id").alias("id_b"), "h")
+    inter = (
+        ua.join(ub, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__n_inter"))
+    )
+    big_out = _finish(
+        big.join(inter, ["id_a", "id_b"], "left"),
+        F.coalesce(F.col("__n_inter"), F.lit(0)),
+    )
+    return small_out.unionByName(big_out)
+
+
 def _pairs_from_shingles(
     sh: DataFrame,
     num_hashes: int = 128,
     bands: int = 32,
     jaccard_threshold: float = 0.5,
+    big_doc_hashes: int = 1 << 16,
 ) -> DataFrame:
     """DataFrame twin of minhash_lsh_pairs past the shingle stage: takes the
     distinct (id, h) relation (cached, or re-read from columnar storage — see
@@ -387,6 +488,11 @@ def _pairs_from_shingles(
         ).alias("sig"),
         F.collect_list("h").alias("hs"),
     ).persist()  # consumed by banding and both sides of the pair join
+    # same big-doc guard as minhash_lsh_pairs (parity twin)
+    if per_doc.filter(F.col("n_sh") > big_doc_hashes).limit(1).count():
+        return _verify_pairs_hybrid(
+            per_doc, num_hashes, bands, jaccard_threshold, big_doc_hashes
+        )
     band_exprs = _band_exprs_sql(num_hashes, bands)
     banded = per_doc.select(
         "id", F.explode(F.expr("array(" + ",".join(band_exprs) + ")")).alias("bucket")

@@ -63,6 +63,41 @@ def test_minhash_concurrent_calls_do_not_collide(spark):
     assert got_full != got_sub
 
 
+def test_minhash_big_doc_guard_is_exact(spark):
+    """r11 VERDICT Wrong #2: a pathological doc's distinct-hash array rode
+    through every candidate join as one giant row. The row-form fallback for
+    docs over ``big_doc_hashes`` must yield bit-identical pairs."""
+    from greptimedb_spark.operators.dedup import minhash_lsh_pairs
+
+    # near-dup pairs both below and above the guard: docs 0/1 are small
+    # near-dups, docs 2/3 are 200-token near-dups ("giant" vs threshold 40)
+    small_a = " ".join(f"w{i}" for i in range(12))
+    small_b = " ".join(f"w{i}" for i in range(12)) + " tail"
+    big_a = " ".join(f"g{i}" for i in range(200))
+    big_b = " ".join(f"g{i}" for i in range(200)) + " tail"
+    mixed = " ".join(f"g{i}" for i in range(100))  # shares a prefix with big_a
+    docs = spark.createDataFrame(
+        [(0, small_a), (1, small_b), (2, big_a), (3, big_b), (4, mixed)],
+        "doc_id long, text string")
+
+    kw = dict(num_hashes=32, bands=16, shingle_k=3, jaccard_threshold=0.2)
+    unguarded = minhash_lsh_pairs(docs, "doc_id", "text",
+                                  big_doc_hashes=1 << 30, **kw)
+    rows_unguarded = sorted(tuple(r) for r in unguarded.collect())
+    spark.catalog.clearCache()
+    guarded = minhash_lsh_pairs(docs, "doc_id", "text",
+                                big_doc_hashes=40, **kw)
+    rows_guarded = sorted(tuple(r) for r in guarded.collect())
+    spark.catalog.clearCache()
+
+    assert rows_guarded == rows_unguarded
+    # the fixture must actually exercise BOTH paths: a small-small pair and
+    # at least one pair involving a >40-shingle doc
+    pairs = {(r[0], r[1]) for r in rows_guarded}
+    assert (0, 1) in pairs
+    assert any(p[0] >= 2 or p[1] >= 2 for p in pairs), pairs
+
+
 def test_available_now_conf_scopes_and_restores(spark):
     """The no-data-micro-batch suppression must be scoped: set inside the
     context, restored (to the pre-existing value) outside."""
