@@ -161,20 +161,35 @@ def pack_concat_chunks(
 
     No reducer ever holds more than one bucket; the bucket-totals window is
     a few thousand rows per billion documents.
+
+    r12 (guide §2.4 — remove shuffles outright): the bucket totals are
+    derived from the WINDOWED relation (``max(_cum_in)`` per bucket — the
+    running sum at the bucket's last row IS the bucket total) instead of a
+    separate ``groupBy(_bucket).sum(n_tokens)`` over the raw rows. The two
+    consumers then share one byte-identical ``hashpartitioning(_bucket)``
+    exchange that ReuseExchange deduplicates, so the corpus is scanned and
+    tokenized ONCE (plan: 4 scans → 1 scan + 3 ReusedExchange, 8 exchanges
+    → 3; the old totals branch re-ran the tokenize because its partial-agg
+    exchange carried different bytes and could not be reused).
     """
     toks = _norm_tokens(text_col)
     d = df.select(
         F.col(id_col),
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.floor(F.col(id_col) / bucket_span).alias("_bucket"),
-    )
+    ).filter(F.col("_bucket").isNotNull())
+    # ^ the planner injects this isnotnull on the offsets-join side anyway
+    # (inner equi-join on _bucket); stating it on BOTH consumers keeps their
+    # exchange subtrees byte-identical so ReuseExchange can deduplicate them.
+    # Null ids never reached the output before either (the join dropped
+    # them); now their tokens don't shift later buckets' offsets.
     w_in = (
         Window.partitionBy("_bucket")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d = d.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
-    totals = d.groupBy("_bucket").agg(F.sum("n_tokens").alias("_tot"))
+    totals = d.groupBy("_bucket").agg(F.max("_cum_in").alias("_tot"))
     w_off = (
         Window.orderBy("_bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
