@@ -108,30 +108,42 @@ def _greedy(graph, layer, ep, q, sim):
 def _search_layer(graph, layer, ep, q, ef, sim):
     """Best-first search; returns [(sim, node)] sorted by (sim desc, node
     asc), at most ef entries. ``q`` may be a node index or handled inside
-    ``sim``."""
-    start = (sim(ep, q), ep)
+    ``sim``.
+
+    r12: heap-based frontier/result sets replacing list sort-per-pop and
+    min()-scan-per-neighbor (the r12 cProfile of one 1,200-node build:
+    637 k ``min(best, ...)`` calls = 16 s of 22 s, plus 2.9 s of frontier
+    sorts — the dot products were 1.4 s). Selection order is IDENTICAL by
+    construction, so the pinned determinism spec is untouched:
+    - frontier pop: heap keyed (-sim, node) pops max sim, tie lowest node —
+      exactly the old ``sort(key=(-sim, node)); pop(0)``;
+    - result "worst": heap keyed (sim, -node) exposes min sim, tie highest
+      node at [0] — exactly the old ``min(best, key=(sim, -node))``;
+    - eviction pops that same element, as ``best.remove(worst)`` did.
+    No float arithmetic changes (same sim() per pair)."""
+    import heapq
+
+    s0 = sim(ep, q)
     visited = {ep}
-    cand = [start]       # explore frontier
-    best = [start]       # current ef best
+    cand = [(-s0, ep)]       # explore frontier: max sim first, tie low node
+    best = [(s0, -ep)]       # current ef best: worst (min sim, high node) at [0]
     while cand:
-        cand.sort(key=lambda t: (-t[0], t[1]))
-        c_sim, c = cand.pop(0)
-        worst = min(best, key=lambda t: (t[0], -t[1]))
-        if len(best) >= ef and c_sim < worst[0]:
+        neg_c_sim, c = heapq.heappop(cand)
+        if len(best) >= ef and -neg_c_sim < best[0][0]:
             break
         for nb in sorted(graph[layer].get(c, [])):
             if nb in visited:
                 continue
             visited.add(nb)
             s = sim(nb, q)
-            worst = min(best, key=lambda t: (t[0], -t[1]))
-            if len(best) < ef or s > worst[0]:
-                best.append((s, nb))
-                cand.append((s, nb))
+            if len(best) < ef or s > best[0][0]:
+                heapq.heappush(best, (s, -nb))
+                heapq.heappush(cand, (-s, nb))
                 if len(best) > ef:
-                    best.remove(min(best, key=lambda t: (t[0], -t[1])))
-    best.sort(key=lambda t: (-t[0], t[1]))
-    return best
+                    heapq.heappop(best)
+    out = [(s, -negn) for s, negn in best]
+    out.sort(key=lambda t: (-t[0], t[1]))
+    return out
 
 
 def search_hnsw(ids, vecs, levels, graph, entry, qvec,
