@@ -136,6 +136,26 @@ def _time_leg(spark, build, reps: int = REPS):
     return out
 
 
+def _q75_twin(d):
+    """Batch twin of streaming_neardup_marks' per-batch map work: signature
+    fold + 16 band-bucket keys per doc (no state store)."""
+    from pyspark.sql import functions as F
+
+    from greptimedb_spark.streaming.neardup_stream import _signature_expr
+
+    num_hashes, bands = 64, 16
+    r = num_hashes // bands
+    sig = _signature_expr(F.col("text"), num_hashes, 3)
+    banded = d.select("doc_id", sig.alias("__sig"))
+    keys = F.array(*[
+        F.xxhash64(
+            F.concat_ws(",", *[F.element_at("__sig", b * r + i + 1)
+                               for i in range(r)]), F.lit(b))
+        for b in range(bands)
+    ])
+    return banded.select("doc_id", F.explode(keys).alias("bucket"))
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -185,6 +205,26 @@ def main() -> None:
         # the kx corpus has ~kx the shared-substring pairs — linear target
         "q114_exact_substring": (lambda s: dd.exact_substring_pairs(
             docs(s), "doc_id", "text", k=8), ("x1", "x10", "x100")),
+        # r12 additions (r11 VERDICT Next #8): byte-level legs for the
+        # operators restructured in r11 that only had wall A/Bs.
+        # q59 shape: label propagation over the (linear-growing) minhash
+        # pair set — kx components, same diameters; measures the
+        # connected-components rounds, not the pair generator (ngram block
+        # pairs grow k^2 by blocking-key construction and would mask it)
+        "q59_dedup_clusters": (lambda s: dd.dedup_clusters(
+            dd.minhash_lsh_pairs(
+                docs(s), "doc_id", "text", num_hashes=64, bands=16,
+                shingle_k=3, jaccard_threshold=0.12).select("id_a", "id_b")),
+            ("x1", "x10")),
+        # q75 batch twin: the streaming signature fold + band keys as a
+        # map-only batch projection (the per-micro-batch work of the
+        # streaming operator, minus state machinery)
+        "q75_signature_twin": (lambda s: _q75_twin(docs(s)),
+                               ("x1", "x10", "x100")),
+        # q55 LSH ANN: fixed queries x kx corpus, posexplode signature form
+        "q55_ann_lsh": (lambda s: sim.lsh_topk(
+            embs(s), queries, dim=64, k=5, n_planes=4, n_tables=20),
+            ("x1", "x10", "x100")),
     }
 
     try:
