@@ -542,9 +542,17 @@ def simhash64(col, token_split: str = r"\s+") -> Column:
 
 
 def _simhash_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, sig): SimHash via explode + 64 codegen'd conditional-sum aggregates
+    """(id, sig): SimHash via explode + packed conditional-sum aggregates
     (one shuffle of token hashes; the expression form interprets 64 HOF passes
-    per row and is an order of magnitude slower)."""
+    per row and is an order of magnitude slower).
+
+    Bit counters are packed two per long: bits b and b+32 of xxhash64(t) are
+    extracted together with one shift+mask ((h >> b) & 0x100000001) and summed
+    into one 64-bit accumulator holding two 32-bit fields — 32 shift/mask/add
+    per token instead of 64, half the aggregate buffer. Exact: a doc's token
+    count is < 2^31 (a single row's string is < 2 GB), so the low field can
+    never carry into the high field. r12 A/B: bit-identical signatures,
+    ~1.15-1.25x at a 500k-doc corpus, wash at 5k (scan/shuffle floor)."""
     toks = _spread(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")),
         "id",
@@ -553,13 +561,16 @@ def _simhash_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.explode(F.split(F.lower(F.trim(F.col("__text"))), r"\s+")).alias("t"),
     ).select("id", F.xxhash64("t").alias("h"))
     aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"b{b}") for b in range(64)
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(0x100000001))).alias(f"p{b}")
+        for b in range(32)
     ]
     per_doc = toks.groupBy("id").agg(*aggs)
     sig = F.lit(0).cast("long")
-    for b in range(64):
-        vote = (F.col(f"b{b}") * 2 > F.col("n")).cast("long")
-        sig = sig.bitwiseOR(F.shiftleft(vote, b))
+    for b in range(32):
+        lo = F.col(f"p{b}").bitwiseAND(F.lit(0xFFFFFFFF))
+        hi = F.shiftright(F.col(f"p{b}"), 32)
+        sig = sig.bitwiseOR(F.shiftleft((lo * 2 > F.col("n")).cast("long"), b))
+        sig = sig.bitwiseOR(F.shiftleft((hi * 2 > F.col("n")).cast("long"), b + 32))
     return per_doc.select("id", sig.alias("sig"))
 
 

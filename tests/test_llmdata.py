@@ -50,6 +50,20 @@ def test_minhash_finds_near_dups(docs):
         assert abs(r.est_jaccard - r.jaccard) < 0.35
 
 
+def test_simhash_packed_agg_matches_per_bit_reference(docs):
+    """r12: _simhash_agg packs two 32-bit bit-counters per long aggregate
+    ((h >> b) & 0x100000001). Pin bit-identical signatures against the
+    independent per-bit simhash64 column form on the same tokenization."""
+    agg = {r["id"]: r["sig"] for r in dd._simhash_agg(docs, "doc_id", "text").collect()}
+    ref = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select("doc_id", dd.simhash64("text").alias("sig")).collect()
+    }
+    assert agg == ref
+    # identical docs agree regardless of form; near dup is close
+    assert agg[1] == agg[2] == agg[5]
+
+
 def test_simhash_identical_and_near(docs):
     pairs = dd.simhash_pairs(docs, "doc_id", "text", max_hamming=10)
     got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
