@@ -582,6 +582,12 @@ def simhash_pairs(
     Blocking: split the 64-bit signature into 4 16-bit bands; any pair within
     Hamming ≤ 3 shares at least one exact band (pigeonhole), so the join is
     band-equality, never O(n²).
+
+    Note: calling this EXECUTES the signature job eagerly (localCheckpoint
+    materializes the narrow (id, sig) relation so the band self-join does not
+    run the pipeline twice). The checkpointed intermediate has its lineage
+    truncated — executor loss fails the job instead of recomputing — and is
+    freed by driver GC once the returned DataFrame is unreferenced.
     """
     # materialize the narrow (id, sig) relation once: the band self-join
     # otherwise re-executes the explode + 64-aggregate signature pipeline
@@ -636,6 +642,10 @@ def ngram_jaccard_pairs(
 
     The blocking key bounds the join fan-out (e.g. language, domain, LSH
     bucket); within a block the comparison is array_intersect/union sizes.
+
+    Note: calling this EXECUTES the shingle job eagerly (localCheckpoint of
+    the (id, blk, sh) relation; same semantics as simhash_pairs — lineage
+    truncated, non-fault-tolerant intermediate, freed by driver GC).
     """
     # materialize (id, blk, sh) once: the block self-join otherwise runs the
     # shingle HOF pipeline on both sides
@@ -689,7 +699,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     # analysis grew per round and a diameter-20 component (20 rounds) hung
     # in the analyzer; it also unpersisted each round's cache before the
     # derived select() ever materialized, re-executing the prior round's
-    # join from scratch on every round's first action.
+    # join from scratch on every round's first action. Each round's
+    # checkpoint RDD stays materialized until the driver GCs the previous
+    # `labels` reference (no public API unpersists a checkpoint RDD); the
+    # retained rows are one (node, label) table per in-flight round — tiny
+    # relative to the edge relation at any scale.
     labels = (
         edges.select(F.col("u").alias("node")).distinct()
         .withColumn("label", F.col("node"))

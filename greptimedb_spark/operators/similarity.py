@@ -270,7 +270,12 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate embedding pairs (cosine ≥ threshold) via LSH-bucketed
-    self-join. High thresholds need few planes for near-perfect recall."""
+    self-join. High thresholds need few planes for near-perfect recall.
+
+    Note: calling this EXECUTES the signature job eagerly (localCheckpoint of
+    the per-row signature relation so the self-join does not run the
+    ArrowEvalPython matmul twice); the checkpointed intermediate is lineage-
+    truncated (non-fault-tolerant) and freed by driver GC."""
     sig_udf = _sig_batch_udf(dim, n_planes, [100 + t for t in range(n_tables)])
     # materialize the per-row signature array BEFORE the self-join (and
     # before the explode, so one corpus-sized row set is stored): the lazy
@@ -332,7 +337,11 @@ def _train_ivf(c: DataFrame, n_centroids: int, iters: int):
     build_ivf_index): hash-sampled init, ``iters`` Lloyd rounds,
     tie-deterministic assignment. ``c`` is (cid, cv, cvn). Returns
     (cent, corpus_cells) with cent = (centroid_id, cvec, cn) and
-    corpus_cells = (cid, centroid_id, cv, cvn)."""
+    corpus_cells = (cid, centroid_id, cv, cvn).
+
+    Note: EXECUTES the Lloyd rounds eagerly (the trained centroids are
+    localCheckpoint'ed — ≤ n_centroids rows — so multi-reference consumers
+    do not re-run training; lineage truncated, freed by driver GC)."""
     sample = c.orderBy(F.xxhash64(F.col("cid").cast("string"))).limit(n_centroids)
     cent = sample.select(
         (F.row_number().over(Window.orderBy("cid")) - 1).alias("centroid_id"),
