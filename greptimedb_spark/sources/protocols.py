@@ -473,17 +473,198 @@ def parse_otlp_metrics_json(
     (encode_histogram:613, encode_summary:717). Exponential histograms are
     a no-op in the reference too (metrics.rs:168).
 
-    Pure ``from_json`` + nested explodes — JVM-side, shuffle-free (the
-    cumulative bucket count is an ``aggregate()`` over the bucket prefix).
-    Payloads that do not parse yield one row with ``err`` set.
+    Pure ``from_json`` + higher-order functions — JVM-side, shuffle-free
+    (the cumulative bucket count is an ``aggregate()`` over the bucket
+    prefix). Payloads that do not parse yield one row with ``err`` set.
+
+    Single-pass: every output row kind (gauge/sum number points, the
+    histogram {name}_bucket/_sum/_count fan-out, the summary
+    quantile/_count/_sum fan-out, the bad-payload row) is built into ONE
+    ``array<struct>`` per payload with nested ``transform``/``flatten`` and
+    exploded once. The r11 form unioned 8 filter branches off the parsed
+    relation, and physical planning duplicated the scan+from_json subtree
+    into every branch (q94: 16 scans / 16 from_json; q116: 18/18) — one
+    logical parse cost 16 JSON parses of every payload. This form keeps
+    exactly 1 (r12 A/B: row-multiset parity on the q94/q116 streams + edge
+    corpus, ~5x on both legs; harness tools/ab_otlp_r12.py keeps the old
+    form frozen).
     """
+    row_t = (f"struct<table:string,tags:map<string,string>,"
+             f"{TIME_INDEX}:timestamp,{VALUE_COL}:double,"
+             f"metric_type:string,err:string>")
+    no_rows = F.expr(f"CAST(array() AS array<{row_t}>)")
+    empty_attrs = F.expr(f"CAST(array() AS {_OTLP_ATTR})")
+    empty_map = F.expr("CAST(map() AS map<string,string>)")
+
+    def _mk_row(table, tags, ts_ns_str, value, mtype, err):
+        ts_ns = ts_ns_str.try_cast("long")
+        return F.struct(
+            table.cast("string").alias("table"),
+            tags.alias("tags"),
+            _ns_to_ts(ts_ns).alias(TIME_INDEX),
+            value.cast("double").alias(VALUE_COL),
+            F.lit(mtype).alias("metric_type"),
+            err.cast("string").alias("err"),
+        )
+
+    def _ts_err(ts_ns_str):
+        return F.when(
+            ts_ns_str.try_cast("long").isNull(),
+            F.concat(F.lit("invalid otlp timestamp: "),
+                     F.coalesce(ts_ns_str, F.lit("null"))))
+
+    def _tags(res_attrs, dp_attrs):
+        # resource attrs + data-point attrs; data-point keys win on collision
+        dpa = F.coalesce(dp_attrs, empty_attrs)
+        ra = F.coalesce(res_attrs, empty_attrs)
+        keys = F.transform(dpa, lambda e: e["key"])
+        kept = F.filter(ra, lambda e: ~F.array_contains(keys, e["key"]))
+        return F.map_from_entries(F.transform(
+            F.concat(kept, dpa),
+            lambda e: F.struct(e["key"].alias("key"),
+                               e["value"]["stringValue"].alias("value"))))
+
+    def _num_rows(ra, m, kind):
+        # gauge/sum number points: one row per dataPoint
+        def row(dp):
+            value = F.coalesce(dp["asDouble"], dp["asInt"].try_cast("double"))
+            err = (F.when(value.isNull(), F.lit("missing data point value"))
+                   .otherwise(_ts_err(dp["timeUnixNano"])))
+            return _mk_row(normalize_otlp_name(m["name"]),
+                           _tags(ra, dp["attributes"]),
+                           dp["timeUnixNano"], value, kind, err)
+
+        return F.when(
+            m[kind].isNotNull(),
+            F.transform(F.coalesce(m[kind]["dataPoints"],
+                                   F.expr(f"CAST(array() AS array<{_OTLP_DP}>)")),
+                        row),
+        ).otherwise(no_rows)
+
+    # histogram / summary shredding (metrics.rs encode_histogram:613,
+    # encode_summary:717, emitted_semantic_tables:144): a histogram point
+    # fans into {name}_bucket (le tag, CUMULATIVE count), {name}_sum and
+    # {name}_count rows; a summary point into {name} (quantile tag),
+    # {name}_count and {name}_sum.
+    def _hist_rows(ra, m):
+        name = normalize_otlp_name(m["name"])
+
+        def dp_rows(dp):
+            tags = _tags(ra, dp["attributes"])
+            err = _ts_err(dp["timeUnixNano"])
+            buckets = F.coalesce(dp["bucketCounts"],
+                                 F.expr("CAST(array() AS array<string>)"))
+            bounds = dp["explicitBounds"]
+
+            def bucket_row(cnt, idx):
+                cum = F.aggregate(F.slice(buckets, F.lit(1), idx + 1),
+                                  F.lit(0.0),
+                                  lambda a, x: a + x.cast("double"))
+                # le = explicit bound at idx, 'inf' for the one-past-last
+                # bucket; a malformed extra bucket gets NO le tag
+                # (metrics.rs:647-662)
+                le_map = (F.when(idx < F.size(bounds),
+                                 F.create_map(F.lit("le"),
+                                              _fmt_f64_tag(F.get(bounds, idx))))
+                          .when(idx == F.size(bounds),
+                                F.create_map(F.lit("le"), F.lit("inf")))
+                          .otherwise(empty_map))
+                return _mk_row(F.concat(name, F.lit("_bucket")),
+                               F.map_concat(tags, le_map),
+                               dp["timeUnixNano"], cum, "histogram", err)
+
+            sum_row = _mk_row(F.concat(name, F.lit("_sum")), tags,
+                              dp["timeUnixNano"], dp["sum"], "histogram", err)
+            count_row = _mk_row(F.concat(name, F.lit("_count")), tags,
+                                dp["timeUnixNano"],
+                                dp["count"].try_cast("double"),
+                                "histogram", err)
+            return F.concat(
+                F.transform(buckets, bucket_row),
+                F.when(dp["sum"].isNotNull(),
+                       F.array(sum_row)).otherwise(no_rows),
+                F.array(count_row),
+            )
+
+        return F.when(
+            m["histogram"].isNotNull(),
+            F.flatten(F.transform(
+                F.coalesce(m["histogram"]["dataPoints"],
+                           F.expr(f"CAST(array() AS array<{_OTLP_HIST_DP}>)")),
+                dp_rows)),
+        ).otherwise(no_rows)
+
+    def _summ_rows(ra, m):
+        name = normalize_otlp_name(m["name"])
+
+        def dp_rows(dp):
+            tags = _tags(ra, dp["attributes"])
+            err = _ts_err(dp["timeUnixNano"])
+
+            def q_row(qv):
+                qtags = F.map_concat(
+                    tags, F.create_map(F.lit("quantile"),
+                                       _fmt_f64_tag(qv["quantile"])))
+                return _mk_row(name, qtags, dp["timeUnixNano"],
+                               qv["value"], "summary", err)
+
+            count_row = _mk_row(F.concat(name, F.lit("_count")), tags,
+                                dp["timeUnixNano"],
+                                dp["count"].try_cast("double"),
+                                "summary", err)
+            sum_row = _mk_row(F.concat(name, F.lit("_sum")), tags,
+                              dp["timeUnixNano"], dp["sum"], "summary", err)
+            return F.concat(
+                F.transform(
+                    F.coalesce(dp["quantileValues"],
+                               F.expr("CAST(array() AS array<struct<"
+                                      "quantile:double,value:double>>)")),
+                    q_row),
+                F.array(count_row),
+                F.when(dp["sum"].isNotNull(),
+                       F.array(sum_row)).otherwise(no_rows),
+            )
+
+        return F.when(
+            m["summary"].isNotNull(),
+            F.flatten(F.transform(
+                F.coalesce(m["summary"]["dataPoints"],
+                           F.expr(f"CAST(array() AS array<{_OTLP_SUMM_DP}>)")),
+                dp_rows)),
+        ).otherwise(no_rows)
+
+    def _metric_rows(ra, m):
+        return F.concat(_num_rows(ra, m, "gauge"), _num_rows(ra, m, "sum"),
+                        _hist_rows(ra, m), _summ_rows(ra, m))
+
+    def _rm_rows(rm):
+        ra = rm["resource"]["attributes"]
+        return F.flatten(F.transform(
+            F.coalesce(rm["scopeMetrics"],
+                       F.expr(f"CAST(array() AS array<struct<metrics:array<"
+                              f"struct<name:string,"
+                              f"gauge:struct<dataPoints:array<{_OTLP_DP}>>,"
+                              f"sum:struct<dataPoints:array<{_OTLP_DP}>,"
+                              f"isMonotonic:boolean>,"
+                              f"histogram:struct<dataPoints:array<{_OTLP_HIST_DP}>>,"
+                              f"summary:struct<dataPoints:array<{_OTLP_SUMM_DP}>>"
+                              f">>>>)")),
+            lambda sm: F.flatten(F.transform(
+                F.coalesce(sm["metrics"],
+                           F.expr(f"CAST(array() AS array<struct<name:string,"
+                                  f"gauge:struct<dataPoints:array<{_OTLP_DP}>>,"
+                                  f"sum:struct<dataPoints:array<{_OTLP_DP}>,"
+                                  f"isMonotonic:boolean>,"
+                                  f"histogram:struct<dataPoints:array<{_OTLP_HIST_DP}>>,"
+                                  f"summary:struct<dataPoints:array<{_OTLP_SUMM_DP}>>"
+                                  f">>)")),
+                lambda m: _metric_rows(ra, m)))))
+
     parsed = payloads.select(
         F.col(payload_col).alias("_raw"),
         F.from_json(F.col(payload_col), _OTLP_SCHEMA).alias("p"),
     )
-    bad = parsed.filter(
-        F.col("p").isNull() | F.col("p.resourceMetrics").isNull()
-    ).select(
+    bad_row = F.struct(
         F.lit(None).cast("string").alias("table"),
         F.lit(None).cast("map<string,string>").alias("tags"),
         F.lit(None).cast("timestamp").alias(TIME_INDEX),
@@ -492,141 +673,12 @@ def parse_otlp_metrics_json(
         F.concat(F.lit("invalid otlp metrics payload: "),
                  F.substring("_raw", 1, 120)).alias("err"),
     )
-    rm = (
-        parsed.filter(F.col("p.resourceMetrics").isNotNull())
-        .select(F.explode("p.resourceMetrics").alias("rm"))
-        .select(F.col("rm.resource.attributes").alias("res_attrs"),
-                F.explode("rm.scopeMetrics").alias("sm"))
-        .select("res_attrs", F.explode("sm.metrics").alias("m"))
-    )
-    # one branch per point kind; a metric carries exactly one kind
-    kinds = []
-    for kind in ("gauge", "sum"):
-        kinds.append(
-            rm.filter(F.col(f"m.{kind}").isNotNull())
-            .select("res_attrs", F.col("m.name").alias("name"),
-                    F.lit(kind).alias("metric_type"),
-                    F.explode(f"m.{kind}.dataPoints").alias("dp"))
-        )
-    pts = kinds[0].unionByName(kinds[1])
-    dp_attrs = F.coalesce(F.col("dp.attributes"),
-                          F.expr(f"CAST(array() AS {_OTLP_ATTR})"))
-    res_attrs = F.coalesce(F.col("res_attrs"),
-                           F.expr(f"CAST(array() AS {_OTLP_ATTR})"))
-    dp_keys = F.transform(dp_attrs, lambda e: e["key"])
-    res_kept = F.filter(res_attrs, lambda e: ~F.array_contains(dp_keys, e["key"]))
-    entries = F.transform(
-        F.concat(res_kept, dp_attrs),
-        lambda e: F.struct(e["key"].alias("key"),
-                           e["value"]["stringValue"].alias("value")),
-    )
-    value = F.coalesce(F.col("dp.asDouble"), F.col("dp.asInt").try_cast("double"))
-    num = pts.select(
-        normalize_otlp_name(F.col("name")).alias("table"),
-        F.map_from_entries(entries).alias("tags"),
-        _ns_to_ts(F.col("dp.timeUnixNano").try_cast("long")).alias(TIME_INDEX),
-        value.alias(VALUE_COL),
-        "metric_type",
-        F.when(value.isNull(), F.lit("missing data point value"))
-        .when(F.col("dp.timeUnixNano").try_cast("long").isNull(),
-              F.concat(F.lit("invalid otlp timestamp: "),
-                       F.coalesce(F.col("dp.timeUnixNano"), F.lit("null"))))
-        .alias("err"),
-    )
-
-    # -- histogram / summary shredding (metrics.rs encode_histogram:613,
-    # encode_summary:717, emitted_semantic_tables:144): a histogram point
-    # fans into {name}_bucket (le tag, CUMULATIVE count), {name}_sum and
-    # {name}_count rows; a summary point into {name} (quantile tag),
-    # {name}_count and {name}_sum. Still pure column algebra: the
-    # cumulative bucket count is an aggregate() over the bucket prefix,
-    # no shuffle, no UDF.
-    def _tag_entries(dp_attrs_col):
-        dpa = F.coalesce(dp_attrs_col, F.expr(f"CAST(array() AS {_OTLP_ATTR})"))
-        ra = F.coalesce(F.col("res_attrs"),
-                        F.expr(f"CAST(array() AS {_OTLP_ATTR})"))
-        keys = F.transform(dpa, lambda e: e["key"])
-        kept = F.filter(ra, lambda e: ~F.array_contains(keys, e["key"]))
-        return F.transform(
-            F.concat(kept, dpa),
-            lambda e: F.struct(e["key"].alias("key"),
-                               e["value"]["stringValue"].alias("value")))
-
-    def _row(table_col, tags_col, value_col, mtype):
-        ts_ns = F.col("dp.timeUnixNano").try_cast("long")
-        return [
-            table_col.alias("table"), tags_col.alias("tags"),
-            _ns_to_ts(ts_ns).alias(TIME_INDEX),
-            value_col.cast("double").alias(VALUE_COL),
-            F.lit(mtype).alias("metric_type"),
-            F.when(ts_ns.isNull(),
-                   F.concat(F.lit("invalid otlp timestamp: "),
-                            F.coalesce(F.col("dp.timeUnixNano"),
-                                       F.lit("null")))).alias("err"),
-        ]
-
-    empty_map = F.expr("CAST(map() AS map<string,string>)")
-
-    hdp = (rm.filter(F.col("m.histogram").isNotNull())
-           .select("res_attrs",
-                   normalize_otlp_name(F.col("m.name")).alias("name"),
-                   F.explode("m.histogram.dataPoints").alias("dp")))
-    htags = F.map_from_entries(_tag_entries(F.col("dp.attributes")))
-    b = hdp.select(
-        "res_attrs", "name", "dp", htags.alias("__tags"),
-        F.posexplode(F.coalesce(
-            F.col("dp.bucketCounts"),
-            F.expr("CAST(array() AS array<string>)"))).alias("idx", "cnt"))
-    cum = F.expr("aggregate(slice(dp.bucketCounts, 1, idx + 1), "
-                 "CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))")
-    # le = explicit bound at idx, 'inf' for the one-past-last bucket; a
-    # malformed extra bucket gets NO le tag (metrics.rs:647-662)
-    le_map = (F.when(F.col("idx") < F.size("dp.explicitBounds"),
-                     F.create_map(F.lit("le"), _fmt_f64_tag(
-                         F.element_at("dp.explicitBounds",
-                                      F.col("idx") + 1))))
-              .when(F.col("idx") == F.size("dp.explicitBounds"),
-                    F.create_map(F.lit("le"), F.lit("inf")))
-              .otherwise(empty_map))
-    hist_bucket = b.select(*_row(
-        F.concat(F.col("name"), F.lit("_bucket")),
-        F.map_concat(F.col("__tags"), le_map), cum, "histogram"))
-    hist_sum = hdp.filter(F.col("dp.sum").isNotNull()).select(*_row(
-        F.concat(F.col("name"), F.lit("_sum")), htags,
-        F.col("dp.sum"), "histogram"))
-    hist_count = hdp.select(*_row(
-        F.concat(F.col("name"), F.lit("_count")), htags,
-        F.col("dp.count").try_cast("double"), "histogram"))
-
-    sdp = (rm.filter(F.col("m.summary").isNotNull())
-           .select("res_attrs",
-                   normalize_otlp_name(F.col("m.name")).alias("name"),
-                   F.explode("m.summary.dataPoints").alias("dp")))
-    stags = F.map_from_entries(_tag_entries(F.col("dp.attributes")))
-    q = sdp.select(
-        "res_attrs", "name", "dp", stags.alias("__tags"),
-        F.explode(F.coalesce(
-            F.col("dp.quantileValues"),
-            F.expr("CAST(array() AS array<struct<quantile:double,"
-                   "value:double>>)"))).alias("qv"))
-    summ_q = q.select(*_row(
-        F.col("name"),
-        F.map_concat(F.col("__tags"),
-                     F.create_map(F.lit("quantile"),
-                                  _fmt_f64_tag(F.col("qv.quantile")))),
-        F.col("qv.value"), "summary"))
-    summ_count = sdp.select(*_row(
-        F.concat(F.col("name"), F.lit("_count")), stags,
-        F.col("dp.count").try_cast("double"), "summary"))
-    summ_sum = sdp.filter(F.col("dp.sum").isNotNull()).select(*_row(
-        F.concat(F.col("name"), F.lit("_sum")), stags,
-        F.col("dp.sum"), "summary"))
-
-    out = num
-    for part in (hist_bucket, hist_sum, hist_count,
-                 summ_q, summ_count, summ_sum):
-        out = out.unionByName(part)
-    return out.unionByName(bad)
+    all_rows = F.when(
+        F.col("p").isNull() | F.col("p.resourceMetrics").isNull(),
+        F.array(bad_row),
+    ).otherwise(
+        F.flatten(F.transform(F.col("p.resourceMetrics"), _rm_rows)))
+    return parsed.select(F.explode(all_rows).alias("r")).select("r.*")
 
 
 OTLP_LOG_TABLE = "opentelemetry_logs"  # reference default (otlp/logs.rs:52)

@@ -172,3 +172,27 @@ def test_read_cache_evicts_dead_session_entries(spark):
     assert (id(dead), "__t_dead_view") not in q._VIEW_CACHE
     # live-session entries survive
     assert any(v[0] is spark for v in q._READ_CACHE.values())
+
+
+def test_otlp_metrics_parse_is_single_pass(spark):
+    """r12: parse_otlp_metrics_json builds every row kind (number points,
+    histogram/summary fan-out, bad-payload rows) in ONE array per payload and
+    explodes once. The r11 union-of-8-branches form duplicated the
+    scan+from_json subtree into every branch (8 scans / 8 JSON parses of each
+    payload for q94). Pin: exactly one from_json and one Generate, no Union,
+    no re-scan."""
+    from greptimedb_spark.sources import protocols as proto
+
+    payloads = spark.createDataFrame(
+        [('{"resourceMetrics":[]}',), ("junk",)], "payload string")
+    plan = _plan(proto.parse_otlp_metrics_json(payloads))
+    # node detail sections start with "(n) Name"; count operator occurrences
+    import re
+
+    def n_nodes(name):
+        return len(re.findall(rf"\(\d+\) {name}\b", plan))
+
+    assert plan.count("from_json") <= 2  # one tree line + one detail section
+    assert n_nodes("Generate") == 1
+    assert n_nodes("Union") == 0
+    assert n_nodes("Scan ExistingRDD") + n_nodes("Scan parquet") <= 1
