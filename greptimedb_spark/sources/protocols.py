@@ -319,38 +319,47 @@ def parse_loki_push(payloads: DataFrame, payload_col: str = "payload") -> DataFr
     become tag columns, the message lands in ``line``, timestamps are
     nanoseconds in the default time-index column).
 
-    Pure column algebra: ``from_json`` with an explicit schema, two explodes
-    (streams, then values) — fully JVM-side and shuffle-free, so a 100 TB
-    backfill of push payloads parses at scan speed. Returns
-    (labels map, greptime_timestamp, line, err); rows whose payload does not
-    parse carry ``err``. Structured-metadata third elements (rare) are not
-    modeled — the value pair is [ts, line].
+    Pure column algebra: ``from_json`` with an explicit schema, nested
+    ``transform`` over streams/values and ONE explode — fully JVM-side and
+    shuffle-free, so a 100 TB backfill of push payloads parses at scan
+    speed (the former good/bad branch union re-ran the scan + from_json on
+    both sides). Returns (labels map, greptime_timestamp, line, err); rows
+    whose payload does not parse carry ``err``. Structured-metadata third
+    elements (rare) are not modeled — the value pair is [ts, line].
     """
     parsed = payloads.select(
         F.col(payload_col).alias("_raw"),
         F.from_json(F.col(payload_col), _LOKI_SCHEMA).alias("p"),
     )
-    bad = parsed.filter(F.col("p").isNull() | F.col("p.streams").isNull()).select(
+    bad_row = F.struct(
         F.lit(None).cast("map<string,string>").alias("labels"),
         F.lit(None).cast("timestamp").alias(TIME_INDEX),
         F.lit(None).cast("string").alias("line"),
         F.concat(F.lit("invalid loki push payload: "),
                  F.substring("_raw", 1, 120)).alias("err"),
     )
-    good = (
-        parsed.filter(F.col("p.streams").isNotNull())
-        .select(F.explode("p.streams").alias("s"))
-        .select(F.col("s.stream").alias("labels"), F.explode("s.values").alias("v"))
-        .select(
-            "labels",
-            _ns_to_ts(F.element_at("v", 1).try_cast("long")).alias(TIME_INDEX),
-            F.element_at("v", 2).alias("line"),
-            F.when(F.element_at("v", 1).try_cast("long").isNull(),
-                   F.concat(F.lit("invalid loki timestamp: "),
-                            F.element_at("v", 1))).alias("err"),
-        )
-    )
-    return good.unionByName(bad)
+
+    def _stream_rows(s):
+        def row(v):
+            ts_raw = F.get(v, 0)
+            return F.struct(
+                s["stream"].alias("labels"),
+                _ns_to_ts(ts_raw.try_cast("long")).alias(TIME_INDEX),
+                F.get(v, 1).cast("string").alias("line"),
+                F.when(ts_raw.try_cast("long").isNull(),
+                       F.concat(F.lit("invalid loki timestamp: "),
+                                ts_raw)).cast("string").alias("err"),
+            )
+
+        return F.transform(
+            F.coalesce(s["values"],
+                       F.expr("CAST(array() AS array<array<string>>)")),
+            row)
+
+    all_rows = F.when(
+        F.col("p").isNull() | F.col("p.streams").isNull(), F.array(bad_row)
+    ).otherwise(F.flatten(F.transform(F.col("p.streams"), _stream_rows)))
+    return parsed.select(F.explode(all_rows).alias("r")).select("r.*")
 
 
 def parse_elasticsearch_bulk(
@@ -707,14 +716,14 @@ def parse_otlp_logs_json(
     json, scope_name tag, resource_attributes json; default table
     ``opentelemetry_logs``). timeUnixNano falls back to
     observedTimeUnixNano when zero/absent, matching the collector
-    convention. ``from_json`` + nested explodes, shuffle-free."""
+    convention. ``from_json`` + nested ``transform`` and ONE explode,
+    shuffle-free (the former good/bad branch union re-ran the scan +
+    from_json on both sides)."""
     parsed = payloads.select(
         F.col(payload_col).alias("_raw"),
         F.from_json(F.col(payload_col), _OTLP_LOGS_SCHEMA).alias("p"),
     )
-    bad = parsed.filter(
-        F.col("p").isNull() | F.col("p.resourceLogs").isNull()
-    ).select(
+    bad_row = F.struct(
         F.lit(None).cast("timestamp").alias("timestamp"),
         *[F.lit(None).cast(t).alias(n) for n, t in (
             ("trace_id", "string"), ("span_id", "string"),
@@ -723,14 +732,6 @@ def parse_otlp_logs_json(
             ("scope_name", "string"), ("resource_attributes", "string"))],
         F.concat(F.lit("invalid otlp logs payload: "),
                  F.substring("_raw", 1, 120)).alias("err"),
-    )
-    recs = (
-        parsed.filter(F.col("p.resourceLogs").isNotNull())
-        .select(F.explode("p.resourceLogs").alias("rl"))
-        .select(F.col("rl.resource.attributes").alias("res_attrs"),
-                F.explode("rl.scopeLogs").alias("sl"))
-        .select("res_attrs", F.col("sl.scope.name").alias("scope_name"),
-                F.explode("sl.logRecords").alias("r"))
     )
 
     def _attrs_json(col):
@@ -741,22 +742,44 @@ def parse_otlp_logs_json(
         )
         return F.to_json(F.map_from_entries(entries))
 
-    ts_ns = F.coalesce(
-        F.nullif(F.col("r.timeUnixNano").try_cast("long"), F.lit(0)),
-        F.col("r.observedTimeUnixNano").try_cast("long"),
-    )
-    return recs.select(
-        _ns_to_ts(ts_ns).alias("timestamp"),
-        F.col("r.traceId").alias("trace_id"),
-        F.col("r.spanId").alias("span_id"),
-        F.col("r.severityText").alias("severity_text"),
-        F.col("r.severityNumber").alias("severity_number"),
-        F.col("r.body.stringValue").alias("body"),
-        _attrs_json(F.col("r.attributes")).alias("log_attributes"),
-        "scope_name",
-        _attrs_json(F.col("res_attrs")).alias("resource_attributes"),
-        F.when(ts_ns.isNull(), F.lit("missing log record timestamp")).alias("err"),
-    ).unionByName(bad)
+    def _rl_rows(rl):
+        res_json = _attrs_json(rl["resource"]["attributes"])
+
+        def rec_row(sl, r):
+            ts_ns = F.coalesce(
+                F.nullif(r["timeUnixNano"].try_cast("long"), F.lit(0)),
+                r["observedTimeUnixNano"].try_cast("long"),
+            )
+            return F.struct(
+                _ns_to_ts(ts_ns).alias("timestamp"),
+                r["traceId"].alias("trace_id"),
+                r["spanId"].alias("span_id"),
+                r["severityText"].alias("severity_text"),
+                r["severityNumber"].alias("severity_number"),
+                r["body"]["stringValue"].alias("body"),
+                _attrs_json(r["attributes"]).alias("log_attributes"),
+                sl["scope"]["name"].alias("scope_name"),
+                res_json.alias("resource_attributes"),
+                F.when(ts_ns.isNull(),
+                       F.lit("missing log record timestamp"))
+                .cast("string").alias("err"),
+            )
+
+        return F.flatten(F.transform(
+            F.coalesce(rl["scopeLogs"],
+                       F.expr(f"CAST(array() AS array<struct<"
+                              f"scope:struct<name:string,version:string>,"
+                              f"logRecords:array<{_OTLP_LOGREC}>>>)")),
+            lambda sl: F.transform(
+                F.coalesce(sl["logRecords"],
+                           F.expr(f"CAST(array() AS array<{_OTLP_LOGREC}>)")),
+                lambda r: rec_row(sl, r))))
+
+    all_rows = F.when(
+        F.col("p").isNull() | F.col("p.resourceLogs").isNull(),
+        F.array(bad_row),
+    ).otherwise(F.flatten(F.transform(F.col("p.resourceLogs"), _rl_rows)))
+    return parsed.select(F.explode(all_rows).alias("r")).select("r.*")
 
 
 def _esc(s: str, special: str) -> str:
@@ -1228,14 +1251,13 @@ def parse_otlp_traces_json(
     (STATUS_CODE_*, UNSET default), service_name promoted from the
     resource's ``service.name``, span/resource attributes as JSON, scope
     name; default table ``opentelemetry_traces``. ``from_json`` + nested
-    explodes, shuffle-free."""
+    ``transform`` and ONE explode, shuffle-free (the former good/bad branch
+    union re-ran the scan + from_json on both sides)."""
     parsed = payloads.select(
         F.col(payload_col).alias("_raw"),
         F.from_json(F.col(payload_col), _OTLP_TRACES_SCHEMA).alias("p"),
     )
-    bad = parsed.filter(
-        F.col("p").isNull() | F.col("p.resourceSpans").isNull()
-    ).select(
+    bad_row = F.struct(
         F.lit(None).cast("timestamp").alias("timestamp"),
         *[F.lit(None).cast(t).alias(n) for n, t in (
             ("timestamp_end", "timestamp"), ("duration_nano", "long"),
@@ -1246,14 +1268,6 @@ def parse_otlp_traces_json(
             ("resource_attributes", "string"), ("scope_name", "string"))],
         F.concat(F.lit("invalid otlp traces payload: "),
                  F.substring("_raw", 1, 120)).alias("err"),
-    )
-    spans = (
-        parsed.filter(F.col("p.resourceSpans").isNotNull())
-        .select(F.explode("p.resourceSpans").alias("rs"))
-        .select(F.col("rs.resource.attributes").alias("res_attrs"),
-                F.explode("rs.scopeSpans").alias("ss"))
-        .select("res_attrs", F.col("ss.scope.name").alias("scope_name"),
-                F.explode("ss.spans").alias("s"))
     )
 
     def _attrs_json(col):
@@ -1273,26 +1287,50 @@ def parse_otlp_traces_json(
             key,
         )
 
-    start_ns = F.col("s.startTimeUnixNano").try_cast("long")
-    end_ns = F.col("s.endTimeUnixNano").try_cast("long")
-    return spans.select(
-        _ns_to_ts(start_ns).alias("timestamp"),
-        _ns_to_ts(end_ns).alias("timestamp_end"),
-        (end_ns - start_ns).alias("duration_nano"),
-        F.col("s.traceId").alias("trace_id"),
-        F.col("s.spanId").alias("span_id"),
-        F.col("s.parentSpanId").alias("parent_span_id"),
-        F.col("s.name").alias("span_name"),
-        F.coalesce(F.col("s.kind"), F.lit("SPAN_KIND_UNSPECIFIED")).alias("span_kind"),
-        F.coalesce(F.col("s.status.code"), F.lit("STATUS_CODE_UNSET"))
-        .alias("span_status_code"),
-        _attr(F.col("res_attrs"), "service.name").alias("service_name"),
-        _attrs_json(F.col("s.attributes")).alias("span_attributes"),
-        _attrs_json(F.col("res_attrs")).alias("resource_attributes"),
-        "scope_name",
-        F.when(start_ns.isNull(), F.lit("missing span start timestamp"))
-        .alias("err"),
-    ).unionByName(bad)
+    def _rs_rows(rs):
+        res_attrs = rs["resource"]["attributes"]
+        res_json = _attrs_json(res_attrs)
+        service = _attr(res_attrs, "service.name")
+
+        def span_row(ss, s):
+            start_ns = s["startTimeUnixNano"].try_cast("long")
+            end_ns = s["endTimeUnixNano"].try_cast("long")
+            return F.struct(
+                _ns_to_ts(start_ns).alias("timestamp"),
+                _ns_to_ts(end_ns).alias("timestamp_end"),
+                (end_ns - start_ns).alias("duration_nano"),
+                s["traceId"].alias("trace_id"),
+                s["spanId"].alias("span_id"),
+                s["parentSpanId"].alias("parent_span_id"),
+                s["name"].alias("span_name"),
+                F.coalesce(s["kind"], F.lit("SPAN_KIND_UNSPECIFIED"))
+                .alias("span_kind"),
+                F.coalesce(s["status"]["code"], F.lit("STATUS_CODE_UNSET"))
+                .alias("span_status_code"),
+                service.alias("service_name"),
+                _attrs_json(s["attributes"]).alias("span_attributes"),
+                res_json.alias("resource_attributes"),
+                ss["scope"]["name"].alias("scope_name"),
+                F.when(start_ns.isNull(),
+                       F.lit("missing span start timestamp"))
+                .cast("string").alias("err"),
+            )
+
+        return F.flatten(F.transform(
+            F.coalesce(rs["scopeSpans"],
+                       F.expr(f"CAST(array() AS array<struct<"
+                              f"scope:struct<name:string,version:string>,"
+                              f"spans:array<{_OTLP_SPAN}>>>)")),
+            lambda ss: F.transform(
+                F.coalesce(ss["spans"],
+                           F.expr(f"CAST(array() AS array<{_OTLP_SPAN}>)")),
+                lambda s: span_row(ss, s))))
+
+    all_rows = F.when(
+        F.col("p").isNull() | F.col("p.resourceSpans").isNull(),
+        F.array(bad_row),
+    ).otherwise(F.flatten(F.transform(F.col("p.resourceSpans"), _rs_rows)))
+    return parsed.select(F.explode(all_rows).alias("r")).select("r.*")
 
 
 # ---- Prometheus remote write V2 (io.prometheus.write.v2.Request) ----------

@@ -174,18 +174,20 @@ def test_read_cache_evicts_dead_session_entries(spark):
     assert any(v[0] is spark for v in q._READ_CACHE.values())
 
 
-def test_otlp_metrics_parse_is_single_pass(spark):
-    """r12: parse_otlp_metrics_json builds every row kind (number points,
-    histogram/summary fan-out, bad-payload rows) in ONE array per payload and
-    explodes once. The r11 union-of-8-branches form duplicated the
-    scan+from_json subtree into every branch (8 scans / 8 JSON parses of each
-    payload for q94). Pin: exactly one from_json and one Generate, no Union,
-    no re-scan."""
+@pytest.mark.parametrize("parser", [
+    "parse_otlp_metrics_json", "parse_otlp_logs_json",
+    "parse_otlp_traces_json", "parse_loki_push",
+])
+def test_json_parsers_are_single_pass(spark, parser):
+    """r12: the from_json-based parsers build every row kind (data rows AND
+    bad-payload rows) in ONE array per payload and explode once. The union
+    forms duplicated the scan+from_json subtree into every branch (metrics:
+    8 scans / 8 JSON parses of each payload for q94; logs/traces/loki: 2).
+    Pin: exactly one from_json and one Generate, no Union, no re-scan."""
     from greptimedb_spark.sources import protocols as proto
 
-    payloads = spark.createDataFrame(
-        [('{"resourceMetrics":[]}',), ("junk",)], "payload string")
-    plan = _plan(proto.parse_otlp_metrics_json(payloads))
+    payloads = spark.createDataFrame([("{}",), ("junk",)], "payload string")
+    plan = _plan(getattr(proto, parser)(payloads))
     # node detail sections start with "(n) Name"; count operator occurrences
     import re
 
